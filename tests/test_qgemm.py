@@ -1,0 +1,100 @@
+"""qgemm implementations (XLA and Pallas-interpret) vs the dequant oracle
+and vs each other. The Pallas kernel runs in interpreter mode on CPU."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tmac_tpu.ops import packing
+from tmac_tpu.ops.qgemm import QuantizedTensor, qgemm_xla, dequant_baseline_matmul
+from tmac_tpu.ops.pallas.qgemm_kernel import qgemm_pallas
+from tmac_tpu.utils import nmse
+
+
+def _setup(bits, N, K, M, gs, zero_point, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((K, M)).astype(np.float32)
+    x = rng.standard_normal((N, K)).astype(np.float32)
+    wq, scales, sub = packing.quantize_weights(w, bits, gs, zero_point)
+    wdq = packing.dequantize(wq, scales, sub, gs)
+    qt = QuantizedTensor.from_quantized(wq, scales, sub, bits, gs)
+    return x, qt, x @ wdq
+
+
+@pytest.mark.parametrize("bits", [1, 2, 3, 4])
+@pytest.mark.parametrize("zero_point", [False, True])
+def test_qgemm_xla_exact(bits, zero_point):
+    x, qt, oracle = _setup(bits, 3, 512, 128, 128, zero_point)
+    got = np.asarray(qgemm_xla(jnp.asarray(x), qt))
+    np.testing.assert_allclose(got, oracle, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4])
+@pytest.mark.parametrize("zero_point", [False, True])
+def test_qgemm_pallas_matches_oracle(bits, zero_point):
+    x, qt, oracle = _setup(bits, 2, 512, 256, 128, zero_point)
+    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True))
+    assert nmse(oracle, got) < 1e-8
+
+
+def test_qgemm_pallas_b3():
+    x, qt, oracle = _setup(3, 2, 512, 256, 128, False)
+    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True))
+    assert nmse(oracle, got) < 1e-8
+
+
+def test_qgemm_pallas_unpadded_m():
+    """M not a lane multiple gets padded internally and sliced back."""
+    x, qt, oracle = _setup(2, 2, 256, 200, 64, False)
+    assert qt.mdim_padded == 256
+    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True))
+    assert got.shape == (2, 200)
+    assert nmse(oracle, got) < 1e-8
+
+
+def test_qgemm_pallas_int8_per_tensor_exact():
+    """BitNet path: int8 activations, per-tensor scale, int32 accumulation
+    must be bit-exact vs integer oracle."""
+    rng = np.random.default_rng(7)
+    N, K, M = 2, 512, 256
+    wq = rng.integers(0, 3, (K, M)).astype(np.uint8)  # ternary biased at 2... mid=2 for bits=2
+    s = np.float32(0.11)
+    scales = np.full((1, M), s, np.float32)
+    sub = np.full((1, M), 2 * s, np.float32)
+    qt = QuantizedTensor.from_quantized(wq, scales, sub, bits=2, group_size=K)
+    x = rng.integers(-127, 128, (N, K)).astype(np.int8)
+    oracle = (x.astype(np.int64) @ (wq.astype(np.int64) - 2)).astype(np.float32) * s
+    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True))
+    # int32 accumulation is exact; the only difference vs the oracle is the
+    # order of the two f32 scale multiplies in the epilogue
+    np.testing.assert_allclose(got, oracle, rtol=1e-5, atol=1e-3)
+
+
+def test_qgemm_pallas_int8_grouped():
+    rng = np.random.default_rng(8)
+    N, K, M, gs, bits = 2, 512, 256, 128, 4
+    wq = rng.integers(0, 16, (K, M)).astype(np.uint8)
+    scales = (rng.standard_normal((K // gs, M)).astype(np.float32) * 0.01 + 0.05)
+    sub = 8 * scales
+    qt = QuantizedTensor.from_quantized(wq, scales, sub, bits, gs)
+    x = rng.integers(-64, 64, (N, K)).astype(np.int8)
+    wdq = packing.dequantize(wq, scales, sub, gs)
+    oracle = x.astype(np.float32) @ wdq
+    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True))
+    assert nmse(oracle, got) < 1e-9
+
+
+def test_xla_matches_pallas_bf16():
+    x, qt, _ = _setup(2, 2, 512, 256, 128, True)
+    xb = jnp.asarray(x, dtype=jnp.bfloat16)
+    a = np.asarray(qgemm_xla(xb, qt, out_dtype=jnp.float32))
+    b = np.asarray(qgemm_pallas(xb, qt, out_dtype=jnp.float32, interpret=True))
+    assert nmse(a, b) < 1e-4
+
+
+def test_dequant_baseline_agrees():
+    x, qt, oracle = _setup(4, 2, 512, 128, 128, False)
+    w_int8 = np.asarray(qt.unpack())[:, :128]
+    got = np.asarray(dequant_baseline_matmul(
+        jnp.asarray(x), jnp.asarray(w_int8), qt.scales[:, :128], qt.sub[:, :128], 128))
+    np.testing.assert_allclose(got, oracle, rtol=2e-4, atol=2e-4)

@@ -1,0 +1,215 @@
+"""Production Pallas mpGEMM kernel: packed low-bit weights x activations.
+
+TPU-native replacement for the reference's generated `qgemm_lut_t*` TVM
+kernels + `tbl_g4_*` SIMD intrinsics (reference python/t_mac/intrins/tbl.cc,
+deploy/tuned/*/kernels.cc).  Identical math, different realization:
+
+  CPU (reference): 4-bit LUT indices -> vqtbl1q_s8 16-entry shuffle ->
+                   int8 adder tree -> fp16 fma with per-group scales.
+  TPU (here):      packed bit-fields -> VPU shift/mask extract ->
+                   MXU matmul per scale-group chunk -> f32 scale epilogue,
+                   zero-offsets folded through precomputed activation
+                   group-sums (one extra tiny MXU dot).
+
+Why no literal table gather: the TPU has no cross-lane byte shuffle; a
+16-entry gather per 4-bit index would serialize on the VPU.  The lookup
+lut[k, idx(m,k)] is mathematically sum_j s_j * b[4k+j], i.e. a +-1 matmul
+-- which is exactly what the MXU does natively at 100x the VPU's rate.  The
+LUT formulation is kept as the executable spec (ops/lut.py); this kernel is
+bit-exact to the same dequant model and is tested against both.
+
+Memory traffic per weight = bits/8 bytes (+ scales) -- the same as the
+reference's LUT-index stream, preserving T-MAC's bandwidth advantage, which
+is the entire game for N=1 decode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tmac_tpu.ops.qgemm import QuantizedTensor
+
+
+def _pick_block_m(mpad: int, kp: int, requested: int = 0) -> int:
+    if requested:
+        assert mpad % requested == 0 and requested % 128 == 0
+        return requested
+    # keep the packed weight block under ~2 MB of VMEM (double-buffered by
+    # the pipeline, plus unpacked chunks), prefer larger tiles
+    for bm in (1024, 768, 512, 384, 256, 128):
+        if mpad % bm == 0 and kp * bm <= (2 << 20):
+            return bm
+    return 128
+
+
+def _unpack_block(wp32, bits: int, j: int):
+    """Extract field j from packed bytes widened to int32.
+
+    Mosaic has no sub-32-bit vector shifts (arith.shrui on i8 fails to
+    legalize), so the byte tile is widened to i32 once per m-tile and
+    fields are extracted with i32 shift+mask -- still one VPU pass each
+    since VPU lanes are 32-bit regardless of element type.
+    """
+    mask = (1 << bits) - 1
+    if j == 0:
+        return wp32 & mask
+    return (wp32 >> (bits * j)) & mask
+
+
+def _make_kernel(N, K, bits, gs, int_acc, out_dtype, n_blocks_hi):
+    p = 8 // bits if bits != 3 else 4
+    kb = K // p  # unpacked k-rows per field block
+    chunk = min(gs, kb)
+    if bits == 3:
+        # chunks must also fit inside one 1-bit high-plane block (K//8 rows)
+        chunk = min(chunk, K // 8)
+    assert kb % chunk == 0 and (chunk == gs or gs % kb == 0), (
+        f"group_size {gs} incompatible with K {K} and {p} fields/byte"
+    )
+    nchunks = kb // chunk
+
+    def kernel(x_ref, xsum_ref, wp_ref, *rest):
+        if bits == 3:
+            wph_ref, scales_ref, sub_ref, out_ref = rest
+        else:
+            scales_ref, sub_ref, out_ref = rest
+            wph_ref = None
+
+        x = x_ref[:]
+        acc = jnp.zeros(out_ref.shape, dtype=jnp.int32 if int_acc else jnp.float32)
+
+        wp32 = wp_ref[:].astype(jnp.int32)  # widen once per m-tile
+        wph32 = wph_ref[:].astype(jnp.int32) if bits == 3 else None
+        for j in range(p):
+            wj = _unpack_block(wp32, 2 if bits == 3 else bits, j)
+            for c in range(nchunks):
+                k0 = j * kb + c * chunk  # global k of this chunk
+                v = wj[c * chunk:(c + 1) * chunk, :]
+                if bits == 3:
+                    # add the 1-bit high plane: hi block j' = k0 // (K//8)
+                    kb_hi = K // 8
+                    jh = k0 // kb_hi
+                    rh = k0 % kb_hi
+                    hi = _unpack_block(wph32, 1, jh)
+                    v = v + (hi[rh:rh + chunk, :] << 2)
+                g = k0 // gs
+                xb = x[:, k0:k0 + chunk]
+                if int_acc:
+                    part = jax.lax.dot_general(
+                        xb, v.astype(jnp.int8),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    acc = acc + part
+                else:
+                    part = jax.lax.dot_general(
+                        xb, v.astype(x.dtype),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = acc + part * scales_ref[g, :].astype(jnp.float32)[None, :]
+
+        if int_acc:
+            # per-tensor scale (G == 1): exact int32 accumulation, one final
+            # scale -- the analog of the reference's do_scale_final path
+            # (tbl.cc:536-670, chosen when m_groups != -1 and ags == K).
+            acc = acc.astype(jnp.float32) * scales_ref[0, :].astype(jnp.float32)[None, :]
+
+        # zero-offset fold: C -= xsum @ sub  (covers both the 2^(bits-1)
+        # midpoint and GPTQ zero points; reference folds this via the
+        # entry-0 LUT bias, tbl.cc:374-415)
+        # precision=HIGHEST: xsum magnitudes ~K*127 would lose integer
+        # exactness in the MXU's default bf16-input f32 pass
+        acc = acc - jax.lax.dot_general(
+            xsum_ref[:].astype(jnp.float32), sub_ref[:].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref[:] = acc.astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qt_meta", "out_dtype", "block_m", "interpret"),
+)
+def _qgemm_pallas_call(x, xsum, packed, packed_hi, scales, sub,
+                       qt_meta, out_dtype, block_m, interpret):
+    bits, gs, K, M = qt_meta
+    N = x.shape[0]
+    KP, Mp = packed.shape
+    G = scales.shape[0]
+    int_acc = (x.dtype == jnp.int8) and G == 1
+    bm = _pick_block_m(Mp, KP, block_m)
+    grid = (Mp // bm,)
+
+    kernel = _make_kernel(N, K, bits, gs, int_acc, out_dtype, 0)
+
+    in_specs = [
+        pl.BlockSpec((N, K), lambda i: (0, 0), memory_space=pltpu.VMEM),       # x
+        pl.BlockSpec((N, G), lambda i: (0, 0), memory_space=pltpu.VMEM),       # xsum
+        pl.BlockSpec((KP, bm), lambda i: (0, i), memory_space=pltpu.VMEM),     # packed
+    ]
+    args = [x, xsum, packed]
+    if bits == 3:
+        KH = packed_hi.shape[0]
+        in_specs.append(pl.BlockSpec((KH, bm), lambda i: (0, i), memory_space=pltpu.VMEM))
+        args.append(packed_hi)
+    in_specs += [
+        pl.BlockSpec((G, bm), lambda i: (0, i), memory_space=pltpu.VMEM),      # scales
+        pl.BlockSpec((G, bm), lambda i: (0, i), memory_space=pltpu.VMEM),      # sub
+    ]
+    args += [scales, sub]
+
+    wbytes = KP * Mp + (packed_hi.size if packed_hi is not None else 0)
+    cost = pl.CostEstimate(
+        flops=2 * N * K * Mp,
+        bytes_accessed=wbytes + x.size * x.dtype.itemsize + 2 * G * Mp * 4 + N * Mp * 4,
+        transcendentals=0,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((N, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, Mp), out_dtype),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
+                 block_m: int = 0, interpret: bool | None = None) -> jax.Array:
+    """x (N, K) bf16/f32/int8 @ packed Wdq -> (N, M).
+
+    With int8 x and per-tensor scales (BitNet) the accumulation is exact
+    int32 on the MXU.  k_shards > 1 tensors must be called under shard_map
+    (see tmac_tpu/parallel) so the kernel sees its local K chunk.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, K = x.shape
+    assert K == qt.kdim, (K, qt.kdim)
+    out_dtype = out_dtype or (jnp.float32 if x.dtype == jnp.int8 else x.dtype)
+    G = qt.scales.shape[0]
+    gs = qt.group_size
+    xsum = jnp.sum(
+        x.reshape(N, G, gs).astype(jnp.float32 if x.dtype != jnp.int8 else jnp.int32),
+        axis=-1,
+    ).astype(jnp.float32)
+    out = _qgemm_pallas_call(
+        x, xsum, qt.packed, qt.packed_hi, qt.scales, qt.sub,
+        (qt.bits, gs, K, qt.mdim), out_dtype, block_m, interpret,
+    )
+    if qt.mdim != qt.mdim_padded:
+        out = out[:, :qt.mdim]
+    return out
