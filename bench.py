@@ -1,0 +1,105 @@
+"""End-to-end decode benchmark (the driver runs this on real TPU hardware).
+
+Measures single-stream decode tokens/s on the flagship workload -- BitNet-3B
+W1.58A8, the reference's headline model (README.md:33, profiling_data.md:6-7)
+-- with synthetic weights at the exact model shapes (no checkpoint egress in
+this environment; the math exercised is identical).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": tokens/s/chip, "unit": ..., "vs_baseline": ...}
+
+vs_baseline is against the reference's best published BitNet-3B decode
+number, 54.46 tokens/s (T-MAC @ 4 threads on Apple M2-Ultra,
+docs/profiling_data.md:7).
+
+Timing protocol (see .claude/skills/verify/SKILL.md): through the remote
+TPU tunnel block_until_ready() does not block and identical executions are
+cached, so we time a dependent on-device lax.scan over N tokens and fetch a
+value, subtracting the measured null round-trip.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tmac_tpu.models.config import get_preset
+from tmac_tpu.models.llama import KVCache, init_params
+from tmac_tpu.runtime.generate import decode_loop, prefill
+from tmac_tpu.runtime.sampling import SamplerConfig
+
+REFERENCE_BASELINE_TPS = 54.46  # T-MAC BitNet-3B @4T, M2-Ultra
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def null_overhead() -> float:
+    f = jax.jit(lambda x: jnp.sum(x))
+    x = jnp.ones((8, 128))
+    float(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    model = "bitnet-3b"
+    steps = 64
+    cfg = get_preset(model)
+    log(f"building {model} synthetic params ...")
+    params = init_params(cfg, seed=0)
+    params = jax.device_put(params)
+
+    B, prompt_len, max_len = 1, 16, 256
+    cache = KVCache.create(cfg, B, max_len)
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, prompt_len)))
+    key = jax.random.PRNGKey(0)
+    sampler = SamplerConfig()  # greedy
+
+    log("prefill + compile decode loop (first compile is slow) ...")
+    t0 = time.perf_counter()
+    logits, cache = prefill(params, cfg, toks, cache)
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+    out, cache = decode_loop(params, cfg, first, cache, key, steps=steps,
+                             sampler=sampler)
+    _ = np.asarray(out)  # force full execution
+    log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
+
+    ov = null_overhead()
+    log(f"null round-trip: {ov*1e3:.1f} ms")
+
+    # timed runs: decode_loop donates the cache, so rebuild it each rep via
+    # prefill (cheap) and time only the decode scan
+    best_tps = 0.0
+    for rep in range(3):
+        cache = KVCache.create(cfg, B, max_len)
+        logits, cache = prefill(params, cfg, toks, cache)
+        first = jnp.argmax(logits, -1).astype(jnp.int32)
+        _ = float(jnp.sum(first))  # sync before timing
+        t0 = time.perf_counter()
+        out, cache = decode_loop(params, cfg, first, cache, key, steps=steps,
+                                 sampler=sampler)
+        _ = int(jnp.sum(out))  # value fetch forces completion
+        dt = time.perf_counter() - t0 - ov
+        tps = steps * B / dt
+        log(f"rep {rep}: {dt*1e3:.1f} ms for {steps} tokens -> {tps:.2f} tok/s")
+        best_tps = max(best_tps, tps)
+
+    print(json.dumps({
+        "metric": f"{model}_w1.58a8_decode",
+        "value": round(best_tps, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(best_tps / REFERENCE_BASELINE_TPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

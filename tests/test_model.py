@@ -1,0 +1,90 @@
+"""Model forward/decode correctness on tiny configs (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tmac_tpu.models.config import get_preset
+from tmac_tpu.models.llama import KVCache, forward, init_params
+from tmac_tpu.runtime.generate import generate, prefill, decode_step
+from tmac_tpu.runtime.sampling import SamplerConfig, sample
+
+
+def tiny(name, **kw):
+    return get_preset(name, **kw).scaled(8)
+
+
+@pytest.mark.parametrize("preset,kw", [
+    ("llama-2-7b", {}),            # w_fp, zero_point
+    ("bitnet-3b", {}),             # w_a8, per-tensor
+    ("llama-3-8b", {"bits": 4}),   # GQA + 4-bit
+    ("qwen2-7b", {}),              # attention bias
+])
+def test_forward_shapes(preset, kw):
+    cfg = tiny(preset, **kw)
+    params = init_params(cfg, seed=0)
+    cache = KVCache.create(cfg, batch=2, max_len=16)
+    tokens = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 5)))
+    logits, cache = forward(params, cfg, tokens, cache, impl="xla")
+    assert logits.shape == (2, 5, cfg.vocab_size)
+    assert int(cache.pos) == 5
+    assert np.isfinite(np.asarray(logits, dtype=np.float32)).all()
+
+
+def test_incremental_decode_matches_prefill():
+    """Logits from token-by-token decode must match one-shot prefill."""
+    cfg = tiny("llama-2-7b")
+    params = init_params(cfg, seed=1)
+    rng = np.random.default_rng(1)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 6)))
+
+    # one-shot
+    cache = KVCache.create(cfg, 1, 8)
+    full_logits, _ = forward(params, cfg, toks, cache, impl="xla")
+
+    # incremental
+    cache = KVCache.create(cfg, 1, 8)
+    inc = []
+    for t in range(6):
+        lg, cache = forward(params, cfg, toks[:, t:t + 1], cache, impl="xla")
+        inc.append(np.asarray(lg[:, 0], dtype=np.float32))
+    inc = np.stack(inc, axis=1)
+    full = np.asarray(full_logits, dtype=np.float32)
+    np.testing.assert_allclose(full, inc, rtol=2e-2, atol=2e-2)
+    # the argmax (greedy choice) must agree everywhere
+    np.testing.assert_array_equal(full.argmax(-1), inc.argmax(-1))
+
+
+def test_generate_greedy_deterministic():
+    cfg = tiny("bitnet-3b")
+    params = init_params(cfg, seed=2)
+    prompt = np.array([[1, 2, 3]], dtype=np.int32)
+    out1 = np.asarray(generate(params, cfg, prompt, max_new_tokens=5, impl="xla"))
+    out2 = np.asarray(generate(params, cfg, prompt, max_new_tokens=5, impl="xla"))
+    assert out1.shape == (1, 5)
+    np.testing.assert_array_equal(out1, out2)
+    assert (out1 >= 0).all() and (out1 < cfg.vocab_size).all()
+
+
+def test_decode_step_jit_and_donation():
+    cfg = tiny("llama-2-7b")
+    params = init_params(cfg, seed=3)
+    cache = KVCache.create(cfg, 1, 8)
+    toks = jnp.asarray([[4, 5]], dtype=jnp.int32)
+    logits, cache = prefill(params, cfg, toks, cache, impl="xla")
+    key = jax.random.PRNGKey(0)
+    last = sample(logits, key, SamplerConfig())
+    nxt, cache = decode_step(params, cfg, last, cache, key, impl="xla")
+    assert nxt.shape == (1,)
+    assert int(cache.pos) == 3
+
+
+def test_samplers():
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray([[1.0, 5.0, 2.0, 0.1]])
+    assert int(sample(logits, key, SamplerConfig())[0]) == 1
+    t = sample(logits, key, SamplerConfig(temperature=0.8, top_k=2))
+    assert int(t[0]) in (1, 2)
+    t = sample(logits, key, SamplerConfig(temperature=0.8, top_p=0.5))
+    assert int(t[0]) == 1  # top-1 prob already > 0.5

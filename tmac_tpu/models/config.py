@@ -1,0 +1,182 @@
+"""Model and quantization configuration.
+
+The single-dataclass replacement for the reference's three-tier config
+system (kcfg.ini + platform registry + CLI flags, see reference
+deploy/compile.py:156-165, python/t_mac/platform.py:75-158).  Presets cover
+the same model families as reference python/t_mac/model_utils.py:19-88
+(_PRESET_KERNELS) plus the serving configs named in BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """How matmul weights are quantized.
+
+    mode:
+      "w_fp" -- low-bit weights x bf16 activations (GPTQ / EfficientQAT /
+                BitDistiller style, reference m_groups=-1)
+      "w_a8" -- low-bit weights x per-token int8 activations with
+                per-tensor weight scale (BitNet W1.58A8, reference
+                m_groups=1 + do_scale_final int path)
+    group_size: k elements per weight scale group; -1 means per-tensor.
+    act_group_size: activation quant granularity for the LUT spec / A8 path.
+    """
+
+    bits: int = 2
+    group_size: int = 128
+    zero_point: bool = False
+    mode: str = "w_fp"
+    act_group_size: int = 64
+
+    def validate(self):
+        assert self.bits in (1, 2, 3, 4)
+        assert self.mode in ("w_fp", "w_a8")
+        if self.mode == "w_a8":
+            assert self.group_size == -1, "w_a8 requires per-tensor scales"
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    name: str
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    def with_quant(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, quant=dataclasses.replace(self.quant, **kw))
+
+    def scaled(self, factor: int) -> "ModelConfig":
+        """A tiny version of this architecture for tests/dryruns."""
+        def _r256(x):  # keep dims divisible by group_size and lanes
+            return max(256, (x // 256) * 256)
+        return dataclasses.replace(
+            self,
+            vocab_size=max(256, self.vocab_size // (8 * factor)),
+            hidden_size=_r256(self.hidden_size // factor),
+            intermediate_size=_r256(self.intermediate_size // factor),
+            num_layers=2,
+            num_heads=max(2, self.num_heads // factor),
+            num_kv_heads=max(1, self.num_kv_heads // factor),
+            head_dim=128,
+        )
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        return json.dumps(d, indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ModelConfig":
+        d = json.loads(s)
+        d["quant"] = QuantConfig(**d["quant"])
+        return cls(**d)
+
+
+def _bitnet_quant():
+    return QuantConfig(bits=2, group_size=-1, zero_point=False, mode="w_a8")
+
+
+# Architectures match the shape lists in reference model_utils.py:19-88 and
+# the HF configs of the named checkpoints.
+PRESETS = {
+    # 1bitLLM/bitnet_b1_58-3B (reference "hf-bitnet-3b": M/K in
+    # {3200x8640, 8640x3200, 3200x3200})
+    "bitnet-3b": ModelConfig(
+        name="bitnet-3b", vocab_size=32002, hidden_size=3200,
+        intermediate_size=8640, num_layers=26, num_heads=32, num_kv_heads=32,
+        head_dim=100, rope_theta=10000.0, rms_norm_eps=1e-6,
+        quant=_bitnet_quant(),
+    ),
+    # 1bitLLM/bitnet_b1_58-large, 700M (reference "hf-bitnet-large-intn")
+    "bitnet-700m": ModelConfig(
+        name="bitnet-700m", vocab_size=32002, hidden_size=1536,
+        intermediate_size=4096, num_layers=24, num_heads=16, num_kv_heads=16,
+        head_dim=96, rms_norm_eps=1e-6, quant=_bitnet_quant(),
+    ),
+    # microsoft/BitNet-b1.58-2B-4T (the model T-MAN serves at ~50 t/s)
+    "bitnet-2b-4t": ModelConfig(
+        name="bitnet-2b-4t", vocab_size=128256, hidden_size=2560,
+        intermediate_size=6912, num_layers=30, num_heads=20, num_kv_heads=5,
+        head_dim=128, rope_theta=500000.0, rms_norm_eps=1e-5,
+        quant=_bitnet_quant(),
+    ),
+    # reference "llama-2-7b-2bit"/"-4bit"
+    "llama-2-7b": ModelConfig(
+        name="llama-2-7b", vocab_size=32000, hidden_size=4096,
+        intermediate_size=11008, num_layers=32, num_heads=32, num_kv_heads=32,
+        head_dim=128, rms_norm_eps=1e-5,
+        quant=QuantConfig(bits=2, group_size=128, zero_point=True),
+    ),
+    "llama-2-13b": ModelConfig(
+        name="llama-2-13b", vocab_size=32000, hidden_size=5120,
+        intermediate_size=13824, num_layers=40, num_heads=40, num_kv_heads=40,
+        head_dim=128, rms_norm_eps=1e-5,
+        quant=QuantConfig(bits=2, group_size=128, zero_point=True),
+    ),
+    "llama-3-8b": ModelConfig(
+        name="llama-3-8b", vocab_size=128256, hidden_size=4096,
+        intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
+        head_dim=128, rope_theta=500000.0, rms_norm_eps=1e-5,
+        quant=QuantConfig(bits=2, group_size=128, zero_point=True),
+    ),
+    # reference "phi-3-mini-2bit"
+    "phi-3-mini": ModelConfig(
+        name="phi-3-mini", vocab_size=32064, hidden_size=3072,
+        intermediate_size=8192, num_layers=32, num_heads=32, num_kv_heads=32,
+        head_dim=96, rms_norm_eps=1e-5,
+        quant=QuantConfig(bits=2, group_size=128, zero_point=True),
+    ),
+    # BASELINE.json serving config: Qwen2-7B GPTQ-Int4
+    "qwen2-7b": ModelConfig(
+        name="qwen2-7b", vocab_size=152064, hidden_size=3584,
+        intermediate_size=18944, num_layers=28, num_heads=28, num_kv_heads=4,
+        head_dim=128, rope_theta=1000000.0, rms_norm_eps=1e-6,
+        attention_bias=True,
+        quant=QuantConfig(bits=4, group_size=128, zero_point=True),
+    ),
+    # BASELINE.json serving config: Phi-3.5 W2
+    "phi-3.5-mini": ModelConfig(
+        name="phi-3.5-mini", vocab_size=32064, hidden_size=3072,
+        intermediate_size=8192, num_layers=32, num_heads=32, num_kv_heads=32,
+        head_dim=96, rope_theta=10000.0, rms_norm_eps=1e-5,
+        quant=QuantConfig(bits=2, group_size=128, zero_point=True),
+    ),
+    # reference "trilm-3.9b"
+    "trilm-3.9b": ModelConfig(
+        name="trilm-3.9b", vocab_size=50688, hidden_size=3072,
+        intermediate_size=9216, num_layers=30, num_heads=24, num_kv_heads=24,
+        head_dim=128, rms_norm_eps=1e-5,
+        quant=QuantConfig(bits=2, group_size=128, zero_point=False),
+    ),
+}
+
+
+def get_preset(name: str, bits: Optional[int] = None, **quant_kw) -> ModelConfig:
+    cfg = PRESETS[name]
+    if bits is not None:
+        quant_kw["bits"] = bits
+    if quant_kw:
+        cfg = cfg.with_quant(**quant_kw)
+    return cfg

@@ -1,0 +1,278 @@
+"""Generic Llama-family transformer with LUT-mpGEMM linears.
+
+The net-new surface the reference delegates to its llama.cpp fork (absent
+submodule; behavior reconstructed from call sites, see SURVEY.md section
+2.2): model definition, RoPE/GQA attention, KV cache, decode/prefill steps.
+Written functionally -- params are a plain pytree, the step functions are
+jit/pjit-friendly, no framework classes.
+
+Covers: Llama-2/3, BitNet b1.58 (3B/700M/2B-4T), Phi-3(.5), Qwen2 (GQA +
+attention bias), TriLM -- the model families in reference
+python/t_mac/model_utils.py:19-88.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tmac_tpu.models.config import ModelConfig
+from tmac_tpu.ops.qgemm import QuantizedTensor, qgemm
+
+
+# ---------------------------------------------------------------------------
+# Quantized linear application
+# ---------------------------------------------------------------------------
+
+def quantize_activations_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-token absmax int8 quantization (BitNet A8).
+
+    The TPU-side analog of the reference activation preprocessor
+    (partial_max + lut quantization, lut_ctor.cc:232-266): one scale per
+    token row, exact int8 values for the integer MXU path.
+    """
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax.astype(jnp.float32), 1e-6) / 127.0
+    q = jnp.clip(jnp.rint(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def apply_qlinear(x: jax.Array, qt: QuantizedTensor, mode: str,
+                  bias: Optional[jax.Array] = None, impl: str = "auto") -> jax.Array:
+    """x (..., K) @ Wdq (K, M) -> (..., M) in x's float dtype."""
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    if mode == "w_a8":
+        xq, xscale = quantize_activations_int8(x2)
+        out = qgemm(xq, qt, impl=impl, out_dtype=jnp.float32) * xscale
+    else:
+        out = qgemm(x2, qt, impl=impl, out_dtype=jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.reshape(*shape[:-1], qt.mdim).astype(x.dtype)
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary embedding. x (B, T, H, D), positions (B, T)."""
+    d = x.shape[-1]
+    half = d // 2
+    freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions[:, :, None, None].astype(jnp.float32) * freqs  # (B,T,1,half)
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k", "v", "pos"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class KVCache:
+    """k/v: (L, B, S_max, KV_heads, head_dim); pos: scalar int32 write index."""
+
+    k: jax.Array
+    v: jax.Array
+    pos: jax.Array
+
+    @classmethod
+    def create(cls, cfg: ModelConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            pos=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (synthetic weights; converters fill real ones)
+# ---------------------------------------------------------------------------
+
+def _rand_qt(rng: np.random.Generator, K: int, M: int, cfg: ModelConfig,
+             k_shards: int = 1, m_shards: int = 1) -> QuantizedTensor:
+    q = cfg.quant
+    gs = K if q.group_size == -1 else q.group_size
+    std = 1.0 / np.sqrt(K)
+    if q.mode == "w_a8":
+        # ternary weights, one scale per tensor (BitNet b1.58)
+        wq = rng.integers(0, 3, (K, M)).astype(np.uint8)
+        scales = np.full((1, M), std, np.float32)
+        sub = 2 * scales  # mid = 2 for the {0,1,2} encoding of {-1,0,1}
+        # per-tensor scales become per-shard rows under k-sharding so each
+        # device owns a (1, M) scale slice
+        if k_shards > 1:
+            scales = np.repeat(scales, k_shards, 0)
+            sub = np.repeat(sub, k_shards, 0)
+            return QuantizedTensor.from_quantized(
+                wq, scales, sub, bits=2, group_size=K // k_shards,
+                k_shards=k_shards, m_shards=m_shards)
+        return QuantizedTensor.from_quantized(wq, scales, sub, bits=2,
+                                              group_size=K, m_shards=m_shards)
+    w = (rng.standard_normal((K, M)) * std).astype(np.float32)
+    return QuantizedTensor.from_float(w, q.bits, gs, q.zero_point,
+                                      k_shards=k_shards, m_shards=m_shards)
+
+
+def padded_intermediate(cfg: ModelConfig, tp: int) -> int:
+    """Intermediate size padded so gate/up m-shards and down k-shards align
+    with scale groups under tp-way tensor parallelism (weight-level zero
+    padding done at convert/init time; transparent at runtime)."""
+    from tmac_tpu.utils import round_up
+    gs = cfg.quant.group_size
+    align = tp if gs == -1 else tp * gs
+    return round_up(cfg.intermediate_size, align)
+
+
+def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16,
+                tp: int = 1) -> Dict[str, Any]:
+    """Random-but-realistic quantized parameters at the model's exact shapes.
+
+    Used for benchmarking and tests; converters (tmac_tpu/convert) produce
+    the same pytree from real checkpoints.  tp > 1 packs the row-parallel
+    matrices (wo, down) with k_shards=tp and the column-parallel ones with
+    m_shards=tp so every local shard is aligned.
+    """
+    rng = np.random.default_rng(seed)
+    H = cfg.hidden_size
+    I = padded_intermediate(cfg, tp)
+    layers = []
+    for _ in range(cfg.num_layers):
+        layer = {
+            "attn_norm": jnp.ones((H,), dtype),
+            "mlp_norm": jnp.ones((H,), dtype),
+            "wq": _rand_qt(rng, H, cfg.q_dim, cfg, m_shards=tp),
+            "wk": _rand_qt(rng, H, cfg.kv_dim, cfg, m_shards=tp),
+            "wv": _rand_qt(rng, H, cfg.kv_dim, cfg, m_shards=tp),
+            "wo": _rand_qt(rng, cfg.q_dim, H, cfg, k_shards=tp),
+            "gate": _rand_qt(rng, H, I, cfg, m_shards=tp),
+            "up": _rand_qt(rng, H, I, cfg, m_shards=tp),
+            "down": _rand_qt(rng, I, H, cfg, k_shards=tp),
+        }
+        if cfg.attention_bias:
+            layer["bq"] = jnp.zeros((cfg.q_dim,), dtype)
+            layer["bk"] = jnp.zeros((cfg.kv_dim,), dtype)
+            layer["bv"] = jnp.zeros((cfg.kv_dim,), dtype)
+        layers.append(layer)
+    params = {
+        "embed": jnp.asarray(
+            rng.standard_normal((cfg.vocab_size, H)) * 0.02, dtype),
+        "layers": layers,
+        "final_norm": jnp.ones((H,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jnp.asarray(
+            rng.standard_normal((H, cfg.vocab_size)) * 0.02, dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _attention(q, k, v, q_positions, kv_len_mask, cfg: ModelConfig):
+    """q (B,T,H,D), k/v (B,S,KV,D); causal within valid kv positions.
+
+    Plain XLA attention; S_max stays modest for decode (the quantized
+    matmuls dominate).  A Pallas flash-attention path slots in here later.
+    """
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    KV = k.shape[2]
+    rep = H // KV
+    qf = q.reshape(B, T, KV, rep, D).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum("btkrd,bskd->btkrs", qf, kf) / np.sqrt(D)
+    # mask: kv position s must be < kv_len and <= query position
+    s_idx = jnp.arange(S)[None, None, :]  # (1,1,S)
+    valid = (s_idx <= q_positions[:, :, None]) & kv_len_mask[:, None, :]
+    scores = jnp.where(valid[:, :, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("btkrs,bskd->btkrd", probs, v.astype(jnp.float32))
+    return out.reshape(B, T, H * D).astype(q.dtype)
+
+
+def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
+            impl: str = "auto", tp_axis: Optional[str] = None):
+    """Run T tokens (prefill or single-step decode) starting at cache.pos.
+
+    tokens: (B, T) int32. Returns (logits (B, T, vocab), updated cache).
+
+    tp_axis: when running inside shard_map with Megatron-style tensor
+    parallelism, `cfg` must be the *local* config (heads / kv-heads /
+    intermediate divided by the tp degree; see tmac_tpu/parallel/tp.py) and
+    this names the mesh axis to psum the row-parallel (wo, down) partial
+    sums over -- the reference's M-tile thread parallelism
+    (tmac_gemm_wrapper.h:197-228) lifted to chips + ICI collectives.
+    """
+    B, T = tokens.shape
+    mode = cfg.quant.mode
+    x = params["embed"][tokens]  # (B, T, H)
+    positions = cache.pos + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B,T) via broadcast
+    positions = jnp.broadcast_to(positions, (B, T))
+    S = cache.max_len
+    kv_len_mask = jnp.arange(S)[None, :] < (cache.pos + T)  # (1,S)
+    kv_len_mask = jnp.broadcast_to(kv_len_mask, (B, S))
+
+    new_k, new_v = cache.k, cache.v
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+        q = apply_qlinear(h, layer["wq"], mode, layer.get("bq"), impl)
+        k = apply_qlinear(h, layer["wk"], mode, layer.get("bk"), impl)
+        v = apply_qlinear(h, layer["wv"], mode, layer.get("bv"), impl)
+        q = rope(q.reshape(B, T, cfg.num_heads, cfg.head_dim), positions, cfg.rope_theta)
+        k = rope(k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim), positions, cfg.rope_theta)
+        v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+
+        new_k = jax.lax.dynamic_update_slice(
+            new_k, k.astype(new_k.dtype)[None], (li, 0, cache.pos, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            new_v, v.astype(new_v.dtype)[None], (li, 0, cache.pos, 0, 0))
+
+        attn = _attention(q, new_k[li], new_v[li], positions, kv_len_mask, cfg)
+        o = apply_qlinear(attn, layer["wo"], mode, None, impl)
+        if tp_axis is not None:
+            o = jax.lax.psum(o, tp_axis)
+        x = x + o
+
+        h = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
+        g = apply_qlinear(h, layer["gate"], mode, None, impl)
+        u = apply_qlinear(h, layer["up"], mode, None, impl)
+        d = apply_qlinear(jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u,
+                          layer["down"], mode, None, impl)
+        if tp_axis is not None:
+            d = jax.lax.psum(d, tp_axis)
+        x = x + d
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = params.get("lm_head")
+    if head is None:
+        logits = jnp.einsum("bth,vh->btv", x.astype(jnp.float32),
+                            params["embed"].astype(jnp.float32))
+    else:
+        logits = jnp.einsum("bth,hv->btv", x.astype(jnp.float32),
+                            head.astype(jnp.float32))
+    cache = KVCache(k=new_k, v=new_v, pos=cache.pos + T)
+    return logits, cache

@@ -197,8 +197,12 @@ def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    from tmac_tpu.ops.qgemm import pad_x_for
     N, K = x.shape
     assert K == qt.kdim, (K, qt.kdim)
+    assert qt.k_shards == 1, "k-sharded tensors must run under shard_map (localized)"
+    x = pad_x_for(x, qt)
+    Kp = qt.kdim_padded
     out_dtype = out_dtype or (jnp.float32 if x.dtype == jnp.int8 else x.dtype)
     G = qt.scales.shape[0]
     gs = qt.group_size
@@ -208,8 +212,6 @@ def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
     ).astype(jnp.float32)
     out = _qgemm_pallas_call(
         x, xsum, qt.packed, qt.packed_hi, qt.scales, qt.sub,
-        (qt.bits, gs, K, qt.mdim), out_dtype, block_m, interpret,
+        (qt.bits, gs, Kp, qt.mdim), out_dtype, block_m, interpret,
     )
-    if qt.mdim != qt.mdim_padded:
-        out = out[:, :qt.mdim]
-    return out
+    return qt.slice_m(out)

@@ -31,7 +31,7 @@ from tmac_tpu.utils import round_up
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["packed", "packed_hi", "scales", "sub"],
-    meta_fields=["bits", "group_size", "k_shards", "shape"],
+    meta_fields=["bits", "group_size", "k_shards", "m_shards", "shape"],
 )
 @dataclasses.dataclass
 class QuantizedTensor:
@@ -58,6 +58,7 @@ class QuantizedTensor:
     bits: int
     group_size: int
     k_shards: int
+    m_shards: int
     shape: tuple
 
     @property
@@ -71,6 +72,12 @@ class QuantizedTensor:
     @property
     def mdim_padded(self) -> int:
         return self.packed.shape[1]
+
+    @property
+    def kdim_padded(self) -> int:
+        """Total K after per-shard zero padding (see from_quantized)."""
+        p = 4 if self.bits == 3 else 8 // self.bits
+        return self.packed.shape[0] * p
 
     @property
     def bytes_per_weight(self) -> float:
@@ -88,17 +95,60 @@ class QuantizedTensor:
         bits: int,
         group_size: int,
         k_shards: int = 1,
+        m_shards: int = 1,
         scale_dtype=jnp.float32,
         device_put: bool = True,
     ) -> "QuantizedTensor":
-        """Pack biased-unsigned (K, M) weights + (G, M) scales/sub."""
+        """Pack biased-unsigned (K, M) weights + (G, M) scales/sub.
+
+        Padding (all zero-filled and transparent -- qgemm zero-pads x along
+        K to match and slices the M padding off the output):
+          * M: padded PER m-shard to a lane multiple (so an even split over
+            m_shards devices keeps each local chunk aligned AND column j of
+            local shard s is logical column s*(M/m_shards)+j),
+          * K: padded PER k-shard so the kernel's field-block x scale-group
+            chunk structure divides each shard.
+        Sharded-dim divisibility (M % m_shards, K % (k_shards*group_size))
+        is the converter's job -- it pads the model's intermediate size.
+        """
         K, M = wq.shape
-        assert scales.shape == (K // group_size, M), (scales.shape, K, group_size, M)
-        mpad = round_up(M, 128)
-        if mpad != M:
-            wq = np.pad(wq, ((0, 0), (0, mpad - M)))
-            scales = np.pad(scales, ((0, 0), (0, mpad - M)))
-            sub = np.pad(sub, ((0, 0), (0, mpad - M)))
+        per_tensor = group_size >= K // k_shards  # one scale row per shard
+        G = k_shards if per_tensor else K // group_size
+        assert scales.shape == (G, M), (scales.shape, G, M)
+
+        assert M % m_shards == 0, (M, m_shards)
+        ms = M // m_shards
+        msp = round_up(ms, 128)
+        if msp != ms:
+            def _pad_m(a):
+                a = a.reshape(a.shape[0], m_shards, ms)
+                a = np.pad(a, ((0, 0), (0, 0), (0, msp - ms)))
+                return a.reshape(a.shape[0], m_shards * msp)
+            wq, scales, sub = _pad_m(wq), _pad_m(scales), _pad_m(sub)
+        mpad = m_shards * msp
+
+        p_lo = 4 if bits == 3 else 8 // bits
+        pmax = 8 if bits == 3 else p_lo
+        if per_tensor:
+            assert K % k_shards == 0
+            ks = K // k_shards
+            ksp = round_up(ks, pmax)
+        else:
+            assert K % (k_shards * group_size) == 0, (K, k_shards, group_size)
+            ks = K // k_shards
+            ksp = round_up(ks, pmax * group_size)
+        if ksp != ks:
+            wq = wq.reshape(k_shards, ks, mpad)
+            wq = np.pad(wq, ((0, 0), (0, ksp - ks), (0, 0))).reshape(k_shards * ksp, mpad)
+            if not per_tensor:
+                gsh, gp = ks // group_size, ksp // group_size
+                scales = scales.reshape(k_shards, gsh, mpad)
+                scales = np.pad(scales, ((0, 0), (0, gp - gsh), (0, 0)))
+                scales = scales.reshape(k_shards * gp, mpad)
+                sub = sub.reshape(k_shards, gsh, mpad)
+                sub = np.pad(sub, ((0, 0), (0, gp - gsh), (0, 0)))
+                sub = sub.reshape(k_shards * gp, mpad)
+
         if bits == 3:
             lo, hi = packing.pack_b3(wq, k_shards)
         else:
@@ -114,8 +164,9 @@ class QuantizedTensor:
         return cls(
             **arrs,
             bits=bits,
-            group_size=group_size,
+            group_size=group_size if not per_tensor else ksp,
             k_shards=k_shards,
+            m_shards=m_shards,
             shape=(K, M),
         )
 
@@ -127,17 +178,51 @@ class QuantizedTensor:
         group_size: Optional[int] = None,
         zero_point: bool = False,
         k_shards: int = 1,
+        m_shards: int = 1,
         **kw,
     ) -> "QuantizedTensor":
         """Quantize float (K, M) weights and pack (testing / on-the-fly quant)."""
         K, M = w.shape
         group_size = group_size or K
         wq, scales, sub = packing.quantize_weights(np.asarray(w), bits, group_size, zero_point)
-        return cls.from_quantized(wq, scales, sub, bits, group_size, k_shards, **kw)
+        return cls.from_quantized(wq, scales, sub, bits, group_size, k_shards,
+                                  m_shards, **kw)
+
+    def localized(self, tp: int, axis: int) -> "QuantizedTensor":
+        """The per-device static view under shard_map: axis 0 = row-parallel
+        (k-sharded), axis 1 = column-parallel (m-sharded).  Arrays inside
+        shard_map are already local slices; this fixes up the static meta."""
+        if axis == 0:
+            assert self.k_shards == tp
+            # group_size is already per-shard-correct: per-tensor tensors
+            # store the per-shard padded size, grouped ones the group size
+            return dataclasses.replace(
+                self, k_shards=1, shape=(self.kdim // tp, self.mdim))
+        assert self.m_shards == tp
+        return dataclasses.replace(
+            self, m_shards=1, shape=(self.kdim, self.mdim // tp))
+
+    def _k_pad_geometry(self):
+        """(ks, ksp): per-shard logical and padded K."""
+        return self.kdim // self.k_shards, self.kdim_padded // self.k_shards
+
+    def slice_m(self, out: jax.Array) -> jax.Array:
+        """Strip the per-m-shard lane padding off a (..., mdim_padded) array."""
+        if self.mdim_padded == self.mdim:
+            return out
+        ms = self.mdim // self.m_shards
+        msp = self.mdim_padded // self.m_shards
+        lead = out.shape[:-1]
+        o = out.reshape(*lead, self.m_shards, msp)[..., :ms]
+        return o.reshape(*lead, self.mdim)
 
     def unpack(self) -> jax.Array:
-        """Unpacked biased-unsigned weights (K, M_pad) as int8 (debug/tests)."""
-        return _unpack_jnp(self.packed, self.packed_hi, self.bits, self.k_shards)
+        """Unpacked biased-unsigned weights as int8, logical (K, M) shape."""
+        w = _unpack_jnp(self.packed, self.packed_hi, self.bits, self.k_shards)
+        ks, ksp = self._k_pad_geometry()
+        if ksp != ks:
+            w = w.reshape(self.k_shards, ksp, -1)[:, :ks].reshape(self.kdim, -1)
+        return self.slice_m(w.reshape(self.kdim, -1))
 
 
 def _unpack_jnp(packed, packed_hi, bits: int, k_shards: int) -> jax.Array:
@@ -163,6 +248,18 @@ def _unpack_jnp(packed, packed_hi, bits: int, k_shards: int) -> jax.Array:
 # XLA implementation (and dequant baseline).
 # ---------------------------------------------------------------------------
 
+def pad_x_for(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
+    """Zero-pad activations along K to match the per-shard K padding."""
+    N = x.shape[0]
+    K, Kp = qt.kdim, qt.kdim_padded
+    if Kp == K:
+        return x
+    ks, ksp = qt._k_pad_geometry()
+    xr = x.reshape(N, qt.k_shards, ks)
+    xr = jnp.pad(xr, ((0, 0), (0, 0), (0, ksp - ks)))
+    return xr.reshape(N, Kp)
+
+
 def qgemm_xla(x: jax.Array, qt: QuantizedTensor, out_dtype=None) -> jax.Array:
     """Grouped dequant matmul in plain XLA.
 
@@ -171,8 +268,9 @@ def qgemm_xla(x: jax.Array, qt: QuantizedTensor, out_dtype=None) -> jax.Array:
     For int8 x the inner matmuls accumulate exactly in int32 (the analog of
     the reference's do_scale_final int16/int32 path, tbl.cc:536-670).
     """
+    x = pad_x_for(x, qt)
     N = x.shape[0]
-    K, M = qt.kdim, qt.mdim
+    K, M = qt.kdim_padded, qt.mdim
     Mp = qt.mdim_padded
     gs = qt.group_size
     G = K // gs
@@ -202,7 +300,7 @@ def qgemm_xla(x: jax.Array, qt: QuantizedTensor, out_dtype=None) -> jax.Array:
         xsums = jnp.sum(xg.astype(jnp.float32), axis=-1)
         acc = jnp.einsum("gnm,gm->nm", parts, qt.scales.astype(jnp.float32))
         acc = acc - jnp.einsum("ng,gm->nm", xsums, qt.sub.astype(jnp.float32))
-    acc = acc[:, :M]
+    acc = qt.slice_m(acc)
     return acc.astype(out_dtype or (jnp.float32 if int_path else x.dtype))
 
 

@@ -1,0 +1,204 @@
+"""Tensor/data parallelism over a jax.sharding.Mesh.
+
+The reference parallelizes one way: M-tiles of each GEMM are split across
+CPU threads (tmac_gemm_wrapper.h:197-228, n_tile_num in kcfg).  Here the
+same split becomes Megatron-style tensor parallelism across TPU chips:
+
+  * column-parallel (shard M over 'tp'):  wq, wk, wv, gate, up
+    -- heads and MLP intermediate live entirely on one chip
+  * row-parallel (shard K over 'tp'):     wo, down
+    -- packed with k_shards=tp so each device's packed-row slice IS the
+       local packing of its K-chunk (ops/packing.py shard locality)
+  * psum over ICI after wo and down (2 collectives per layer)
+  * KV cache sharded over kv-heads; batch sharded over 'dp'
+
+Everything runs inside one shard_map so the Pallas kernels see local
+shards; XLA overlaps the psums with the next layer's compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tmac_tpu.models.config import ModelConfig
+from tmac_tpu.models.llama import KVCache, forward
+from tmac_tpu.ops.qgemm import QuantizedTensor
+from tmac_tpu.runtime.sampling import SamplerConfig, sample
+
+try:  # jax >= 0.7 exports shard_map at top level
+    from jax import shard_map as _shard_map_mod  # type: ignore  # noqa
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+except (ImportError, AttributeError):  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _sm
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
+COL = P(None, "tp")   # shard M (output features)
+ROW = P("tp", None)   # shard K (packed rows / scale groups)
+REP = P()
+
+
+def make_mesh(tp: int, dp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= dp * tp, (len(devices), dp, tp)
+    return jax.make_mesh((dp, tp), ("dp", "tp"), devices=devices[: dp * tp])
+
+
+def check_cfg(cfg: ModelConfig, tp: int):
+    assert cfg.num_heads % tp == 0, "tp must divide num_heads"
+    assert cfg.num_kv_heads % tp == 0, "tp must divide num_kv_heads"
+    assert cfg.q_dim % tp == 0 and cfg.kv_dim % tp == 0
+    assert cfg.hidden_size % tp == 0
+    gs = cfg.quant.group_size
+    if gs != -1:
+        # row-parallel wo: scale groups must not straddle shard boundaries
+        assert (cfg.q_dim // tp) % gs == 0, (
+            f"q_dim/tp ({cfg.q_dim}/{tp}) must be a multiple of group_size {gs}")
+
+
+def local_cfg(cfg: ModelConfig, tp: int) -> ModelConfig:
+    """The per-device model config under tp-way tensor parallelism."""
+    return dataclasses.replace(
+        cfg,
+        num_heads=cfg.num_heads // tp,
+        num_kv_heads=cfg.num_kv_heads // tp,
+        intermediate_size=cfg.intermediate_size // tp,
+    )
+
+
+def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec pytree (prefix form) matching an init_params pytree."""
+    def layer_spec(layer):
+        s = {
+            "attn_norm": REP, "mlp_norm": REP,
+            "wq": COL, "wk": COL, "wv": COL, "wo": ROW,
+            "gate": COL, "up": COL, "down": ROW,
+        }
+        for b in ("bq", "bk", "bv"):
+            if b in layer:
+                s[b] = P("tp")
+        return s
+
+    specs = {
+        "embed": REP,
+        "layers": [layer_spec(l) for l in params["layers"]],
+        "final_norm": REP,
+    }
+    if "lm_head" in params:
+        specs["lm_head"] = REP
+    return specs
+
+
+def cache_specs() -> KVCache:
+    return KVCache(k=P(None, "dp", None, "tp", None),
+                   v=P(None, "dp", None, "tp", None), pos=REP)
+
+
+def _localize_params(params, tp: int):
+    """Fix up QuantizedTensor static meta for the local view (arrays inside
+    shard_map are already the local slices)."""
+    if tp == 1:
+        return params
+
+    def fix_layer(layer):
+        out = dict(layer)
+        for name in ("wq", "wk", "wv", "gate", "up"):
+            out[name] = layer[name].localized(tp, axis=1)
+        for name in ("wo", "down"):
+            out[name] = layer[name].localized(tp, axis=0)
+        return out
+
+    return {**params, "layers": [fix_layer(l) for l in params["layers"]]}
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put the param pytree according to param_specs."""
+    specs = param_specs(params)
+
+    def put(tree, spec):
+        if isinstance(tree, QuantizedTensor):
+            return jax.tree.map(
+                lambda a: jax.device_put(a, NamedSharding(mesh, spec)), tree)
+        if isinstance(tree, dict):
+            return {k: put(v, spec[k] if isinstance(spec, dict) else spec)
+                    for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [put(v, s) for v, s in zip(tree, spec)]
+        return jax.device_put(tree, NamedSharding(mesh, spec))
+
+    return put(params, specs)
+
+
+def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    cs = cache_specs()
+    return KVCache(
+        k=jax.device_put(cache.k, NamedSharding(mesh, cs.k)),
+        v=jax.device_put(cache.v, NamedSharding(mesh, cs.v)),
+        pos=jax.device_put(cache.pos, NamedSharding(mesh, cs.pos)),
+    )
+
+
+def make_tp_step(cfg: ModelConfig, mesh: Mesh, params,
+                 sampler: SamplerConfig = SamplerConfig(), impl: str = "auto"):
+    """Build (prefill_fn, decode_fn) jitted over the mesh.
+
+    prefill_fn(params, tokens (B,T), cache) -> (last logits (B,V), cache)
+    decode_fn(params, last (B,), cache, key, steps) -> (tokens (B,steps), cache)
+    """
+    tp = mesh.shape["tp"]
+    check_cfg(cfg, tp)
+    lcfg = local_cfg(cfg, tp)
+    pspecs = param_specs(params)
+    cspecs = cache_specs()
+
+    def _prefill(params, tokens, cache):
+        params = _localize_params(params, tp)
+        logits, cache = forward(params, lcfg, tokens, cache, impl=impl,
+                                tp_axis="tp" if tp > 1 else None)
+        return logits[:, -1, :], cache
+
+    def _decode(params, last, cache, keys):
+        params = _localize_params(params, tp)
+
+        def body(carry, k):
+            tok, cache = carry
+            logits, cache = forward(params, lcfg, tok[:, None], cache,
+                                    impl=impl, tp_axis="tp" if tp > 1 else None)
+            nxt = sample(logits[:, -1, :], k, sampler)
+            return (nxt, cache), nxt
+
+        (last, cache), toks = jax.lax.scan(body, (last, cache), keys)
+        return jnp.moveaxis(toks, 0, 1), cache
+
+    prefill_sm = shard_map(
+        _prefill, mesh,
+        in_specs=(pspecs, P("dp", None), cspecs),
+        out_specs=(P("dp", None), cspecs),
+    )
+    decode_sm = shard_map(
+        _decode, mesh,
+        in_specs=(pspecs, P("dp"), cspecs, REP),
+        out_specs=(P("dp", None), cspecs),
+    )
+
+    prefill_jit = jax.jit(prefill_sm)
+    decode_jit = jax.jit(decode_sm, donate_argnums=(2,))
+
+    def decode_fn(params, last, cache, key, steps: int):
+        keys = jax.random.split(key, steps)
+        return decode_jit(params, last, cache, keys)
+
+    return prefill_jit, decode_fn

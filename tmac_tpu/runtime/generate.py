@@ -1,0 +1,74 @@
+"""Prefill + decode loops.
+
+The host-loop role of the reference's llama.cpp integration
+(`llama-cli -n 128 ...`, tools/run_pipeline.py:222-277), re-done the JAX
+way: one jitted prefill over the prompt, one jitted single-token step, and
+a jitted multi-step decode (lax.scan) for benchmark/serving use so the
+host never round-trips per token.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tmac_tpu.models.config import ModelConfig
+from tmac_tpu.models.llama import KVCache, forward
+from tmac_tpu.runtime.sampling import SamplerConfig, sample
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "impl"))
+def prefill(params, cfg: ModelConfig, tokens, cache: KVCache, impl: str = "auto"):
+    """Run the prompt; returns (last-position logits (B, V), cache)."""
+    logits, cache = forward(params, cfg, tokens, cache, impl=impl)
+    return logits[:, -1, :], cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sampler", "impl"),
+                   donate_argnames=("cache",))
+def decode_step(params, cfg: ModelConfig, last_tokens, cache: KVCache,
+                key, sampler: SamplerConfig = SamplerConfig(), impl: str = "auto"):
+    """One token for every sequence: (B,) -> (B,). Cache is donated."""
+    logits, cache = forward(params, cfg, last_tokens[:, None], cache, impl=impl)
+    next_tokens = sample(logits[:, -1, :], key, sampler)
+    return next_tokens, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "steps", "sampler", "impl"),
+                   donate_argnames=("cache",))
+def decode_loop(params, cfg: ModelConfig, first_tokens, cache: KVCache, key,
+                steps: int, sampler: SamplerConfig = SamplerConfig(),
+                impl: str = "auto"):
+    """Generate `steps` tokens with an on-device lax.scan.
+
+    Returns (tokens (B, steps), cache). No host round-trips between tokens
+    -- this is what the tokens/s benchmark measures.
+    """
+
+    def body(carry, k):
+        tok, cache = carry
+        logits, cache = forward(params, cfg, tok[:, None], cache, impl=impl)
+        nxt = sample(logits[:, -1, :], k, sampler)
+        return (nxt, cache), nxt
+
+    keys = jax.random.split(key, steps)
+    (last, cache), toks = jax.lax.scan(body, (first_tokens, cache), keys)
+    return jnp.moveaxis(toks, 0, 1), cache
+
+
+def generate(params, cfg: ModelConfig, prompt_tokens, max_new_tokens: int,
+             max_len: Optional[int] = None, sampler: SamplerConfig = SamplerConfig(),
+             seed: int = 0, impl: str = "auto", batch: Optional[int] = None):
+    """Convenience end-to-end generation (prefill + decode_loop)."""
+    B, T = prompt_tokens.shape
+    max_len = max_len or (T + max_new_tokens)
+    cache = KVCache.create(cfg, B, max_len)
+    logits, cache = prefill(params, cfg, jnp.asarray(prompt_tokens), cache, impl)
+    key = jax.random.PRNGKey(seed)
+    first = sample(logits, key, sampler)
+    toks, cache = decode_loop(params, cfg, first, cache, key,
+                              steps=max_new_tokens - 1, sampler=sampler, impl=impl)
+    return jnp.concatenate([first[:, None], toks], axis=1)
