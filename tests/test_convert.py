@@ -1,0 +1,156 @@
+"""Converter tests: GPTQ unpack semantics, BitNet ternarization, synthetic
+HF checkpoint conversion, packed checkpoint save/load roundtrip."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from safetensors.numpy import save_file
+
+from tmac_tpu.convert import checkpoint as ckpt
+from tmac_tpu.convert.bitnet import is_ternary, quantize_bitnet
+from tmac_tpu.convert.gptq import parse_gptq, quantize_gptq_like, unpack_gptq
+from tmac_tpu.convert.hf import convert_hf_model
+from tmac_tpu.models.config import QuantConfig, get_preset
+from tmac_tpu.models.llama import KVCache, forward, init_params
+from tmac_tpu.ops.packing import dequantize
+from tmac_tpu.ops.qgemm import QuantizedTensor, qgemm_xla
+from tmac_tpu.utils import nmse
+
+
+@pytest.mark.parametrize("bits", [2, 4])
+def test_gptq_roundtrip(bits):
+    rng = np.random.default_rng(0)
+    K, M, gs = 256, 128, 64
+    w = rng.standard_normal((K, M)).astype(np.float32)
+    qweight, scales, qzeros = quantize_gptq_like(w, bits, gs)
+    assert parse_gptq(qweight, scales, qzeros) == (K, M, bits, gs)
+    wq, s, sub, b, g = unpack_gptq(qweight, scales, qzeros, gptq_v2=True)
+    assert (b, g) == (bits, gs)
+    wdq = dequantize(wq, s, sub, gs)
+    # affine quant error <= half step
+    step = np.repeat(s, gs, axis=0)
+    assert np.abs(wdq - w).max() <= 0.5 * step.max() + 1e-3
+
+
+def test_gptq_v1_zeros_quirk():
+    """AutoGPTQ v1 stores z-1; unpack with gptq_v2=False must add it back."""
+    rng = np.random.default_rng(1)
+    K, M, gs, bits = 128, 64, 64, 4
+    w = rng.standard_normal((K, M)).astype(np.float32)
+    qweight, scales, qzeros = quantize_gptq_like(w, bits, gs)
+    # simulate a v1 checkpoint: stored_zeros = z - 1
+    z = ((qzeros.view(np.uint32).astype(np.int64)))
+    unpacked = np.stack([(z >> (4 * j)) & 15 for j in range(8)], -1) - 1
+    z1 = np.zeros_like(z)
+    for j in range(8):
+        z1 |= (unpacked[..., j] & 15) << (4 * j)
+    qzeros_v1 = z1.astype(np.uint32).view(np.int32)
+    wq2, s2, sub2, _, _ = unpack_gptq(qweight, scales, qzeros_v1, gptq_v2=False)
+    wq1, s1, sub1, _, _ = unpack_gptq(qweight, scales, qzeros, gptq_v2=True)
+    np.testing.assert_allclose(sub1, sub2, rtol=1e-6)
+    np.testing.assert_array_equal(wq1, wq2)
+
+
+def test_bitnet_quantize():
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((256, 128)).astype(np.float32)
+    wq, scales, sub = quantize_bitnet(w)
+    assert set(np.unique(wq)) <= {1, 2, 3}  # ternary {-1,0,1} + mid 2
+    wdq = scales[0] * wq.astype(np.float32) - sub[0]
+    assert is_ternary(wdq)
+    # absmean recipe: scale == mean |w|
+    np.testing.assert_allclose(scales[0, 0], np.abs(w).mean(), rtol=1e-5)
+
+
+def _write_synthetic_hf_gptq(tmpdir, cfg, bits, gs, seed=0):
+    """Tiny llama-architecture GPTQ checkpoint in HF format."""
+    rng = np.random.default_rng(seed)
+    H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    tensors, ref = {}, {}
+
+    def fp(name, shape, scale=0.02):
+        t = (rng.standard_normal(shape) * scale).astype(np.float32)
+        tensors[name] = t.astype(np.float16)
+        return t
+
+    def gptq(name, K, M):
+        w = (rng.standard_normal((K, M)) / np.sqrt(K)).astype(np.float32)
+        qw, sc, qz = quantize_gptq_like(w, bits, gs)
+        tensors[f"{name}.qweight"] = qw
+        tensors[f"{name}.scales"] = sc
+        tensors[f"{name}.qzeros"] = qz
+        ref[name] = w
+
+    fp("model.embed_tokens.weight", (V, H))
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        fp(f"{p}.input_layernorm.weight", (H,), 1.0)
+        fp(f"{p}.post_attention_layernorm.weight", (H,), 1.0)
+        gptq(f"{p}.self_attn.q_proj", H, cfg.q_dim)
+        gptq(f"{p}.self_attn.k_proj", H, cfg.kv_dim)
+        gptq(f"{p}.self_attn.v_proj", H, cfg.kv_dim)
+        gptq(f"{p}.self_attn.o_proj", cfg.q_dim, H)
+        gptq(f"{p}.mlp.gate_proj", H, I)
+        gptq(f"{p}.mlp.up_proj", H, I)
+        gptq(f"{p}.mlp.down_proj", I, H)
+    fp("model.norm.weight", (H,), 1.0)
+    fp("lm_head.weight", (V, H))
+
+    save_file(tensors, os.path.join(tmpdir, "model.safetensors"))
+    with open(os.path.join(tmpdir, "config.json"), "w") as f:
+        json.dump({
+            "model_type": "llama",
+            "vocab_size": V, "hidden_size": H, "intermediate_size": I,
+            "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "num_key_value_heads": cfg.num_kv_heads,
+            "head_dim": cfg.head_dim,
+            "rope_theta": cfg.rope_theta, "rms_norm_eps": cfg.rms_norm_eps,
+            "tie_word_embeddings": False,
+            "quantization_config": {
+                "bits": bits, "group_size": gs, "sym": False,
+                "desc_act": False, "checkpoint_format": "gptq_v2",
+                "quant_method": "gptq",
+            },
+        }, f)
+    return ref
+
+
+def test_convert_hf_gptq_end_to_end(tmp_path):
+    cfg0 = get_preset("llama-2-7b").scaled(8)
+    ref = _write_synthetic_hf_gptq(str(tmp_path), cfg0, bits=2, gs=128)
+    cfg, params = convert_hf_model(str(tmp_path), name="tiny-test")
+    assert cfg.quant.bits == 2 and cfg.quant.zero_point
+
+    # converted weights: qgemm must match the dequant oracle exactly, and
+    # stay within the inherent 2-bit quantization error of the original
+    qt = params["layers"][0]["wq"]
+    w = ref["model.layers.0.self_attn.q_proj"]
+    wdq = dequantize(np.asarray(qt.unpack()), np.asarray(qt.scales)[:, :qt.mdim],
+                     np.asarray(qt.sub)[:, :qt.mdim], qt.group_size)
+    x = np.random.default_rng(3).standard_normal((2, cfg.hidden_size)).astype(np.float32)
+    got = np.asarray(qgemm_xla(jnp.asarray(x), qt, out_dtype=jnp.float32))
+    assert nmse(x @ wdq, got) < 1e-10          # exact vs dequant oracle
+    assert nmse(x @ w, got) < 0.5              # 2-bit quant noise bound
+
+    # and the full model must run
+    cache = KVCache.create(cfg, 1, 8)
+    logits, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]]), cache, impl="xla")
+    assert np.isfinite(np.asarray(logits, dtype=np.float32)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = get_preset("bitnet-3b").scaled(8)
+    params = init_params(cfg, seed=0)
+    ckpt.save_checkpoint(str(tmp_path / "ck"), cfg, params)
+    cfg2, params2 = ckpt.load_checkpoint(str(tmp_path / "ck"))
+    assert cfg2 == cfg
+
+    cache = KVCache.create(cfg, 1, 8)
+    toks = jnp.asarray([[1, 2, 3]])
+    l1, _ = forward(params, cfg, toks, KVCache.create(cfg, 1, 8), impl="xla")
+    l2, _ = forward(params2, cfg2, toks, KVCache.create(cfg, 1, 8), impl="xla")
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))

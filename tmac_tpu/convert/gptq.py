@@ -1,0 +1,111 @@
+"""GPTQ / AutoGPTQ / GPTQModel / EfficientQAT checkpoint unpacking.
+
+Same semantics as reference python/t_mac/model_utils.py:95-129
+(parse_gptqv2 / unpack_gptqv2), including the AutoGPTQ-v1 `zeros + 1` quirk
+(model_utils.py:123-127), re-derived for this framework's kernel-layout
+convention:
+
+  HF GPTQ stores, per linear layer with in_features=K, out_features=M:
+    qweight: int32 (K*bits/32, M)   -- bits-wide fields packed along K
+    scales:  fp16  (K/gs, M)
+    qzeros:  int32 (K/gs, M*bits/32) -- zero points packed along M
+    (g_idx:  must be trivial -- desc_act/act-order unsupported, matching
+     the reference's assert at model_utils.py:224)
+
+  Dequant:  W[k, m] = scales[k//gs, m] * (wq[k, m] - zq[k//gs, m])
+
+which maps onto this framework's  Wdq = scales * wq - sub  with
+sub = scales * zq.  No transpose needed: GPTQ's (K, M) orientation IS the
+kernel layout used by ops/qgemm.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def parse_gptq(qweight: np.ndarray, scales: np.ndarray, qzeros: np.ndarray) -> Tuple[int, int, int, int]:
+    """Infer (K, M, bits, group_size) from packed tensor shapes
+    (cf. reference model_utils.py:95-101)."""
+    bits = 32 // (scales.shape[1] // qzeros.shape[1])
+    K = qweight.shape[0] * (32 // bits)
+    M = qweight.shape[1]
+    group_size = K // scales.shape[0]
+    return K, M, bits, group_size
+
+
+def _unpack_int32_fields(a: np.ndarray, bits: int, axis: int) -> np.ndarray:
+    """Unpack bits-wide fields from int32 along `axis` (field j = bits j*bits..)."""
+    n = 32 // bits
+    mask = (1 << bits) - 1
+    fields = [((a >> (bits * j)) & mask) for j in range(n)]
+    # interleave: packed element i expands to positions i*n + j
+    stacked = np.stack(fields, axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] = shape[axis] * n
+    return stacked.reshape(shape)
+
+
+def unpack_gptq(
+    qweight: np.ndarray,
+    scales: np.ndarray,
+    qzeros: np.ndarray,
+    gptq_v2: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
+    """Returns (wq uint8 (K, M), scales f32 (G, M), sub f32 (G, M), bits, gs).
+
+    gptq_v2=False applies the AutoGPTQ v1 convention where stored zeros are
+    `z - 1` (reference model_utils.py:123-127; GPTQModel/v2 stores z as-is).
+    """
+    assert qweight.dtype == np.int32, qweight.dtype
+    assert qzeros.dtype == np.int32, qzeros.dtype
+    K, M, bits, group_size = parse_gptq(qweight, scales, qzeros)
+
+    wq = _unpack_int32_fields(qweight.view(np.uint32).astype(np.int64), bits, axis=0)
+    wq = wq[:K].astype(np.uint8)  # (K, M)
+
+    zq = _unpack_int32_fields(qzeros.view(np.uint32).astype(np.int64), bits, axis=1)
+    zq = zq[:, :M].astype(np.float32)  # (G, M)
+    if not gptq_v2:
+        zq += 1.0
+
+    scales = scales.astype(np.float32)
+    sub = scales * zq
+    return wq, scales, sub, bits, group_size
+
+
+def quantize_gptq_like(w_km: np.ndarray, bits: int, group_size: int):
+    """Pack float weights into synthetic GPTQ-format tensors (tests only).
+
+    w_km: (K, M) float. Returns (qweight int32, scales fp16, qzeros int32)
+    in the HF GPTQ layout above, using simple asymmetric min/max quant.
+    """
+    K, M = w_km.shape
+    G = K // group_size
+    qmax = (1 << bits) - 1
+    wg = w_km.reshape(G, group_size, M)
+    wmin, wmax = wg.min(1), wg.max(1)
+    scales = np.maximum(wmax - wmin, 1e-6) / qmax
+    zq = np.clip(np.rint(-wmin / scales), 0, qmax).astype(np.int64)
+    q = np.clip(np.rint(wg / scales[:, None, :]) + zq[:, None, :], 0, qmax)
+    q = q.reshape(K, M).astype(np.int64)
+
+    # GPTQ packs consecutive k into one word: element i*n+j -> word i field j
+    n = 32 // bits
+    qweight = np.zeros((K // n, M), dtype=np.int64)
+    qr = q.reshape(K // n, n, M)
+    for j in range(n):
+        qweight |= qr[:, j, :] << (bits * j)
+
+    qzeros = np.zeros((G, M // n), dtype=np.int64)
+    zr = zq.reshape(G, M // n, n)
+    for j in range(n):
+        qzeros |= zr[:, :, j] << (bits * j)
+
+    return (
+        qweight.astype(np.uint32).view(np.int32),
+        scales.astype(np.float16),
+        qzeros.astype(np.uint32).view(np.int32),
+    )

@@ -1,0 +1,223 @@
+"""HuggingFace checkpoint -> tmac-tpu packed params.
+
+The converter role of the reference's `convert_hf_to_gguf.py --enable-t-mac`
+step (tools/run_pipeline.py:139-175) + `preprocess_for_t_mac`
+(model_utils.py:243-271): reads a HF model directory (safetensors), unpacks
+GPTQ / quantizes BitNet / quantizes fp weights, and packs everything into
+QuantizedTensors ready for (optionally tensor-parallel) inference.
+
+Supported input formats:
+  * GPTQ / GPTQModel / EfficientQAT int-packed (qweight/qzeros/scales)
+  * BitNet b1.58 full-precision master weights (absmean ternarization)
+  * plain fp16/bf16/fp32 weights (quantized on the fly at --bits)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from glob import glob
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tmac_tpu.convert.bitnet import quantize_bitnet
+from tmac_tpu.convert.gptq import unpack_gptq
+from tmac_tpu.models.config import ModelConfig, QuantConfig
+from tmac_tpu.models.llama import padded_intermediate
+from tmac_tpu.ops.packing import quantize_weights
+from tmac_tpu.ops.qgemm import QuantizedTensor
+
+
+class HFReader:
+    """Lazy tensor reader over a HF model dir (sharded safetensors)."""
+
+    def __init__(self, model_dir: str):
+        self.dir = model_dir
+        from safetensors import safe_open
+        self._safe_open = safe_open
+        self.tensor_index: Dict[str, str] = {}
+        idx = os.path.join(model_dir, "model.safetensors.index.json")
+        if os.path.exists(idx):
+            with open(idx) as f:
+                self.tensor_index = json.load(f)["weight_map"]
+        else:
+            for path in sorted(glob(os.path.join(model_dir, "*.safetensors"))):
+                with safe_open(path, framework="np") as f:
+                    for name in f.keys():
+                        self.tensor_index[name] = os.path.basename(path)
+        self._handles: Dict[str, Any] = {}
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.tensor_index
+
+    def get(self, name: str) -> np.ndarray:
+        fname = self.tensor_index[name]
+        if fname not in self._handles:
+            self._handles[fname] = self._safe_open(
+                os.path.join(self.dir, fname), framework="np")
+        t = self._handles[fname].get_tensor(name)
+        return t
+
+    def keys(self):
+        return self.tensor_index.keys()
+
+
+def read_hf_config(model_dir: str) -> dict:
+    with open(os.path.join(model_dir, "config.json")) as f:
+        return json.load(f)
+
+
+def model_config_from_hf(hf: dict, quant: QuantConfig, name: str = "hf-model") -> ModelConfig:
+    head_dim = hf.get("head_dim") or hf["hidden_size"] // hf["num_attention_heads"]
+    return ModelConfig(
+        name=name,
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=hf["num_attention_heads"],
+        num_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
+        head_dim=head_dim,
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        attention_bias=hf.get("attention_bias", False)
+        or hf.get("model_type") == "qwen2",
+        quant=quant,
+    )
+
+
+def quant_config_from_hf(hf: dict, mode_hint: Optional[str] = None) -> Optional[QuantConfig]:
+    """Read HF quantization_config (cf. reference get_quantization_config,
+    model_utils.py:219-240, incl. the desc_act=False assert)."""
+    qc = hf.get("quantization_config")
+    if qc is None:
+        return None
+    assert not qc.get("desc_act", False), "act-order (desc_act) not supported"
+    fmt = qc.get("checkpoint_format", "gptq")
+    return QuantConfig(
+        bits=qc["bits"],
+        group_size=qc["group_size"],
+        zero_point=not qc.get("sym", False),
+        mode=mode_hint or "w_fp",
+    ), fmt
+
+
+def _qt_from_hf_linear(reader: HFReader, prefix: str, quant: QuantConfig,
+                       gptq_v2: bool, k_shards: int, m_shards: int,
+                       pad_k: int = 0, pad_m: int = 0) -> QuantizedTensor:
+    """Convert one linear layer; prefix like 'model.layers.0.self_attn.q_proj'."""
+    if f"{prefix}.qweight" in reader:
+        wq, scales, sub, bits, gs = unpack_gptq(
+            reader.get(f"{prefix}.qweight").view(np.int32),
+            reader.get(f"{prefix}.scales"),
+            reader.get(f"{prefix}.qzeros").view(np.int32),
+            gptq_v2=gptq_v2,
+        )
+        assert bits == quant.bits and gs == quant.group_size, (
+            (bits, gs), (quant.bits, quant.group_size))
+    else:
+        # fp weights, HF layout (M, K) -> kernel layout (K, M)
+        w = reader.get(f"{prefix}.weight")
+        if w.dtype == np.uint16:  # bf16 stored raw
+            w = w.view(jnp.bfloat16)
+        w = np.asarray(w, dtype=np.float32).T
+        if quant.mode == "w_a8":
+            wq, scales, sub = quantize_bitnet(w, k_shards=k_shards)
+            gs = w.shape[0] // k_shards
+            bits = 2
+        else:
+            gs = quant.group_size if quant.group_size != -1 else w.shape[0]
+            wq, scales, sub = quantize_weights(w, quant.bits, gs, quant.zero_point)
+            bits = quant.bits
+
+    if pad_k and wq.shape[0] < pad_k:
+        d = pad_k - wq.shape[0]
+        wq = np.pad(wq, ((0, d), (0, 0)))
+        if scales.shape[0] > k_shards or quant.mode != "w_a8":
+            gp = pad_k // gs - scales.shape[0]
+            if gp > 0:
+                scales = np.pad(scales, ((0, gp), (0, 0)))
+                sub = np.pad(sub, ((0, gp), (0, 0)))
+    if pad_m and wq.shape[1] < pad_m:
+        d = pad_m - wq.shape[1]
+        wq = np.pad(wq, ((0, 0), (0, d)))
+        scales = np.pad(scales, ((0, 0), (0, d)))
+        sub = np.pad(sub, ((0, 0), (0, d)))
+
+    return QuantizedTensor.from_quantized(
+        wq, scales, sub, bits=bits,
+        group_size=gs if quant.mode != "w_a8" else wq.shape[0] // k_shards,
+        k_shards=k_shards, m_shards=m_shards)
+
+
+def _bf16(reader: HFReader, name: str) -> jnp.ndarray:
+    t = reader.get(name)
+    if t.dtype == np.uint16:
+        t = t.view(jnp.bfloat16)
+    return jnp.asarray(t, dtype=jnp.bfloat16)
+
+
+def convert_hf_model(model_dir: str, quant: Optional[QuantConfig] = None,
+                     tp: int = 1, gptq_v2: Optional[bool] = None,
+                     name: str = "hf-model"):
+    """Full conversion: HF dir -> (ModelConfig, params pytree).
+
+    quant: required for fp checkpoints; inferred from quantization_config
+    for GPTQ checkpoints. tp: pack for tp-way tensor parallelism.
+    """
+    hf = read_hf_config(model_dir)
+    reader = HFReader(model_dir)
+
+    inferred = quant_config_from_hf(hf)
+    if inferred is not None:
+        qc, fmt = inferred
+        if quant is not None:
+            qc = dataclasses.replace(qc, mode=quant.mode)
+        quant = qc
+        if gptq_v2 is None:
+            gptq_v2 = fmt == "gptq_v2"
+    assert quant is not None, "fp checkpoint needs an explicit QuantConfig"
+    if gptq_v2 is None:
+        gptq_v2 = True
+
+    cfg = model_config_from_hf(hf, quant, name=name)
+    H = cfg.hidden_size
+    Ipad = padded_intermediate(cfg, tp)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        at = f"{p}.self_attn"
+        layer = {
+            "attn_norm": _bf16(reader, f"{p}.input_layernorm.weight"),
+            "mlp_norm": _bf16(reader, f"{p}.post_attention_layernorm.weight"),
+            "wq": _qt_from_hf_linear(reader, f"{at}.q_proj", quant, gptq_v2, 1, tp),
+            "wk": _qt_from_hf_linear(reader, f"{at}.k_proj", quant, gptq_v2, 1, tp),
+            "wv": _qt_from_hf_linear(reader, f"{at}.v_proj", quant, gptq_v2, 1, tp),
+            "wo": _qt_from_hf_linear(reader, f"{at}.o_proj", quant, gptq_v2, tp, 1),
+            "gate": _qt_from_hf_linear(reader, f"{p}.mlp.gate_proj", quant,
+                                       gptq_v2, 1, tp, pad_m=Ipad),
+            "up": _qt_from_hf_linear(reader, f"{p}.mlp.up_proj", quant,
+                                     gptq_v2, 1, tp, pad_m=Ipad),
+            "down": _qt_from_hf_linear(reader, f"{p}.mlp.down_proj", quant,
+                                       gptq_v2, tp, 1, pad_k=Ipad),
+        }
+        if cfg.attention_bias:
+            for hf_b, ours in (("q_proj", "bq"), ("k_proj", "bk"), ("v_proj", "bv")):
+                bn = f"{at}.{hf_b}.bias"
+                if bn in reader:
+                    layer[ours] = _bf16(reader, bn)
+        layers.append(layer)
+
+    params: Dict[str, Any] = {
+        "embed": _bf16(reader, "model.embed_tokens.weight"),
+        "layers": layers,
+        "final_norm": _bf16(reader, "model.norm.weight"),
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in reader:
+        params["lm_head"] = _bf16(reader, "lm_head.weight").T  # (H, V)
+    return cfg, params

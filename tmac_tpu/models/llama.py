@@ -117,8 +117,9 @@ def _rand_qt(rng: np.random.Generator, K: int, M: int, cfg: ModelConfig,
     gs = K if q.group_size == -1 else q.group_size
     std = 1.0 / np.sqrt(K)
     if q.mode == "w_a8":
-        # ternary weights, one scale per tensor (BitNet b1.58)
-        wq = rng.integers(0, 3, (K, M)).astype(np.uint8)
+        # ternary weights {-1,0,1} stored as {1,2,3}, one scale per tensor
+        # (BitNet b1.58)
+        wq = rng.integers(1, 4, (K, M)).astype(np.uint8)
         scales = np.full((1, M), std, np.float32)
         sub = 2 * scales  # mid = 2 for the {0,1,2} encoding of {-1,0,1}
         # per-tensor scales become per-shard rows under k-sharding so each

@@ -63,6 +63,10 @@ def generate(params, cfg: ModelConfig, prompt_tokens, max_new_tokens: int,
              max_len: Optional[int] = None, sampler: SamplerConfig = SamplerConfig(),
              seed: int = 0, impl: str = "auto", batch: Optional[int] = None):
     """Convenience end-to-end generation (prefill + decode_loop)."""
+    import numpy as np
+    pt = np.asarray(prompt_tokens)
+    if pt.max(initial=0) >= cfg.vocab_size or pt.min(initial=0) < 0:
+        raise ValueError(f"prompt token ids out of range [0, {cfg.vocab_size})")
     B, T = prompt_tokens.shape
     max_len = max_len or (T + max_new_tokens)
     cache = KVCache.create(cfg, B, max_len)

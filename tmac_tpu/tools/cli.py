@@ -1,0 +1,192 @@
+"""tmac-tpu command line -- the reference tools/run_pipeline.py analog,
+minus the steps a compiled-kernel + external-runtime design needs and a
+JAX-native one doesn't (no kernel compilation step, no cmake, no gguf).
+
+  convert     HF checkpoint -> packed tmac-tpu checkpoint
+  generate    run generation from a packed checkpoint (llama-cli analog)
+  bench-e2e   decode/prefill tokens/s sweep (llama-bench / bench_e2e.py)
+  ppl         perplexity over a token file (llama-perplexity analog)
+  profile     kernel-level latency CSV (tools/profile.py analog)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def cmd_convert(args):
+    from tmac_tpu.convert.checkpoint import save_checkpoint
+    from tmac_tpu.convert.hf import convert_hf_model
+    from tmac_tpu.models.config import QuantConfig
+
+    quant = None
+    if args.bits is not None:
+        quant = QuantConfig(bits=args.bits, group_size=args.group_size,
+                            zero_point=args.zero_point, mode=args.mode)
+    elif args.mode == "w_a8":
+        quant = QuantConfig(bits=2, group_size=-1, mode="w_a8")
+    cfg, params = convert_hf_model(args.model_dir, quant=quant, tp=args.tp,
+                                   name=args.name)
+    save_checkpoint(args.out, cfg, params)
+    print(f"converted {args.model_dir} -> {args.out} "
+          f"({cfg.quant.bits}-bit, mode={cfg.quant.mode}, tp={args.tp})")
+
+
+def _load(args):
+    from tmac_tpu.convert.checkpoint import load_checkpoint
+    return load_checkpoint(args.ckpt)
+
+
+def cmd_generate(args):
+    import jax.numpy as jnp
+    import numpy as np
+    from tmac_tpu.runtime.generate import generate
+    from tmac_tpu.runtime.sampling import SamplerConfig
+
+    cfg, params = _load(args)
+    if args.prompt_ids:
+        ids = [int(t) for t in args.prompt_ids.split(",")]
+    else:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(args.tokenizer)
+        ids = tok.encode(args.prompt)
+    sampler = SamplerConfig(temperature=args.temperature, top_k=args.top_k,
+                            top_p=args.top_p)
+    t0 = time.time()
+    out = generate(params, cfg, np.asarray([ids], np.int32),
+                   max_new_tokens=args.n, sampler=sampler)
+    out = np.asarray(out)[0]
+    dt = time.time() - t0
+    print(f"[{args.n} tokens in {dt:.1f}s incl. compile]", file=sys.stderr)
+    if args.prompt_ids:
+        print(",".join(map(str, out.tolist())))
+    else:
+        print(tok.decode(out.tolist()))
+
+
+def cmd_bench_e2e(args):
+    """Decode + prefill throughput sweep -> CSV on stdout."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tmac_tpu.models.config import get_preset
+    from tmac_tpu.models.llama import KVCache, init_params
+    from tmac_tpu.runtime.generate import decode_loop, prefill
+    from tmac_tpu.runtime.sampling import SamplerConfig
+    from tmac_tpu.tools.timing import null_roundtrip
+
+    if args.ckpt:
+        cfg, params = _load(args)
+    else:
+        cfg = get_preset(args.model, bits=args.bits)
+        params = init_params(cfg, seed=0)
+    ov = null_roundtrip()
+    print("model,batch,prompt_len,steps,decode_tok_s,prefill_tok_s")
+    for B in args.batch:
+        cache = KVCache.create(cfg, B, args.prompt_len + args.steps)
+        rng = np.random.default_rng(0)
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, args.prompt_len)))
+        key = jax.random.PRNGKey(0)
+
+        # prefill timing
+        logits, cache = prefill(params, cfg, toks, cache)
+        _ = float(jnp.sum(logits))
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            cache2 = KVCache.create(cfg, B, args.prompt_len + args.steps)
+            lg, cache2 = prefill(params, cfg, toks, cache2)
+        _ = float(jnp.sum(lg))
+        t_pre = (time.perf_counter() - t0 - ov) / reps
+        pre_tps = B * args.prompt_len / t_pre
+
+        first = jnp.argmax(logits, -1).astype(jnp.int32)
+        out, cache = decode_loop(params, cfg, first, cache, key,
+                                 steps=args.steps, sampler=SamplerConfig())
+        _ = int(jnp.sum(out))
+        best = float("inf")
+        for _ in range(3):
+            cache = KVCache.create(cfg, B, args.prompt_len + args.steps)
+            lg, cache = prefill(params, cfg, toks, cache)
+            first = jnp.argmax(lg, -1).astype(jnp.int32)
+            _ = float(jnp.sum(first))
+            t0 = time.perf_counter()
+            out, cache = decode_loop(params, cfg, first, cache, key,
+                                     steps=args.steps, sampler=SamplerConfig())
+            _ = int(jnp.sum(out))
+            best = min(best, time.perf_counter() - t0 - ov)
+        tps = B * args.steps / best
+        name = args.ckpt or args.model
+        print(f"{name},{B},{args.prompt_len},{args.steps},{tps:.2f},{pre_tps:.2f}")
+
+
+def cmd_ppl(args):
+    import numpy as np
+    from tmac_tpu.runtime.perplexity import perplexity
+
+    cfg, params = _load(args)
+    stream = np.load(args.tokens) if args.tokens.endswith(".npy") else \
+        np.asarray([int(t) for t in open(args.tokens).read().split()], np.int32)
+    r = perplexity(params, cfg, stream, window=args.window)
+    print(json.dumps(r))
+
+
+def cmd_profile(args):
+    from tmac_tpu.tools import profile_kernels
+    profile_kernels.main(args.rest)
+
+
+def main():
+    ap = argparse.ArgumentParser(prog="tmac-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="HF checkpoint -> packed checkpoint")
+    c.add_argument("--model-dir", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--bits", type=int, default=None)
+    c.add_argument("--group-size", type=int, default=128)
+    c.add_argument("--zero-point", action="store_true")
+    c.add_argument("--mode", default="w_fp", choices=["w_fp", "w_a8"])
+    c.add_argument("--tp", type=int, default=1)
+    c.add_argument("--name", default="hf-model")
+    c.set_defaults(fn=cmd_convert)
+
+    g = sub.add_parser("generate", help="generate tokens from a checkpoint")
+    g.add_argument("--ckpt", required=True)
+    g.add_argument("--prompt", default="")
+    g.add_argument("--prompt-ids", default="")
+    g.add_argument("--tokenizer", default="")
+    g.add_argument("-n", type=int, default=64)
+    g.add_argument("--temperature", type=float, default=0.0)
+    g.add_argument("--top-k", type=int, default=0)
+    g.add_argument("--top-p", type=float, default=1.0)
+    g.set_defaults(fn=cmd_generate)
+
+    b = sub.add_parser("bench-e2e", help="tokens/s sweep")
+    b.add_argument("--ckpt", default="")
+    b.add_argument("--model", default="bitnet-3b")
+    b.add_argument("--bits", type=int, default=None)
+    b.add_argument("--batch", type=int, nargs="+", default=[1])
+    b.add_argument("--prompt-len", type=int, default=16)
+    b.add_argument("--steps", type=int, default=64)
+    b.set_defaults(fn=cmd_bench_e2e)
+
+    p = sub.add_parser("ppl", help="perplexity over a token file")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--tokens", required=True, help=".npy or whitespace ids")
+    p.add_argument("--window", type=int, default=512)
+    p.set_defaults(fn=cmd_ppl)
+
+    pr = sub.add_parser("profile", help="kernel profiler (pass-through args)")
+    pr.add_argument("rest", nargs=argparse.REMAINDER)
+    pr.set_defaults(fn=cmd_profile)
+
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

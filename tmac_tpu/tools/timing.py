@@ -1,0 +1,56 @@
+"""Reliable on-device timing.
+
+Through remote-tunnel TPU setups, dispatch is fire-and-forget
+(block_until_ready returns early) and identical executions may be cached,
+so wall-clock of single dispatches is meaningless.  Protocol: run a
+dependent on-device chain of `iters` calls inside one jit (output feeds the
+next input with a non-zero coefficient so nothing folds away), fetch a
+scalar, and subtract the measured null round-trip.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def null_roundtrip(reps: int = 5) -> float:
+    f = jax.jit(lambda x: jnp.sum(x))
+    x = jnp.ones((8, 128))
+    float(f(x))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def bench_chained(step: Callable, x0: jax.Array, iters: int = 100,
+                  reps: int = 3, overhead: float | None = None) -> float:
+    """Seconds per call of `step`, a function x -> y where y can be folded
+    back into an array of x's shape/dtype via the returned feedback.
+
+    step must return (out, feedback) where feedback has x's shape/dtype.
+    """
+    if overhead is None:
+        overhead = null_roundtrip()
+
+    @jax.jit
+    def loop(x):
+        def body(i, x):
+            _, fb = step(x)
+            return (x + fb * jnp.asarray(1e-8, x.dtype)).astype(x.dtype)
+        r = jax.lax.fori_loop(0, iters, body, x)
+        return jnp.sum(r.astype(jnp.float32))
+
+    float(loop(x0))  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(loop(x0))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - overhead, 1e-9) / iters
