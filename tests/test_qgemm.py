@@ -33,13 +33,21 @@ def test_qgemm_xla_exact(bits, zero_point):
 @pytest.mark.parametrize("zero_point", [False, True])
 def test_qgemm_pallas_matches_oracle(bits, zero_point):
     x, qt, oracle = _setup(bits, 2, 512, 256, 128, zero_point)
-    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True))
+    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True, act="native"))
     assert nmse(oracle, got) < 1e-8
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4])
+def test_qgemm_pallas_int8_act_gate(bits):
+    """Default act=int8 group quantization stays within the reference\n    accuracy gate (NMSE <= 5e-4, reference ops/qgemm.py:278)."""
+    x, qt, oracle = _setup(bits, 2, 512, 256, 128, True)
+    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True, act="int8"))
+    assert nmse(oracle, got) < 5e-4
 
 
 def test_qgemm_pallas_b3():
     x, qt, oracle = _setup(3, 2, 512, 256, 128, False)
-    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True))
+    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True, act="native"))
     assert nmse(oracle, got) < 1e-8
 
 
@@ -47,7 +55,7 @@ def test_qgemm_pallas_unpadded_m():
     """M not a lane multiple gets padded internally and sliced back."""
     x, qt, oracle = _setup(2, 2, 256, 200, 64, False)
     assert qt.mdim_padded == 256
-    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True))
+    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True, act="native"))
     assert got.shape == (2, 200)
     assert nmse(oracle, got) < 1e-8
 
@@ -88,7 +96,7 @@ def test_xla_matches_pallas_bf16():
     x, qt, _ = _setup(2, 2, 512, 256, 128, True)
     xb = jnp.asarray(x, dtype=jnp.bfloat16)
     a = np.asarray(qgemm_xla(xb, qt, out_dtype=jnp.float32))
-    b = np.asarray(qgemm_pallas(xb, qt, out_dtype=jnp.float32, interpret=True))
+    b = np.asarray(qgemm_pallas(xb, qt, out_dtype=jnp.float32, interpret=True, act="native"))
     assert nmse(a, b) < 1e-4
 
 

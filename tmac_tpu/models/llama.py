@@ -269,11 +269,13 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")
+    # keep operands bf16 (a f32 upcast would double the dominant HBM read
+    # of the decode step -- the full vocab projection matrix)
     if head is None:
-        logits = jnp.einsum("bth,vh->btv", x.astype(jnp.float32),
-                            params["embed"].astype(jnp.float32))
+        logits = jnp.einsum("bth,vh->btv", x, params["embed"],
+                            preferred_element_type=jnp.float32)
     else:
-        logits = jnp.einsum("bth,hv->btv", x.astype(jnp.float32),
-                            head.astype(jnp.float32))
+        logits = jnp.einsum("bth,hv->btv", x, head,
+                            preferred_element_type=jnp.float32)
     cache = KVCache(k=new_k, v=new_v, pos=cache.pos + T)
     return logits, cache

@@ -39,12 +39,17 @@ def _pick_block_m(mpad: int, kp: int, requested: int = 0) -> int:
     if requested:
         assert mpad % requested == 0 and requested % 128 == 0
         return requested
-    # keep the packed weight block under ~2 MB of VMEM (double-buffered by
-    # the pipeline, plus unpacked chunks), prefer larger tiles
-    for bm in (1024, 768, 512, 384, 256, 128):
-        if mpad % bm == 0 and kp * bm <= (2 << 20):
-            return bm
-    return 128
+    # DMA efficiency wants large blocks (measured: ~1.7 MB packed blocks
+    # hit 530 GB/s vs 400 GB/s at 410 KB on v5e); the pipeline wants >= 2
+    # grid steps for double buffering; VMEM wants <= ~3 MB per block
+    best = 128
+    for d in range(1, mpad // 128 + 1):
+        bm = 128 * d
+        if mpad % bm:
+            continue
+        if kp * bm <= (3 << 20) and (mpad // bm >= 2 or bm == mpad <= (1 << 20)):
+            best = bm
+    return best
 
 
 def _unpack_block(wp32, bits: int, j: int):
@@ -54,6 +59,7 @@ def _unpack_block(wp32, bits: int, j: int):
     legalize), so the byte tile is widened to i32 once per m-tile and
     fields are extracted with i32 shift+mask -- still one VPU pass each
     since VPU lanes are 32-bit regardless of element type.
+    (Interpret-mode fallback; compiled kernels use the SWAR path below.)
     """
     mask = (1 << bits) - 1
     if j == 0:
@@ -61,7 +67,32 @@ def _unpack_block(wp32, bits: int, j: int):
     return (wp32 >> (bits * j)) & mask
 
 
-def _make_kernel(N, K, bits, gs, int_acc, out_dtype, n_blocks_hi):
+def _unpack_block_swar(wp_swar, bits: int, j: int):
+    """SWAR field extraction: 4 packed bytes (4 K-rows) per int32 lane.
+
+    wp_swar = pltpu.bitcast(packed_u8_tile, int32), shape (KP/4, MT): on
+    TPU the bitcast merges 4 *sublanes* into one i32 lane.  One shift + one
+    mask processes 4 bytes at once; bits shifted across byte boundaries and
+    the i32 sign-propagation both land outside the per-byte field mask.
+    Bitcasting back to int8 restores the (KP, MT) row order, already in the
+    dtype the int8 MXU path consumes -- 8x fewer VPU ops than widening and
+    zero per-weight converts.
+    """
+    mask = int.from_bytes(bytes([(1 << bits) - 1] * 4), "little")
+    v = wp_swar if j == 0 else (wp_swar >> (bits * j))
+    return pltpu.bitcast(v & mask, jnp.int8)
+
+
+def _unpack_block_swar_shifted(wp_swar, bits: int, j: int, lshift: int):
+    """SWAR extract with an in-i32 left shift (for the b3 high plane: the
+    1-bit field scaled by 4 without an illegal i8 vector shift; per-byte
+    values stay < 2^(bits+lshift) <= 8 so no cross-byte carry)."""
+    mask = int.from_bytes(bytes([(1 << bits) - 1] * 4), "little")
+    v = wp_swar if j == 0 else (wp_swar >> (bits * j))
+    return pltpu.bitcast((v & mask) << lshift, jnp.int8)
+
+
+def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int):
     p = 8 // bits if bits != 3 else 4
     kb = K // p  # unpacked k-rows per field block
     chunk = min(gs, kb)
@@ -73,7 +104,12 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, n_blocks_hi):
     )
     nchunks = kb // chunk
 
-    def kernel(x_ref, xsum_ref, wp_ref, *rest):
+    def kernel(x_ref, xsum_ref, *rest):
+        if grouped_int:
+            xs_ref, wp_ref, *rest = rest
+        else:
+            wp_ref, *rest = rest
+            xs_ref = None
         if bits == 3:
             wph_ref, scales_ref, sub_ref, out_ref = rest
         else:
@@ -83,20 +119,39 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, n_blocks_hi):
         x = x_ref[:]
         acc = jnp.zeros(out_ref.shape, dtype=jnp.int32 if int_acc else jnp.float32)
 
-        wp32 = wp_ref[:].astype(jnp.int32)  # widen once per m-tile
-        wph32 = wph_ref[:].astype(jnp.int32) if bits == 3 else None
+        if swar:
+            wp32 = pltpu.bitcast(wp_ref[:], jnp.int32)
+            wph32 = pltpu.bitcast(wph_ref[:], jnp.int32) if bits == 3 else None
+            unpack = _unpack_block_swar
+        else:
+            wp32 = wp_ref[:].astype(jnp.int32)  # widen once per m-tile
+            wph32 = wph_ref[:].astype(jnp.int32) if bits == 3 else None
+            unpack = _unpack_block
         for j in range(p):
-            wj = _unpack_block(wp32, 2 if bits == 3 else bits, j)
+            wj = None if (bits == 3 and swar) else unpack(wp32, 2 if bits == 3 else bits, j)
             for c in range(nchunks):
                 k0 = j * kb + c * chunk  # global k of this chunk
-                v = wj[c * chunk:(c + 1) * chunk, :]
                 if bits == 3:
-                    # add the 1-bit high plane: hi block j' = k0 // (K//8)
+                    # combine the 1-bit high plane: hi block j' = k0 // (K//8)
                     kb_hi = K // 8
                     jh = k0 // kb_hi
                     rh = k0 % kb_hi
-                    hi = _unpack_block(wph32, 1, jh)
-                    v = v + (hi[rh:rh + chunk, :] << 2)
+                    if swar:
+                        # i8 vector add is not legalizable; combine lo+4*hi
+                        # in the i32 SWAR domain, one bitcast at the end
+                        m2 = int.from_bytes(b"\x03" * 4, "little")
+                        m1 = int.from_bytes(b"\x01" * 4, "little")
+                        l32 = wp32[c * chunk // 4:(c + 1) * chunk // 4, :]
+                        h32 = wph32[rh // 4:rh // 4 + chunk // 4, :]
+                        lo = (l32 >> (2 * j)) & m2 if j else l32 & m2
+                        hi = ((h32 >> jh) & m1) << 2 if jh else (h32 & m1) << 2
+                        v = pltpu.bitcast(lo + hi, jnp.int8)
+                    else:
+                        v = wj[c * chunk:(c + 1) * chunk, :]
+                        hi = _unpack_block(wph32, 1, jh)
+                        v = v + (hi[rh:rh + chunk, :] << 2)
+                else:
+                    v = wj[c * chunk:(c + 1) * chunk, :]
                 g = k0 // gs
                 xb = x[:, k0:k0 + chunk]
                 if int_acc:
@@ -106,9 +161,22 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, n_blocks_hi):
                         preferred_element_type=jnp.int32,
                     )
                     acc = acc + part
+                elif grouped_int:
+                    # int8 acts quantized per weight-group (the int8-LUT
+                    # analog, reference lut_ctor.cc): int8 MXU dot, both
+                    # scales folded per group
+                    part = jax.lax.dot_general(
+                        xb, v.astype(jnp.int8),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+                    acc = acc + part * (
+                        xs_ref[:, g:g + 1].astype(jnp.float32)
+                        * scales_ref[g, :].astype(jnp.float32)[None, :])
                 else:
                     part = jax.lax.dot_general(
-                        xb, v.astype(x.dtype),
+                        xb, v.astype(jnp.int8).astype(x.dtype) if not swar
+                        else v.astype(x.dtype),
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
@@ -140,24 +208,33 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, n_blocks_hi):
     jax.jit,
     static_argnames=("qt_meta", "out_dtype", "block_m", "interpret"),
 )
-def _qgemm_pallas_call(x, xsum, packed, packed_hi, scales, sub,
+def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
                        qt_meta, out_dtype, block_m, interpret):
     bits, gs, K, M = qt_meta
     N = x.shape[0]
     KP, Mp = packed.shape
     G = scales.shape[0]
-    int_acc = (x.dtype == jnp.int8) and G == 1
+    int_acc = (x.dtype == jnp.int8) and G == 1 and xscales is None
+    grouped_int = xscales is not None
     bm = _pick_block_m(Mp, KP, block_m)
     grid = (Mp // bm,)
 
-    kernel = _make_kernel(N, K, bits, gs, int_acc, out_dtype, 0)
+    # SWAR unpack needs 4-row-aligned packed tiles and compiled (Mosaic)
+    # bitcast semantics; interpret mode uses the widening fallback
+    swar = (not interpret) and KP % 4 == 0 and (
+        bits != 3 or packed_hi.shape[0] % 4 == 0)
+    kernel = _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int)
 
     in_specs = [
         pl.BlockSpec((N, K), lambda i: (0, 0), memory_space=pltpu.VMEM),       # x
         pl.BlockSpec((N, G), lambda i: (0, 0), memory_space=pltpu.VMEM),       # xsum
-        pl.BlockSpec((KP, bm), lambda i: (0, i), memory_space=pltpu.VMEM),     # packed
     ]
-    args = [x, xsum, packed]
+    args = [x, xsum]
+    if grouped_int:
+        in_specs.append(pl.BlockSpec((N, G), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        args.append(xscales)
+    in_specs.append(pl.BlockSpec((KP, bm), lambda i: (0, i), memory_space=pltpu.VMEM))
+    args.append(packed)
     if bits == 3:
         KH = packed_hi.shape[0]
         in_specs.append(pl.BlockSpec((KH, bm), lambda i: (0, i), memory_space=pltpu.VMEM))
@@ -188,9 +265,17 @@ def _qgemm_pallas_call(x, xsum, packed, packed_hi, scales, sub,
 
 
 def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
-                 block_m: int = 0, interpret: bool | None = None) -> jax.Array:
+                 block_m: int = 0, interpret: bool | None = None,
+                 act: str = "auto") -> jax.Array:
     """x (N, K) bf16/f32/int8 @ packed Wdq -> (N, M).
 
+    act: activation handling for float x --
+      "int8"   quantize per weight-group to int8 and use int8 MXU dots with
+               per-group scale folding: the TPU analog of the reference's
+               int8-LUT quantization (lut_ctor.cc), ~25% faster than the
+               bf16 path and within the same NMSE budget
+      "native" keep x's dtype on the MXU (exact w.r.t. the dequant model)
+      "auto"   "int8"
     With int8 x and per-tensor scales (BitNet) the accumulation is exact
     int32 on the MXU.  k_shards > 1 tensors must be called under shard_map
     (see tmac_tpu/parallel) so the kernel sees its local K chunk.
@@ -206,12 +291,23 @@ def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
     out_dtype = out_dtype or (jnp.float32 if x.dtype == jnp.int8 else x.dtype)
     G = qt.scales.shape[0]
     gs = qt.group_size
-    xsum = jnp.sum(
-        x.reshape(N, G, gs).astype(jnp.float32 if x.dtype != jnp.int8 else jnp.int32),
-        axis=-1,
-    ).astype(jnp.float32)
+
+    xscales = None
+    if x.dtype != jnp.int8 and act in ("auto", "int8"):
+        # per-weight-group activation quantization (lut_ctor analog)
+        xg = x.reshape(N, G, gs).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xg), axis=-1)  # (N, G)
+        xscales = jnp.maximum(amax, 1e-20) / 127.0
+        xq = jnp.clip(jnp.rint(xg / xscales[..., None]), -127, 127).astype(jnp.int8)
+        xsum = (jnp.sum(xq.astype(jnp.int32), -1).astype(jnp.float32) * xscales)
+        x = xq.reshape(N, Kp)
+    else:
+        xsum = jnp.sum(
+            x.reshape(N, G, gs).astype(jnp.float32 if x.dtype != jnp.int8 else jnp.int32),
+            axis=-1,
+        ).astype(jnp.float32)
     out = _qgemm_pallas_call(
-        x, xsum, qt.packed, qt.packed_hi, qt.scales, qt.sub,
+        x, xsum, xscales, qt.packed, qt.packed_hi, qt.scales, qt.sub,
         (qt.bits, gs, Kp, qt.mdim), out_dtype, block_m, interpret,
     )
     return qt.slice_m(out)

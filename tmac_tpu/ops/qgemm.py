@@ -132,7 +132,8 @@ class QuantizedTensor:
         if per_tensor:
             assert K % k_shards == 0
             ks = K // k_shards
-            ksp = round_up(ks, pmax)
+            # x4: the kernel's SWAR unpack consumes packed rows 4 at a time
+            ksp = round_up(ks, pmax * 4)
         else:
             assert K % (k_shards * group_size) == 0, (K, k_shards, group_size)
             ks = K // k_shards
@@ -325,10 +326,12 @@ def dequant_baseline_matmul(x: jax.Array, w_int8: jax.Array, scales: jax.Array,
 # ---------------------------------------------------------------------------
 
 def qgemm(x: jax.Array, qt: QuantizedTensor, impl: str = "auto",
-          out_dtype=None, block_m: int = 0) -> jax.Array:
+          out_dtype=None, block_m: int = 0, act: str = "auto") -> jax.Array:
     """Quantized matmul x (N, K) @ Wdq (K, M) -> (N, M).
 
     impl: "auto" (pallas on TPU, xla elsewhere), "pallas", "xla".
+    act: float-activation handling for the pallas impl ("int8" group-quant
+         by default -- the int8-LUT analog; "native" for exact).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -336,5 +339,5 @@ def qgemm(x: jax.Array, qt: QuantizedTensor, impl: str = "auto",
         return qgemm_xla(x, qt, out_dtype)
     if impl == "pallas":
         from tmac_tpu.ops.pallas.qgemm_kernel import qgemm_pallas
-        return qgemm_pallas(x, qt, out_dtype=out_dtype, block_m=block_m)
+        return qgemm_pallas(x, qt, out_dtype=out_dtype, block_m=block_m, act=act)
     raise ValueError(f"unknown impl {impl}")

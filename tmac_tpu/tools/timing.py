@@ -43,6 +43,10 @@ def bench_chained(step: Callable, x0: jax.Array, iters: int = 100,
     def loop(x):
         def body(i, x):
             _, fb = step(x)
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                # +-1 perturbation; *1e-8 would round to 0 and let XLA
+                # hoist the whole loop
+                return (x + (fb.astype(jnp.int32) & 1).astype(x.dtype))
             return (x + fb * jnp.asarray(1e-8, x.dtype)).astype(x.dtype)
         r = jax.lax.fori_loop(0, iters, body, x)
         return jnp.sum(r.astype(jnp.float32))
