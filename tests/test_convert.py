@@ -127,14 +127,24 @@ def test_convert_hf_gptq_end_to_end(tmp_path):
 
     # converted weights: qgemm must match the dequant oracle exactly, and
     # stay within the inherent 2-bit quantization error of the original
-    qt = params["layers"][0]["wq"]
+    from tmac_tpu.convert.hf import HFReader, _qt_from_hf_linear
+    reader = HFReader(str(tmp_path))
+    qt_q = _qt_from_hf_linear(reader, "model.layers.0.self_attn.q_proj",
+                              cfg.quant, True, 1, 1)
     w = ref["model.layers.0.self_attn.q_proj"]
-    wdq = dequantize(np.asarray(qt.unpack()), np.asarray(qt.scales)[:, :qt.mdim],
-                     np.asarray(qt.sub)[:, :qt.mdim], qt.group_size)
+    wdq = dequantize(np.asarray(qt_q.unpack()),
+                     np.asarray(qt_q.scales)[:, :qt_q.mdim],
+                     np.asarray(qt_q.sub)[:, :qt_q.mdim], qt_q.group_size)
     x = np.random.default_rng(3).standard_normal((2, cfg.hidden_size)).astype(np.float32)
-    got = np.asarray(qgemm_xla(jnp.asarray(x), qt, out_dtype=jnp.float32))
+    got = np.asarray(qgemm_xla(jnp.asarray(x), qt_q, out_dtype=jnp.float32))
     assert nmse(x @ wdq, got) < 1e-10          # exact vs dequant oracle
     assert nmse(x @ w, got) < 0.5              # 2-bit quant noise bound
+
+    # the fused wqkv tensor's q slice must equal the standalone conversion
+    fused = params["layers"][0]["wqkv"]
+    got_fused = np.asarray(qgemm_xla(jnp.asarray(x), fused,
+                                     out_dtype=jnp.float32))[:, :cfg.q_dim]
+    assert nmse(got, got_fused) < 1e-10
 
     # and the full model must run
     cache = KVCache.create(cfg, 1, 8)

@@ -1,0 +1,123 @@
+"""Continuous-batching engine correctness (CPU, tiny configs).
+
+The invariant: engine output for a request must equal the single-stream
+greedy decode of the same prompt (runtime/generate.py), regardless of what
+other requests share the batch -- slots are isolated.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tmac_tpu.models.config import get_preset
+from tmac_tpu.models.llama import init_params
+from tmac_tpu.runtime.engine import InferenceEngine
+from tmac_tpu.runtime.generate import generate
+from tmac_tpu.runtime.sampling import SamplerConfig
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = get_preset("llama-2-7b").scaled(8)
+    params = init_params(cfg, seed=0)
+    return cfg, params
+
+
+def _reference(cfg, params, prompt, n):
+    out = generate(params, cfg, np.asarray([prompt], np.int32),
+                   max_new_tokens=n, impl="xla")
+    return [int(t) for t in np.asarray(out)[0]]
+
+
+def test_single_request_matches_single_stream(model):
+    cfg, params = model
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                          impl="xla", decode_chunk=4)
+    uid = eng.submit([1, 2, 3], max_new_tokens=8)
+    results = eng.run()
+    assert results[uid] == _reference(cfg, params, [1, 2, 3], 8)
+
+
+def test_concurrent_requests_are_isolated(model):
+    """Different prompts, different lengths, same batch -> each matches its
+    own single-stream decode."""
+    cfg, params = model
+    eng = InferenceEngine(cfg, params, max_batch=4, max_len=64,
+                          impl="xla", decode_chunk=4)
+    prompts = [[1, 2, 3], [7, 8], [9, 10, 11, 12, 13], [4]]
+    uids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    results = eng.run()
+    for uid, p in zip(uids, prompts):
+        assert results[uid] == _reference(cfg, params, p, 6), f"prompt {p}"
+
+
+def test_more_requests_than_slots(model):
+    """Waiting queue drains as slots free up (the continuous part)."""
+    cfg, params = model
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                          impl="xla", decode_chunk=4)
+    prompts = [[i + 1, i + 2] for i in range(5)]
+    lens = [3, 9, 5, 2, 7]  # different lengths force staggered completion
+    uids = [eng.submit(p, max_new_tokens=n) for p, n in zip(prompts, lens)]
+    results = eng.run()
+    assert len(results) == 5
+    for uid, p, n in zip(uids, prompts, lens):
+        assert results[uid] == _reference(cfg, params, p, n)
+
+
+def test_eos_stops_generation(model):
+    cfg, params = model
+    # find what greedy generates first, then use it as the eos token
+    ref = _reference(cfg, params, [5, 6], 4)
+    eos = ref[2]
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                          impl="xla", decode_chunk=4)
+    uid = eng.submit([5, 6], max_new_tokens=16, eos_id=eos)
+    results = eng.run()
+    # stops at (and includes) the FIRST occurrence of eos
+    expect = ref[:ref.index(eos) + 1]
+    assert results[uid] == expect
+
+
+def test_slot_reuse_is_clean(model):
+    """A slot freed by a finished request must not leak KV state."""
+    cfg, params = model
+    eng = InferenceEngine(cfg, params, max_batch=1, max_len=64,
+                          impl="xla", decode_chunk=4)
+    u1 = eng.submit([9, 9, 9], max_new_tokens=5)
+    eng.run()
+    u2 = eng.submit([1, 2, 3], max_new_tokens=8)
+    results = eng.run()
+    assert results[u2] == _reference(cfg, params, [1, 2, 3], 8)
+
+
+def test_stream_callback_and_stats(model):
+    cfg, params = model
+    got = {}
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64, impl="xla",
+                          decode_chunk=4, stream_cb=lambda u, t: got.__setitem__(u, list(t)))
+    uid = eng.submit([1, 2], max_new_tokens=5)
+    results = eng.run()
+    assert got[uid] == results[uid]
+    assert eng.stats["prefills"] == 1
+    assert eng.stats["prefill_tokens"] == 2
+    assert eng.stats["decode_tokens"] >= 4
+
+
+def test_sampled_decode_in_range(model):
+    cfg, params = model
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64, impl="xla",
+                          decode_chunk=4,
+                          sampler=SamplerConfig(temperature=0.9, top_k=40))
+    uid = eng.submit([3, 4, 5], max_new_tokens=6)
+    results = eng.run()
+    assert len(results[uid]) == 6
+    assert all(0 <= t < cfg.vocab_size for t in results[uid])
+
+
+def test_submit_validation(model):
+    cfg, params = model
+    eng = InferenceEngine(cfg, params, max_batch=1, max_len=32, impl="xla")
+    with pytest.raises(AssertionError):
+        eng.submit(list(range(30)), max_new_tokens=10)  # exceeds max_len

@@ -1,0 +1,118 @@
+"""GGUF reader/writer: Q4_0 parsing, lossless mapping onto the packed
+layout, and full-model conversion of a synthetic gguf."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tmac_tpu.convert import gguf
+from tmac_tpu.models.config import get_preset
+from tmac_tpu.models.llama import KVCache, forward
+from tmac_tpu.ops.qgemm import QuantizedTensor, qgemm_xla
+from tmac_tpu.utils import nmse
+
+
+def test_q4_0_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    M, K = 64, 128
+    w = rng.standard_normal((M, K)).astype(np.float32)
+    path = str(tmp_path / "t.gguf")
+    gguf.write_gguf(path, {"general.architecture": "llama"},
+                    {"w": (gguf.GGML_Q4_0, w)})
+    r = gguf.GGUFReader(path)
+    assert r.metadata["general.architecture"] == "llama"
+    assert r.tensors["w"]["dims"] == [K, M]  # ne0 = cols
+
+    # dequantized must equal the Q4_0 quantization of w (within block model)
+    wdq = r.dequantized("w")
+    assert wdq.shape == (M, K)
+    # block-level check: every block's error bounded by its step size
+    blocks = w.reshape(-1, 32)
+    dq = wdq.reshape(-1, 32)
+    amax = np.abs(blocks).max(1)
+    assert (np.abs(dq - blocks) <= amax[:, None] / 8 + 1e-6).all()
+
+    # exact mapping onto the framework layout: dequant(wq, scales, sub)
+    # == reader.dequantized
+    wq, scales, sub = r.q4_0_to_quantized("w")
+    assert wq.shape == (K, M) and scales.shape == (K // 32, M)
+    from tmac_tpu.ops.packing import dequantize
+    np.testing.assert_allclose(dequantize(wq, scales, sub, 32), wdq.T,
+                               rtol=1e-6, atol=1e-6)
+    r.close()
+
+
+def test_f16_f32_tensors(tmp_path):
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((8, 16)).astype(np.float32)
+    path = str(tmp_path / "t.gguf")
+    gguf.write_gguf(path, {}, {"a32": (gguf.GGML_F32, a),
+                               "a16": (gguf.GGML_F16, a)})
+    r = gguf.GGUFReader(path)
+    np.testing.assert_array_equal(r.dequantized("a32"), a)
+    np.testing.assert_allclose(r.dequantized("a16"), a, rtol=1e-3, atol=1e-3)
+    r.close()
+
+
+def _write_tiny_llama_gguf(path: str, cfg, rng):
+    H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    md = {
+        "general.architecture": "llama",
+        "llama.embedding_length": H,
+        "llama.block_count": cfg.num_layers,
+        "llama.attention.head_count": cfg.num_heads,
+        "llama.attention.head_count_kv": cfg.num_kv_heads,
+        "llama.feed_forward_length": I,
+        "llama.vocab_size": V,
+        "llama.rope.freq_base": cfg.rope_theta,
+        "llama.attention.layer_norm_rms_epsilon": cfg.rms_norm_eps,
+        "llama.attention.key_length": cfg.head_dim,
+    }
+    std = 1 / np.sqrt(H)
+    tensors = {
+        "token_embd.weight": (gguf.GGML_F16, rng.standard_normal((V, H)) * 0.02),
+        "output_norm.weight": (gguf.GGML_F32, np.ones((H,))),
+        "output.weight": (gguf.GGML_F16, rng.standard_normal((V, H)) * 0.02),
+    }
+    ref_w = {}
+    for i in range(cfg.num_layers):
+        p = f"blk.{i}"
+        qd, kvd = cfg.q_dim, cfg.kv_dim
+        shapes = {
+            "attn_q": (qd, H), "attn_k": (kvd, H), "attn_v": (kvd, H),
+            "attn_output": (H, qd), "ffn_gate": (I, H), "ffn_up": (I, H),
+            "ffn_down": (H, I),
+        }
+        tensors[f"{p}.attn_norm.weight"] = (gguf.GGML_F32, np.ones((H,)))
+        tensors[f"{p}.ffn_norm.weight"] = (gguf.GGML_F32, np.ones((H,)))
+        for n, shp in shapes.items():
+            w = (rng.standard_normal(shp) * std).astype(np.float32)
+            tensors[f"{p}.{n}.weight"] = (gguf.GGML_Q4_0, w)
+            ref_w[f"{p}.{n}"] = w
+    gguf.write_gguf(path, md, tensors)
+    return ref_w
+
+
+def test_convert_gguf_model_end_to_end(tmp_path):
+    cfg0 = get_preset("llama-2-7b").scaled(8)
+    rng = np.random.default_rng(2)
+    path = str(tmp_path / "model.gguf")
+    ref_w = _write_tiny_llama_gguf(path, cfg0, rng)
+    cfg, params = gguf.convert_gguf_model(path, name="tiny-gguf")
+    assert cfg.hidden_size == cfg0.hidden_size
+    assert cfg.num_layers == cfg0.num_layers
+    assert cfg.quant.bits == 4 and cfg.quant.group_size == 32
+
+    # converted fused qkv vs the float originals (4-bit noise bound)
+    x = rng.standard_normal((2, cfg.hidden_size)).astype(np.float32)
+    got = np.asarray(qgemm_xla(jnp.asarray(x), params["layers"][0]["wqkv"]))
+    wq = ref_w["blk.0.attn_q"].T  # (H, qd)
+    e = nmse(x @ wq, got[:, :cfg.q_dim])
+    assert e < 2e-2, e  # Q4_0's symmetric max/-8 scale is cruder than affine
+
+    # model runs
+    cache = KVCache.create(cfg, 1, 8)
+    logits, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]]), cache, impl="xla")
+    assert np.isfinite(np.asarray(logits, np.float32)).all()

@@ -106,3 +106,94 @@ def test_dequant_baseline_agrees():
     got = np.asarray(dequant_baseline_matmul(
         jnp.asarray(x), jnp.asarray(w_int8), qt.scales[:, :128], qt.sub[:, :128], 128))
     np.testing.assert_allclose(got, oracle, rtol=2e-4, atol=2e-4)
+
+
+def test_fuse_m_matches_individual():
+    """qgemm on a fused tensor == concatenated individual qgemms, with and
+    without m-sharding (the fused-QKV path in models/llama.py)."""
+    from tmac_tpu.ops.qgemm import fuse_m
+    rng = np.random.default_rng(11)
+    K, gs, bits = 512, 128, 2
+    Ms = [256, 192, 192]   # 192 forces per-shard lane padding at m_shards=2
+    x = rng.standard_normal((2, K)).astype(np.float32)
+    for m_shards in (1, 2):
+        qts, outs = [], []
+        for i, M in enumerate(Ms):
+            w = rng.standard_normal((K, M)).astype(np.float32)
+            wq, scales, sub = packing.quantize_weights(w, bits, gs, True)
+            qt = QuantizedTensor.from_quantized(wq, scales, sub, bits, gs,
+                                                m_shards=m_shards)
+            qts.append(qt)
+            outs.append(np.asarray(qgemm_xla(jnp.asarray(x), qt)))
+        fused = fuse_m(qts)
+        assert fused.mdim == sum(Ms)
+        got = np.asarray(qgemm_xla(jnp.asarray(x), fused))
+        # accumulation order differs between the fused and per-component
+        # einsums -> float noise only
+        np.testing.assert_allclose(got, np.concatenate(outs, axis=1),
+                                   rtol=1e-4, atol=1e-4)
+        # pallas path too
+        gp = np.asarray(qgemm_pallas(jnp.asarray(x), fused, interpret=True,
+                                     act="native"))
+        np.testing.assert_allclose(gp, np.concatenate(outs, axis=1),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_fuse_m_localized_splits_per_shard():
+    """localized(tp, axis=1) of a fused tensor: each shard's slice_m output
+    is [q_s | k_s | v_s] at local widths."""
+    from tmac_tpu.ops.qgemm import fuse_m
+    import dataclasses as dc
+    rng = np.random.default_rng(12)
+    K, gs, bits, tp = 256, 128, 2, 2
+    Ms = [256, 128, 128]
+    qts = []
+    for M in Ms:
+        w = rng.standard_normal((K, M)).astype(np.float32)
+        wq, scales, sub = packing.quantize_weights(w, bits, gs, False)
+        qts.append(QuantizedTensor.from_quantized(wq, scales, sub, bits, gs,
+                                                  m_shards=tp))
+    fused = fuse_m(qts)
+    x = rng.standard_normal((1, K)).astype(np.float32)
+    full = np.asarray(qgemm_xla(jnp.asarray(x), fused))  # (1, sum Ms)
+
+    # simulate the shard_map local view: slice the packed arrays by hand
+    loc = fused.localized(tp, axis=1)
+    for s in range(tp):
+        def half(a):
+            w = a.shape[1] // tp
+            return jnp.asarray(np.asarray(a)[:, s * w:(s + 1) * w])
+        lqt = dc.replace(loc, packed=half(fused.packed), scales=half(fused.scales),
+                         sub=half(fused.sub))
+        got = np.asarray(qgemm_xla(jnp.asarray(x), lqt))  # (1, sum Ms / tp)
+        # expected: per-component local slices concatenated
+        exp, off = [], 0
+        for M in Ms:
+            m_loc = M // tp
+            exp.append(full[:, off + s * m_loc: off + (s + 1) * m_loc])
+            off += M
+        np.testing.assert_allclose(got, np.concatenate(exp, axis=1),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("gs", [512, 128])
+def test_qgemm_bits8(gs):
+    """bits=8 (quantized lm_head path): signed-code storage, near-exact."""
+    rng = np.random.default_rng(13)
+    N, K, M = 2, 512, 256
+    w = rng.standard_normal((K, M)).astype(np.float32) * 0.02
+    wq, scales, sub = packing.quantize_weights(w, 8, gs, False)
+    wdq = packing.dequantize(wq, scales, sub, gs)
+    qt = QuantizedTensor.from_quantized(wq, scales, sub, 8, gs)
+    x = rng.standard_normal((N, K)).astype(np.float32)
+    oracle = x @ wdq
+    got = np.asarray(qgemm_xla(jnp.asarray(x), qt))
+    np.testing.assert_allclose(got, oracle, rtol=2e-4, atol=2e-4)
+    gp = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True, act="native"))
+    assert nmse(oracle, gp) < 1e-8
+    # int8-activation grouped path (what the decode head uses)
+    gq = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True, act="int8"))
+    assert nmse(oracle, gq) < 5e-4
+    # unpack returns the signed codes
+    np.testing.assert_array_equal(
+        np.asarray(qt.unpack()), (wq.astype(np.int16) - 128).astype(np.int8))

@@ -1,0 +1,81 @@
+"""HTTP serving layer: concurrent clients batched by one engine (CPU)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tmac_tpu.models.config import get_preset
+from tmac_tpu.models.llama import init_params
+from tmac_tpu.runtime.engine import InferenceEngine
+from tmac_tpu.runtime.generate import generate
+from tmac_tpu.runtime.server import serve_async
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = get_preset("llama-2-7b").scaled(8)
+    params = init_params(cfg, seed=0)
+    eng = InferenceEngine(cfg, params, max_batch=4, max_len=64,
+                          impl="xla", decode_chunk=4)
+    httpd, serving = serve_async(eng, port=0)
+    yield cfg, params, httpd.server_address[1]
+    serving.shutdown()
+    httpd.shutdown()
+
+
+def _post(port, obj, path="/v1/completions"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_health_and_completion(server):
+    cfg, params, port = server
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=10) as r:
+        assert json.loads(r.read())["ok"]
+    out = _post(port, {"prompt_ids": [1, 2, 3], "max_tokens": 6})
+    ref = generate(params, cfg, np.asarray([[1, 2, 3]], np.int32),
+                   max_new_tokens=6, impl="xla")
+    assert out["ids"] == [int(t) for t in np.asarray(ref)[0]]
+
+
+def test_concurrent_clients_batched(server):
+    cfg, params, port = server
+    prompts = [[1, 2], [3, 4, 5], [6], [7, 8, 9, 10]]
+    results = [None] * len(prompts)
+
+    def worker(i):
+        results[i] = _post(port, {"prompt_ids": prompts[i], "max_tokens": 5})
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, p in enumerate(prompts):
+        ref = generate(params, cfg, np.asarray([p], np.int32),
+                       max_new_tokens=5, impl="xla")
+        assert results[i]["ids"] == [int(t) for t in np.asarray(ref)[0]], p
+
+    # stats endpoint reflects the traffic
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/v1/stats", timeout=10) as r:
+        stats = json.loads(r.read())
+    assert stats["prefills"] >= 5
+
+
+def test_bad_request(server):
+    _, _, port = server
+    try:
+        _post(port, {"max_tokens": 5})
+        assert False, "should have errored"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+import urllib.error  # noqa: E402

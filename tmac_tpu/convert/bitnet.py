@@ -28,6 +28,9 @@ def quantize_bitnet(w_km: np.ndarray, k_shards: int = 1) -> Tuple[np.ndarray, np
     tensor k-shards cleanly under tensor parallelism.
     """
     K, M = w_km.shape
+    from tmac_tpu import native
+    if native.available() and w_km.size >= (1 << 20):
+        return native.quantize_bitnet(np.asarray(w_km, np.float32), k_shards)
     gamma = np.mean(np.abs(w_km)).astype(np.float32)
     gamma = max(float(gamma), 1e-8)
     wq = np.clip(np.rint(w_km / gamma), -1, 1).astype(np.int8)

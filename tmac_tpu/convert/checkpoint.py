@@ -40,6 +40,8 @@ def _flatten(params, prefix="", arrays=None, meta=None):
             "m_shards": params.m_shards,
             "shape": list(params.shape),
         }
+        if params.m_segments is not None:
+            meta[prefix]["m_segments"] = [list(s) for s in params.m_segments]
     elif isinstance(params, dict):
         for k, v in params.items():
             _flatten(v, f"{prefix}.{k}" if prefix else k, arrays, meta)
@@ -117,6 +119,8 @@ def load_checkpoint(path: str, device_put: bool = True):
                 k_shards=m["k_shards"],
                 m_shards=m["m_shards"],
                 shape=tuple(m["shape"]),
+                m_segments=tuple(tuple(s) for s in m["m_segments"])
+                if "m_segments" in m else None,
             )
             _insert(root, base.split("."), qt)
         else:

@@ -63,13 +63,20 @@ def unpack_gptq(
     assert qzeros.dtype == np.int32, qzeros.dtype
     K, M, bits, group_size = parse_gptq(qweight, scales, qzeros)
 
-    wq = _unpack_int32_fields(qweight.view(np.uint32).astype(np.int64), bits, axis=0)
-    wq = wq[:K].astype(np.uint8)  # (K, M)
-
-    zq = _unpack_int32_fields(qzeros.view(np.uint32).astype(np.int64), bits, axis=1)
-    zq = zq[:, :M].astype(np.float32)  # (G, M)
-    if not gptq_v2:
-        zq += 1.0
+    from tmac_tpu import native
+    if native.available() and qweight.size >= (1 << 18):
+        wq = native.unpack_gptq_qweight(qweight, bits)[:K]
+        zq = native.unpack_gptq_qzeros(qzeros, bits, add_one=not gptq_v2)
+        zq = zq[:, :M].astype(np.float32)
+    else:
+        wq = _unpack_int32_fields(qweight.view(np.uint32).astype(np.int64),
+                                  bits, axis=0)
+        wq = wq[:K].astype(np.uint8)  # (K, M)
+        zq = _unpack_int32_fields(qzeros.view(np.uint32).astype(np.int64),
+                                  bits, axis=1)
+        zq = zq[:, :M].astype(np.float32)  # (G, M)
+        if not gptq_v2:
+            zq += 1.0
 
     scales = scales.astype(np.float32)
     sub = scales * zq

@@ -28,7 +28,7 @@ from tmac_tpu.convert.gptq import unpack_gptq
 from tmac_tpu.models.config import ModelConfig, QuantConfig
 from tmac_tpu.models.llama import padded_intermediate
 from tmac_tpu.ops.packing import quantize_weights
-from tmac_tpu.ops.qgemm import QuantizedTensor
+from tmac_tpu.ops.qgemm import QuantizedTensor, fuse_m
 
 
 class HFReader:
@@ -195,14 +195,18 @@ def convert_hf_model(model_dir: str, quant: Optional[QuantConfig] = None,
         layer = {
             "attn_norm": _bf16(reader, f"{p}.input_layernorm.weight"),
             "mlp_norm": _bf16(reader, f"{p}.post_attention_layernorm.weight"),
-            "wq": _qt_from_hf_linear(reader, f"{at}.q_proj", quant, gptq_v2, 1, tp),
-            "wk": _qt_from_hf_linear(reader, f"{at}.k_proj", quant, gptq_v2, 1, tp),
-            "wv": _qt_from_hf_linear(reader, f"{at}.v_proj", quant, gptq_v2, 1, tp),
+            "wqkv": fuse_m([
+                _qt_from_hf_linear(reader, f"{at}.q_proj", quant, gptq_v2, 1, tp),
+                _qt_from_hf_linear(reader, f"{at}.k_proj", quant, gptq_v2, 1, tp),
+                _qt_from_hf_linear(reader, f"{at}.v_proj", quant, gptq_v2, 1, tp),
+            ]),
             "wo": _qt_from_hf_linear(reader, f"{at}.o_proj", quant, gptq_v2, tp, 1),
-            "gate": _qt_from_hf_linear(reader, f"{p}.mlp.gate_proj", quant,
-                                       gptq_v2, 1, tp, pad_m=Ipad),
-            "up": _qt_from_hf_linear(reader, f"{p}.mlp.up_proj", quant,
-                                     gptq_v2, 1, tp, pad_m=Ipad),
+            "gate_up": fuse_m([
+                _qt_from_hf_linear(reader, f"{p}.mlp.gate_proj", quant,
+                                   gptq_v2, 1, tp, pad_m=Ipad),
+                _qt_from_hf_linear(reader, f"{p}.mlp.up_proj", quant,
+                                   gptq_v2, 1, tp, pad_m=Ipad),
+            ]),
             "down": _qt_from_hf_linear(reader, f"{p}.mlp.down_proj", quant,
                                        gptq_v2, tp, 1, pad_k=Ipad),
         }
@@ -219,5 +223,7 @@ def convert_hf_model(model_dir: str, quant: Optional[QuantConfig] = None,
         "final_norm": _bf16(reader, "model.norm.weight"),
     }
     if not cfg.tie_word_embeddings and "lm_head.weight" in reader:
-        params["lm_head"] = _bf16(reader, "lm_head.weight").T  # (H, V)
+        from tmac_tpu.models.llama import make_head
+        head = np.asarray(_bf16(reader, "lm_head.weight"), np.float32).T  # (H, V)
+        params["lm_head"] = make_head(head, cfg)
     return cfg, params

@@ -55,6 +55,10 @@ class ModelConfig:
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
     attention_bias: bool = False
+    # lm_head precision: 8 = int8 QuantizedTensor (llama.cpp likewise
+    # quantizes output.weight, Q6_K by default); 16 = keep bf16.  The head
+    # read is ~20% of decode HBM traffic on BitNet-3B.
+    head_bits: int = 8
     quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
 
     @property

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tmac_tpu.models.config import ModelConfig
-from tmac_tpu.ops.qgemm import QuantizedTensor, qgemm
+from tmac_tpu.ops.qgemm import QuantizedTensor, fuse_m, qgemm
 
 
 # ---------------------------------------------------------------------------
@@ -86,7 +86,12 @@ def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
 )
 @dataclasses.dataclass
 class KVCache:
-    """k/v: (L, B, S_max, KV_heads, head_dim); pos: scalar int32 write index."""
+    """k/v: (L, B, S_max, KV_heads, head_dim); pos: (B,) int32 write indices.
+
+    Per-slot positions (rather than one scalar) let the continuous-batching
+    engine (runtime/engine.py) run sequences of different lengths in the
+    same batch -- each slot advances independently.
+    """
 
     k: jax.Array
     v: jax.Array
@@ -99,7 +104,7 @@ class KVCache:
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
-            pos=jnp.zeros((), jnp.int32),
+            pos=jnp.zeros((batch,), jnp.int32),
         )
 
     @property
@@ -164,12 +169,18 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16,
         layer = {
             "attn_norm": jnp.ones((H,), dtype),
             "mlp_norm": jnp.ones((H,), dtype),
-            "wq": _rand_qt(rng, H, cfg.q_dim, cfg, m_shards=tp),
-            "wk": _rand_qt(rng, H, cfg.kv_dim, cfg, m_shards=tp),
-            "wv": _rand_qt(rng, H, cfg.kv_dim, cfg, m_shards=tp),
+            # q/k/v and gate/up are fused along M (see ops/qgemm.fuse_m):
+            # one kernel call + one activation quantization per group
+            "wqkv": fuse_m([
+                _rand_qt(rng, H, cfg.q_dim, cfg, m_shards=tp),
+                _rand_qt(rng, H, cfg.kv_dim, cfg, m_shards=tp),
+                _rand_qt(rng, H, cfg.kv_dim, cfg, m_shards=tp),
+            ]),
             "wo": _rand_qt(rng, cfg.q_dim, H, cfg, k_shards=tp),
-            "gate": _rand_qt(rng, H, I, cfg, m_shards=tp),
-            "up": _rand_qt(rng, H, I, cfg, m_shards=tp),
+            "gate_up": fuse_m([
+                _rand_qt(rng, H, I, cfg, m_shards=tp),
+                _rand_qt(rng, H, I, cfg, m_shards=tp),
+            ]),
             "down": _rand_qt(rng, I, H, cfg, k_shards=tp),
         }
         if cfg.attention_bias:
@@ -184,9 +195,19 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16,
         "final_norm": jnp.ones((H,), dtype),
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = jnp.asarray(
-            rng.standard_normal((H, cfg.vocab_size)) * 0.02, dtype)
+        head = (rng.standard_normal((H, cfg.vocab_size)) * 0.02).astype(np.float32)
+        params["lm_head"] = make_head(head, cfg, dtype)
     return params
+
+
+def make_head(head_km: np.ndarray, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """lm_head (H, V) float -> bf16 array or int8 QuantizedTensor
+    (per-column scale) per cfg.head_bits."""
+    if cfg.head_bits >= 16:
+        return jnp.asarray(head_km, dtype)
+    assert cfg.head_bits == 8, cfg.head_bits
+    return QuantizedTensor.from_float(head_km, bits=8,
+                                      group_size=head_km.shape[0])
 
 
 # ---------------------------------------------------------------------------
@@ -203,23 +224,39 @@ def _attention(q, k, v, q_positions, kv_len_mask, cfg: ModelConfig):
     S = k.shape[1]
     KV = k.shape[2]
     rep = H // KV
-    qf = q.reshape(B, T, KV, rep, D).astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    scores = jnp.einsum("btkrd,bskd->btkrs", qf, kf) / np.sqrt(D)
+    # keep operands in the cache dtype (bf16); the MXU accumulates f32 via
+    # preferred_element_type -- avoids materializing an f32 cache copy
+    qr = q.reshape(B, T, KV, rep, D)
+    scores = jnp.einsum("btkrd,bskd->btkrs", qr, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(D)
     # mask: kv position s must be < kv_len and <= query position
     s_idx = jnp.arange(S)[None, None, :]  # (1,1,S)
     valid = (s_idx <= q_positions[:, :, None]) & kv_len_mask[:, None, :]
     scores = jnp.where(valid[:, :, None, None, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("btkrs,bskd->btkrd", probs, v.astype(jnp.float32))
+    out = jnp.einsum("btkrs,bskd->btkrd", probs.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
     return out.reshape(B, T, H * D).astype(q.dtype)
 
 
+def _write_kv(buf: jax.Array, kv: jax.Array, pos: jax.Array) -> jax.Array:
+    """Write kv (B, T, KV, D) into buf (B, S, KV, D) at per-slot start pos (B,)."""
+    return jax.vmap(
+        lambda b, u, p: jax.lax.dynamic_update_slice(b, u, (p, 0, 0))
+    )(buf, kv, pos)
+
+
 def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
-            impl: str = "auto", tp_axis: Optional[str] = None):
+            impl: str = "auto", tp_axis: Optional[str] = None,
+            active: Optional[jax.Array] = None):
     """Run T tokens (prefill or single-step decode) starting at cache.pos.
 
     tokens: (B, T) int32. Returns (logits (B, T, vocab), updated cache).
+    cache.pos is per-slot (B,), so slots may sit at different positions
+    (continuous batching); active (B,) bool, if given, freezes inactive
+    slots -- their pos does not advance, so their state is untouched for
+    mask purposes (their compute is discarded; a write at a frozen pos is
+    overwritten when the slot is re-admitted).
 
     tp_axis: when running inside shard_map with Megatron-style tensor
     parallelism, `cfg` must be the *local* config (heads / kv-heads /
@@ -231,26 +268,30 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
     B, T = tokens.shape
     mode = cfg.quant.mode
     x = params["embed"][tokens]  # (B, T, H)
-    positions = cache.pos + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B,T) via broadcast
-    positions = jnp.broadcast_to(positions, (B, T))
+    positions = cache.pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B,T)
     S = cache.max_len
-    kv_len_mask = jnp.arange(S)[None, :] < (cache.pos + T)  # (1,S)
-    kv_len_mask = jnp.broadcast_to(kv_len_mask, (B, S))
+    kv_len_mask = jnp.arange(S)[None, :] < (cache.pos[:, None] + T)  # (B,S)
 
     new_k, new_v = cache.k, cache.v
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-        q = apply_qlinear(h, layer["wq"], mode, layer.get("bq"), impl)
-        k = apply_qlinear(h, layer["wk"], mode, layer.get("bk"), impl)
-        v = apply_qlinear(h, layer["wv"], mode, layer.get("bv"), impl)
+        qkv = apply_qlinear(h, layer["wqkv"], mode, None, impl)
+        qd, kvd = cfg.q_dim, cfg.kv_dim
+        q = qkv[..., :qd]
+        k = qkv[..., qd:qd + kvd]
+        v = qkv[..., qd + kvd:]
+        if "bq" in layer:
+            q = q + layer["bq"].astype(q.dtype)
+        if "bk" in layer:
+            k = k + layer["bk"].astype(k.dtype)
+        if "bv" in layer:
+            v = v + layer["bv"].astype(v.dtype)
         q = rope(q.reshape(B, T, cfg.num_heads, cfg.head_dim), positions, cfg.rope_theta)
         k = rope(k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim), positions, cfg.rope_theta)
         v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
 
-        new_k = jax.lax.dynamic_update_slice(
-            new_k, k.astype(new_k.dtype)[None], (li, 0, cache.pos, 0, 0))
-        new_v = jax.lax.dynamic_update_slice(
-            new_v, v.astype(new_v.dtype)[None], (li, 0, cache.pos, 0, 0))
+        new_k = new_k.at[li].set(_write_kv(new_k[li], k.astype(new_k.dtype), cache.pos))
+        new_v = new_v.at[li].set(_write_kv(new_v[li], v.astype(new_v.dtype), cache.pos))
 
         attn = _attention(q, new_k[li], new_v[li], positions, kv_len_mask, cfg)
         o = apply_qlinear(attn, layer["wo"], mode, None, impl)
@@ -259,8 +300,9 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
         x = x + o
 
         h = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
-        g = apply_qlinear(h, layer["gate"], mode, None, impl)
-        u = apply_qlinear(h, layer["up"], mode, None, impl)
+        gu = apply_qlinear(h, layer["gate_up"], mode, None, impl)
+        ihalf = layer["gate_up"].mdim // 2  # local intermediate width
+        g, u = gu[..., :ihalf], gu[..., ihalf:]
         d = apply_qlinear(jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u,
                           layer["down"], mode, None, impl)
         if tp_axis is not None:
@@ -269,13 +311,19 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")
-    # keep operands bf16 (a f32 upcast would double the dominant HBM read
-    # of the decode step -- the full vocab projection matrix)
+    # keep operands narrow (a f32 upcast would double the dominant HBM read
+    # of the decode step -- the full vocab projection matrix); head_bits=8
+    # halves it again via the int8 qgemm path
     if head is None:
         logits = jnp.einsum("bth,vh->btv", x, params["embed"],
                             preferred_element_type=jnp.float32)
+    elif isinstance(head, QuantizedTensor):
+        x2 = x.reshape(-1, x.shape[-1])
+        logits = qgemm(x2, head, impl=impl, out_dtype=jnp.float32)
+        logits = logits.reshape(B, T, head.mdim)
     else:
         logits = jnp.einsum("bth,hv->btv", x, head,
                             preferred_element_type=jnp.float32)
-    cache = KVCache(k=new_k, v=new_v, pos=cache.pos + T)
+    adv = T if active is None else T * active.astype(jnp.int32)
+    cache = KVCache(k=new_k, v=new_v, pos=cache.pos + adv)
     return logits, cache

@@ -41,19 +41,39 @@ import numpy as np
 
 
 def _fields_per_byte(bits: int) -> int:
-    assert bits in (1, 2, 4), f"packing supports bits in (1,2,4), got {bits}"
+    # bits=8 is the degenerate case (p=1, packed == raw int8 codes): used
+    # for 8-bit tensors like the quantized lm_head, sharing the whole
+    # QuantizedTensor/qgemm machinery with zero unpack cost.
+    assert bits in (1, 2, 4, 8), f"packing supports bits in (1,2,4,8), got {bits}"
     return 8 // bits
+
+
+_NATIVE_MIN_SIZE = 1 << 20  # below this numpy is fast enough
+
+
+def _native():
+    """The C++ fast path (tmac_tpu/native.py) or None."""
+    from tmac_tpu import native
+    return native if native.available() else None
 
 
 def pack_strided(wq: np.ndarray, bits: int, k_shards: int = 1) -> np.ndarray:
     """Pack (K, M) biased-unsigned weights into (K//p, M) uint8.
 
     bits=3 packs as two arrays via `pack_b3`; use that entry point instead.
+    Large tensors go through the multithreaded C++ kernel (csrc/) when the
+    library is available; numpy otherwise (bit-identical).
     """
     p = _fields_per_byte(bits)
     K, M = wq.shape
     assert K % (p * k_shards) == 0, (K, p, k_shards)
     wq = np.asarray(wq, dtype=np.uint8)
+    if bits == 8:
+        return wq.copy()  # degenerate: packed == codes
+    if wq.size >= _NATIVE_MIN_SIZE:
+        nat = _native()
+        if nat is not None:
+            return nat.pack_strided(wq, bits, k_shards)
     assert wq.max(initial=0) < (1 << bits), "weight values exceed bit width"
     # (k_shards, Ks, M) -> per-shard strided pack
     ks = K // k_shards
@@ -71,8 +91,15 @@ def unpack_strided(packed: np.ndarray, bits: int, k_shards: int = 1) -> np.ndarr
     p = _fields_per_byte(bits)
     KP, M = packed.shape
     assert KP % k_shards == 0
+    packed = np.asarray(packed, dtype=np.uint8)
+    if bits == 8:
+        return packed.copy()
+    if packed.size >= _NATIVE_MIN_SIZE // 4:
+        nat = _native()
+        if nat is not None:
+            return nat.unpack_strided(packed, bits, k_shards)
     kps = KP // k_shards
-    pk = np.asarray(packed, dtype=np.uint8).reshape(k_shards, kps, M)
+    pk = packed.reshape(k_shards, kps, M)
     mask = (1 << bits) - 1
     blocks = [(pk >> (bits * j)) & mask for j in range(p)]
     w = np.concatenate(blocks, axis=1)  # (k_shards, ks, M)
@@ -141,6 +168,11 @@ def quantize_weights(
     """
     K, M = w.shape
     assert K % group_size == 0
+    if w.size >= _NATIVE_MIN_SIZE:
+        nat = _native()
+        if nat is not None:
+            return nat.quantize_weights(np.asarray(w, np.float32), bits,
+                                        group_size, zero_point)
     G = K // group_size
     wg = w.reshape(G, group_size, M)
     qmax = (1 << bits) - 1

@@ -36,19 +36,29 @@ from tmac_tpu.ops.qgemm import QuantizedTensor
 
 
 def _pick_block_m(mpad: int, kp: int, requested: int = 0) -> int:
+    """Block size along M for the packed-weight grid.
+
+    Two forces: DMA efficiency wants large blocks (measured: ~1.7 MB packed
+    blocks hit 530 GB/s vs 400 GB/s at 410 KB on v5e), while the Mosaic
+    pipeline needs >= 2 grid steps so the next block's HBM->VMEM DMA
+    overlaps the current block's unpack+MXU work -- with grid=1 the kernel
+    serializes DMA then compute, which costs ~40% at decode.  So: largest
+    block <= ~2 MB that still leaves >= 2 grid steps (>= 3 preferred when
+    the shape allows, for a fuller pipeline).
+    """
     if requested:
         assert mpad % requested == 0 and requested % 128 == 0
         return requested
-    # DMA efficiency wants large blocks (measured: ~1.7 MB packed blocks
-    # hit 530 GB/s vs 400 GB/s at 410 KB on v5e); the pipeline wants >= 2
-    # grid steps for double buffering; VMEM wants <= ~3 MB per block
     best = 128
-    for d in range(1, mpad // 128 + 1):
-        bm = 128 * d
-        if mpad % bm:
-            continue
-        if kp * bm <= (3 << 20) and (mpad // bm >= 2 or bm == mpad <= (1 << 20)):
-            best = bm
+    for min_steps in (3, 2):
+        for d in range(1, mpad // 128 + 1):
+            bm = 128 * d
+            if mpad % bm:
+                continue
+            if kp * bm <= (2 << 20) and mpad // bm >= min_steps and bm > best:
+                best = bm
+        if best > 128 or mpad // 128 <= min_steps:
+            break
     return best
 
 
@@ -77,7 +87,12 @@ def _unpack_block_swar(wp_swar, bits: int, j: int):
     Bitcasting back to int8 restores the (KP, MT) row order, already in the
     dtype the int8 MXU path consumes -- 8x fewer VPU ops than widening and
     zero per-weight converts.
+
+    bits=8 stores signed codes directly (qgemm.from_quantized): the bitcast
+    IS the unpack.
     """
+    if bits == 8:
+        return pltpu.bitcast(wp_swar, jnp.int8)
     mask = int.from_bytes(bytes([(1 << bits) - 1] * 4), "little")
     v = wp_swar if j == 0 else (wp_swar >> (bits * j))
     return pltpu.bitcast(v & mask, jnp.int8)
@@ -216,6 +231,13 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
     G = scales.shape[0]
     int_acc = (x.dtype == jnp.int8) and G == 1 and xscales is None
     grouped_int = xscales is not None
+    if not block_m:
+        # tuned table first (the kcfg analog), static heuristic otherwise
+        from tmac_tpu.ops.pallas import tune_table
+        path = "int" if int_acc else ("grouped" if grouped_int else "native")
+        block_m = tune_table.lookup_block_m(bits, K, Mp, N, gs, path)
+        if block_m and (Mp % block_m or block_m % 128):
+            block_m = 0
     bm = _pick_block_m(Mp, KP, block_m)
     grid = (Mp // bm,)
 

@@ -1,0 +1,91 @@
+"""Persisted tile-configuration table for the Pallas mpGEMM kernel.
+
+The kcfg.ini analog (reference deploy/compile.py:156-165 writes bm/kfactor
+per shape after autotvm tuning; tmac_gemm_wrapper.h:230-255 reads it back).
+Here the tunable is block_m; the table is JSON keyed by device kind and
+kernel signature, written by tools/autotune.py and consulted by
+qgemm_kernel._pick_block_m before falling back to the static heuristic.
+
+Lookup order: $TMAC_TUNE_TABLE, then <repo>/tuned/tune_table.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Optional
+
+_DEFAULT_PATH = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir,
+                             os.pardir, "tuned", "tune_table.json")
+
+_lock = threading.Lock()
+_table: Optional[dict] = None
+_device_kind: Optional[str] = None
+
+
+def table_path() -> str:
+    return os.environ.get("TMAC_TUNE_TABLE", os.path.abspath(_DEFAULT_PATH))
+
+
+def _load() -> dict:
+    global _table
+    with _lock:
+        if _table is None:
+            try:
+                with open(table_path()) as f:
+                    _table = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                _table = {}
+        return _table
+
+
+def _device() -> str:
+    global _device_kind
+    if _device_kind is None:
+        import jax
+        try:
+            _device_kind = jax.devices()[0].device_kind.replace(" ", "_")
+        except Exception:  # noqa: BLE001
+            _device_kind = "unknown"
+    return _device_kind
+
+
+def key(bits: int, K: int, Mp: int, N: int, gs: int, path: str) -> str:
+    """path: 'int' (int8 x, per-tensor), 'grouped' (int8-quantized acts),
+    'native' (float acts)."""
+    return f"b{bits}_k{K}_m{Mp}_n{N}_g{gs}_{path}"
+
+
+def lookup_block_m(bits: int, K: int, Mp: int, N: int, gs: int,
+                   path: str) -> int:
+    """Tuned block_m for this kernel signature, or 0 (use heuristic)."""
+    t = _load().get(_device(), {})
+    e = t.get(key(bits, K, Mp, N, gs, path))
+    return int(e["block_m"]) if e else 0
+
+
+def record(bits: int, K: int, Mp: int, N: int, gs: int, path: str,
+           block_m: int, us: float):
+    """Write one tuning result through to the table file."""
+    global _table
+    with _lock:
+        p = table_path()
+        try:
+            with open(p) as f:
+                t = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            t = {}
+        dev = t.setdefault(_device(), {})
+        dev[key(bits, K, Mp, N, gs, path)] = {"block_m": block_m,
+                                              "us": round(us, 2)}
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            json.dump(t, f, indent=1, sort_keys=True)
+        _table = t
+
+
+def invalidate_cache():
+    global _table
+    with _lock:
+        _table = None

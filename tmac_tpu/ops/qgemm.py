@@ -31,7 +31,8 @@ from tmac_tpu.utils import round_up
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["packed", "packed_hi", "scales", "sub"],
-    meta_fields=["bits", "group_size", "k_shards", "m_shards", "shape"],
+    meta_fields=["bits", "group_size", "k_shards", "m_shards", "shape",
+                 "m_segments"],
 )
 @dataclasses.dataclass
 class QuantizedTensor:
@@ -60,6 +61,9 @@ class QuantizedTensor:
     k_shards: int
     m_shards: int
     shape: tuple
+    # fused tensors (fuse_m): per-component (M_logical, per-shard padded
+    # width); None for plain tensors
+    m_segments: Optional[tuple] = None
 
     @property
     def kdim(self) -> int:
@@ -152,6 +156,13 @@ class QuantizedTensor:
 
         if bits == 3:
             lo, hi = packing.pack_b3(wq, k_shards)
+        elif bits == 8:
+            # store signed codes (wq - 128, two's complement) so kernels can
+            # feed bytes straight to the int8 MXU with zero unpack work;
+            # fold the -128 shift into the zero-offset term
+            wq = ((wq.astype(np.int16) - 128) & 0xFF).astype(np.uint8)
+            sub = sub - 128.0 * scales
+            lo, hi = wq, None
         else:
             lo, hi = packing.pack_strided(wq, bits, k_shards), None
         arrs = dict(
@@ -200,20 +211,37 @@ class QuantizedTensor:
             return dataclasses.replace(
                 self, k_shards=1, shape=(self.kdim // tp, self.mdim))
         assert self.m_shards == tp
+        segs = None
+        if self.m_segments is not None:
+            segs = tuple((Mi // tp, mspi) for (Mi, mspi) in self.m_segments)
         return dataclasses.replace(
-            self, m_shards=1, shape=(self.kdim, self.mdim // tp))
+            self, m_shards=1, shape=(self.kdim, self.mdim // tp),
+            m_segments=segs)
 
     def _k_pad_geometry(self):
         """(ks, ksp): per-shard logical and padded K."""
         return self.kdim // self.k_shards, self.kdim_padded // self.k_shards
 
     def slice_m(self, out: jax.Array) -> jax.Array:
-        """Strip the per-m-shard lane padding off a (..., mdim_padded) array."""
+        """Strip the per-m-shard lane padding off a (..., mdim_padded) array.
+
+        For fused tensors (fuse_m) this also re-orders the per-shard
+        component interleave back to logical [comp0 | comp1 | ...] order, so
+        callers can split components with plain static slices at the
+        logical widths."""
+        lead = out.shape[:-1]
+        if self.m_segments is not None:
+            o = out.reshape(*lead, self.m_shards, -1)
+            pieces, off = [], 0
+            for (Mi, mspi) in self.m_segments:
+                seg = o[..., off:off + mspi][..., : Mi // self.m_shards]
+                pieces.append(seg.reshape(*lead, Mi))
+                off += mspi
+            return jnp.concatenate(pieces, axis=-1)
         if self.mdim_padded == self.mdim:
             return out
         ms = self.mdim // self.m_shards
         msp = self.mdim_padded // self.m_shards
-        lead = out.shape[:-1]
         o = out.reshape(*lead, self.m_shards, msp)[..., :ms]
         return o.reshape(*lead, self.mdim)
 
@@ -227,7 +255,11 @@ class QuantizedTensor:
 
 
 def _unpack_jnp(packed, packed_hi, bits: int, k_shards: int) -> jax.Array:
-    """jnp version of packing.unpack_strided (+ b3 recombine). -> int8 (K, M)."""
+    """jnp version of packing.unpack_strided (+ b3 recombine). -> int8 (K, M).
+
+    bits=8: stored bytes ARE the signed codes (see from_quantized)."""
+    if bits == 8:
+        return jax.lax.bitcast_convert_type(packed, jnp.int8)
 
     def _un(pk, b):
         p = 8 // b
@@ -243,6 +275,48 @@ def _unpack_jnp(packed, packed_hi, bits: int, k_shards: int) -> jax.Array:
         hi = _un(packed_hi, 1)
         return (lo + (hi << jnp.uint8(2))).astype(jnp.int8)
     return _un(packed, bits).astype(jnp.int8)
+
+
+def fuse_m(qts: list) -> QuantizedTensor:
+    """Fuse QuantizedTensors sharing K into one along M (fused QKV/GateUp).
+
+    One kernel invocation then serves several linears of the same input --
+    fewer launches, larger DMA blocks (better HBM utilization for decode),
+    and the activation quantization is computed once.  Components are
+    interleaved PER M-SHARD ([q_s0 k_s0 v_s0 | q_s1 ...]) so a plain
+    contiguous 1/m_shards split along the packed M axis (column-parallel
+    NamedSharding) still gives every device its own q/k/v slices.
+
+    slice_m on the fused tensor returns logical [comp0 | comp1 | ...] order;
+    split outputs with static slices at the logical component widths.
+    """
+    base = qts[0]
+    for q in qts[1:]:
+        assert q.kdim == base.kdim and q.kdim_padded == base.kdim_padded
+        assert q.bits == base.bits and q.group_size == base.group_size
+        assert q.k_shards == base.k_shards and q.m_shards == base.m_shards
+        assert q.scales.shape[0] == base.scales.shape[0]
+        assert q.m_segments is None, "cannot re-fuse a fused tensor"
+    ms = base.m_shards
+
+    def cat(arrs):
+        arrs = [jnp.asarray(a).reshape(a.shape[0], ms, -1) for a in arrs]
+        out = jnp.concatenate(arrs, axis=2)
+        return out.reshape(out.shape[0], -1)
+
+    return QuantizedTensor(
+        packed=cat([q.packed for q in qts]),
+        packed_hi=cat([q.packed_hi for q in qts])
+        if base.packed_hi is not None else None,
+        scales=cat([q.scales for q in qts]),
+        sub=cat([q.sub for q in qts]),
+        bits=base.bits,
+        group_size=base.group_size,
+        k_shards=base.k_shards,
+        m_shards=ms,
+        shape=(base.kdim, sum(q.mdim for q in qts)),
+        m_segments=tuple((q.mdim, q.mdim_padded // ms) for q in qts),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -84,8 +84,8 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     def layer_spec(layer):
         s = {
             "attn_norm": REP, "mlp_norm": REP,
-            "wq": COL, "wk": COL, "wv": COL, "wo": ROW,
-            "gate": COL, "up": COL, "down": ROW,
+            "wqkv": COL, "wo": ROW,
+            "gate_up": COL, "down": ROW,
         }
         for b in ("bq", "bk", "bv"):
             if b in layer:
@@ -104,7 +104,7 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
 
 def cache_specs() -> KVCache:
     return KVCache(k=P(None, "dp", None, "tp", None),
-                   v=P(None, "dp", None, "tp", None), pos=REP)
+                   v=P(None, "dp", None, "tp", None), pos=P("dp"))
 
 
 def _localize_params(params, tp: int):
@@ -115,7 +115,7 @@ def _localize_params(params, tp: int):
 
     def fix_layer(layer):
         out = dict(layer)
-        for name in ("wq", "wk", "wv", "gate", "up"):
+        for name in ("wqkv", "gate_up"):
             out[name] = layer[name].localized(tp, axis=1)
         for name in ("wo", "down"):
             out[name] = layer[name].localized(tp, axis=0)

@@ -1,0 +1,252 @@
+"""Continuous-batching inference engine.
+
+The serving layer the reference delegates to llama.cpp's single-stream host
+loop (tools/run_pipeline.py:222-277 drives `llama-cli` one request at a
+time).  This is net-new surface (SURVEY.md section 2.2): a slot-based
+continuous batcher designed for the TPU execution model --
+
+  * a fixed batch of B slots shares one jitted decode step, so admission or
+    completion of a request never triggers recompilation (the active mask
+    and per-slot positions are traced values, shapes are static),
+  * decode runs in on-device chunks of `decode_chunk` tokens (lax.scan) so
+    the host round-trip (expensive through the TPU tunnel) is amortized
+    over many tokens; finish conditions (eos / max tokens) are checked at
+    chunk granularity and overshoot is trimmed host-side,
+  * prefill goes through length buckets (pad to the next power-of-two-ish
+    size) so the number of compiled prefill programs is bounded,
+  * each slot owns a contiguous region of the (L, B, S, KV, D) KV cache
+    with its own write position (models/llama.py KVCache.pos is (B,)).
+
+Single-chip by construction here; the same step functions run under a mesh
+via tmac_tpu/parallel/tp.py (batch dim = dp axis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import itertools
+from collections import deque
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tmac_tpu.models.config import ModelConfig
+from tmac_tpu.models.llama import KVCache, forward
+from tmac_tpu.runtime.sampling import SamplerConfig, sample
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: List[int]
+    max_new_tokens: int = 128
+    eos_id: Optional[int] = None
+    # filled by the engine:
+    output: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+    prompt_len: int = 0
+
+    def __post_init__(self):
+        self.prompt_len = len(self.prompt)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "impl", "bucket"),
+                   donate_argnames=("cache",))
+def _prefill_slot(params, cfg: ModelConfig, tokens, true_len, cache: KVCache,
+                  slot, impl: str = "auto", bucket: int = 0):
+    """Prefill one request into cache slot `slot`.
+
+    tokens: (1, bucket) right-padded prompt. true_len, slot: traced scalars.
+    Returns (last-real-position logits (V,), cache). One compile per bucket.
+    """
+    del bucket
+    sub = KVCache(
+        k=jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
+        v=jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1),
+        pos=jnp.zeros((1,), jnp.int32),
+    )
+    logits, sub = forward(params, cfg, tokens, sub, impl=impl)
+    k = jax.lax.dynamic_update_slice_in_dim(cache.k, sub.k, slot, axis=1)
+    v = jax.lax.dynamic_update_slice_in_dim(cache.v, sub.v, slot, axis=1)
+    pos = jax.lax.dynamic_update_slice(cache.pos, true_len[None], (slot,))
+    last = jax.lax.dynamic_slice(logits[0], (true_len - 1, 0),
+                                 (1, logits.shape[-1]))[0]
+    return last, KVCache(k=k, v=v, pos=pos)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "steps", "sampler", "impl"),
+    donate_argnames=("cache",),
+)
+def _decode_chunk(params, cfg: ModelConfig, last_tokens, cache: KVCache,
+                  keys, active, steps: int,
+                  sampler: SamplerConfig = SamplerConfig(),
+                  impl: str = "auto"):
+    """`steps` tokens for every active slot in one on-device scan.
+
+    last_tokens (B,), active (B,) bool. Inactive slots are frozen: their
+    pos does not advance and their token is carried through unchanged.
+    Slots whose pos would run off the cache end self-deactivate (the
+    host-side engine has already accounted for this via max_len).
+    """
+    S = cache.max_len
+
+    def body(carry, k):
+        tok, cache = carry
+        act = active & (cache.pos < S)
+        logits, cache = forward(params, cfg, tok[:, None], cache,
+                                impl=impl, active=act)
+        nxt = sample(logits[:, -1, :], k, sampler)
+        nxt = jnp.where(act, nxt, tok)
+        return (nxt, cache), nxt
+
+    (last, cache), toks = jax.lax.scan(body, (last_tokens, cache), keys)
+    return jnp.moveaxis(toks, 0, 1), cache  # (B, steps)
+
+
+class InferenceEngine:
+    """Slot-based continuous batching over a fixed-shape KV cache.
+
+    Usage:
+        eng = InferenceEngine(cfg, params, max_batch=8, max_len=2048)
+        uid = eng.submit([1, 2, 3], max_new_tokens=64)
+        results = eng.run()          # drain everything
+        results[uid]                 # -> list of generated token ids
+    or incrementally: eng.step() until eng.pending() == 0.
+    """
+
+    def __init__(self, cfg: ModelConfig, params, max_batch: int = 8,
+                 max_len: int = 2048, sampler: SamplerConfig = SamplerConfig(),
+                 impl: str = "auto", decode_chunk: int = 16,
+                 prefill_buckets: Optional[List[int]] = None, seed: int = 0,
+                 stream_cb: Optional[Callable[[int, List[int]], None]] = None):
+        self.cfg = cfg
+        self.params = params
+        self.B = max_batch
+        self.S = max_len
+        self.sampler = sampler
+        self.impl = impl
+        self.chunk = decode_chunk
+        self.stream_cb = stream_cb
+        if prefill_buckets is None:
+            prefill_buckets = []
+            b = 16
+            while b < max_len:
+                prefill_buckets.append(b)
+                b *= 4
+            prefill_buckets.append(max_len)
+        self.buckets = sorted(prefill_buckets)
+        self.cache = KVCache.create(cfg, max_batch, max_len)
+        self.key = jax.random.PRNGKey(seed)
+        self._uid = itertools.count()
+        self.waiting: deque[Request] = deque()
+        self.slots: List[Optional[Request]] = [None] * max_batch
+        self.last_tokens = np.zeros((max_batch,), np.int32)
+        self.finished: Dict[int, Request] = {}
+        # counters (observability)
+        self.stats = {"prefill_tokens": 0, "decode_tokens": 0,
+                      "chunks": 0, "prefills": 0}
+
+    # ------------------------------------------------------------------ API
+    def submit(self, prompt, max_new_tokens: int = 128,
+               eos_id: Optional[int] = None) -> int:
+        prompt = [int(t) for t in np.asarray(prompt).reshape(-1)]
+        assert len(prompt) >= 1, "empty prompt"
+        assert len(prompt) + max_new_tokens <= self.S, (
+            f"prompt {len(prompt)} + max_new {max_new_tokens} exceeds "
+            f"engine max_len {self.S}")
+        uid = next(self._uid)
+        self.waiting.append(Request(uid, prompt, max_new_tokens, eos_id))
+        return uid
+
+    def pending(self) -> int:
+        return len(self.waiting) + sum(r is not None for r in self.slots)
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drain all submitted requests; returns {uid: generated tokens}."""
+        while self.pending():
+            self.step()
+        out = {uid: r.output for uid, r in self.finished.items()}
+        return out
+
+    # ------------------------------------------------------------ internals
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt length {n} exceeds max bucket {self.buckets[-1]}")
+
+    def _admit(self):
+        for slot in range(self.B):
+            if not self.waiting:
+                return
+            if self.slots[slot] is not None:
+                continue
+            req = self.waiting.popleft()
+            bucket = self._bucket(req.prompt_len)
+            toks = np.zeros((1, bucket), np.int32)
+            toks[0, :req.prompt_len] = req.prompt
+            last, self.cache = _prefill_slot(
+                self.params, self.cfg, jnp.asarray(toks),
+                jnp.int32(req.prompt_len), self.cache, jnp.int32(slot),
+                impl=self.impl, bucket=bucket)
+            first = sample(last[None], self._next_key(), self.sampler)
+            first = int(first[0])
+            req.output.append(first)
+            self.stats["prefills"] += 1
+            self.stats["prefill_tokens"] += req.prompt_len
+            if self._finished_after_append(req):
+                self._finish(slot=None, req=req)
+                continue
+            self.slots[slot] = req
+            self.last_tokens[slot] = first
+
+    def _finished_after_append(self, req: Request) -> bool:
+        if req.eos_id is not None and req.output and req.output[-1] == req.eos_id:
+            return True
+        if len(req.output) >= req.max_new_tokens:
+            return True
+        if req.prompt_len + len(req.output) >= self.S:
+            return True
+        return False
+
+    def _finish(self, slot: Optional[int], req: Request):
+        req.done = True
+        self.finished[req.uid] = req
+        if self.stream_cb:
+            self.stream_cb(req.uid, req.output)
+        if slot is not None:
+            self.slots[slot] = None
+
+    def step(self):
+        """One scheduling tick: admit waiting requests, then decode a chunk."""
+        self._admit()
+        active_np = np.array([r is not None for r in self.slots])
+        if not active_np.any():
+            return
+        keys = jax.random.split(self._next_key(), self.chunk)
+        toks, self.cache = _decode_chunk(
+            self.params, self.cfg, jnp.asarray(self.last_tokens), self.cache,
+            keys, jnp.asarray(active_np), steps=self.chunk,
+            sampler=self.sampler, impl=self.impl)
+        toks = np.asarray(toks)  # (B, chunk) -- the one host sync per chunk
+        self.stats["chunks"] += 1
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            for t in toks[slot]:
+                req.output.append(int(t))
+                self.stats["decode_tokens"] += 1
+                if self._finished_after_append(req):
+                    break
+            self.last_tokens[slot] = req.output[-1]
+            if req.done or self._finished_after_append(req):
+                self._finish(slot, req)

@@ -22,6 +22,14 @@ def cmd_convert(args):
     from tmac_tpu.convert.hf import convert_hf_model
     from tmac_tpu.models.config import QuantConfig
 
+    if args.model_dir.endswith(".gguf"):
+        from tmac_tpu.convert.gguf import convert_gguf_model
+        cfg, params = convert_gguf_model(args.model_dir, tp=args.tp,
+                                         name=args.name)
+        save_checkpoint(args.out, cfg, params)
+        print(f"converted {args.model_dir} -> {args.out} (gguf Q4_0, tp={args.tp})")
+        return
+
     quant = None
     if args.bits is not None:
         quant = QuantConfig(bits=args.bits, group_size=args.group_size,
@@ -123,6 +131,30 @@ def cmd_bench_e2e(args):
         print(f"{name},{B},{args.prompt_len},{args.steps},{tps:.2f},{pre_tps:.2f}")
 
 
+def cmd_serve(args):
+    from tmac_tpu.models.config import get_preset
+    from tmac_tpu.models.llama import init_params
+    from tmac_tpu.runtime.engine import InferenceEngine
+    from tmac_tpu.runtime.sampling import SamplerConfig
+    from tmac_tpu.runtime.server import serve
+
+    if args.ckpt:
+        cfg, params = _load(args)
+    else:
+        cfg = get_preset(args.model)
+        params = init_params(cfg, seed=0)
+    tok = None
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(args.tokenizer)
+    sampler = SamplerConfig(temperature=args.temperature, top_k=args.top_k,
+                            top_p=args.top_p)
+    eng = InferenceEngine(cfg, params, max_batch=args.max_batch,
+                          max_len=args.max_len, sampler=sampler,
+                          decode_chunk=args.decode_chunk)
+    serve(eng, host=args.host, port=args.port, tokenizer=tok)
+
+
 def cmd_ppl(args):
     import numpy as np
     from tmac_tpu.runtime.perplexity import perplexity
@@ -137,6 +169,11 @@ def cmd_ppl(args):
 def cmd_profile(args):
     from tmac_tpu.tools import profile_kernels
     profile_kernels.main(args.rest)
+
+
+def cmd_autotune(args):
+    from tmac_tpu.tools import autotune
+    autotune.main(args.rest)
 
 
 def main():
@@ -174,6 +211,20 @@ def main():
     b.add_argument("--steps", type=int, default=64)
     b.set_defaults(fn=cmd_bench_e2e)
 
+    s = sub.add_parser("serve", help="HTTP serving (continuous batching)")
+    s.add_argument("--ckpt", default="")
+    s.add_argument("--model", default="bitnet-3b")
+    s.add_argument("--tokenizer", default="")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8777)
+    s.add_argument("--max-batch", type=int, default=8)
+    s.add_argument("--max-len", type=int, default=2048)
+    s.add_argument("--decode-chunk", type=int, default=16)
+    s.add_argument("--temperature", type=float, default=0.0)
+    s.add_argument("--top-k", type=int, default=0)
+    s.add_argument("--top-p", type=float, default=1.0)
+    s.set_defaults(fn=cmd_serve)
+
     p = sub.add_parser("ppl", help="perplexity over a token file")
     p.add_argument("--ckpt", required=True)
     p.add_argument("--tokens", required=True, help=".npy or whitespace ids")
@@ -183,6 +234,10 @@ def main():
     pr = sub.add_parser("profile", help="kernel profiler (pass-through args)")
     pr.add_argument("rest", nargs=argparse.REMAINDER)
     pr.set_defaults(fn=cmd_profile)
+
+    at = sub.add_parser("autotune", help="block-size autotuner (kcfg analog)")
+    at.add_argument("rest", nargs=argparse.REMAINDER)
+    at.set_defaults(fn=cmd_autotune)
 
     args = ap.parse_args()
     args.fn(args)

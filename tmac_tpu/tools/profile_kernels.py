@@ -20,7 +20,9 @@ from tmac_tpu.ops.qgemm import QuantizedTensor, dequant_baseline_matmul
 from tmac_tpu.ops.pallas.qgemm_kernel import qgemm_pallas
 from tmac_tpu.tools.timing import bench_chained, null_roundtrip
 
-HBM_GBPS = 819.0  # v5e spec
+from tmac_tpu.platform import device_spec
+
+HBM_GBPS = device_spec().hbm_gbps
 
 # (bits, M, K) per model family; N (batch/tokens) swept separately.
 SHAPE_PRESETS = {
