@@ -89,3 +89,32 @@ def test_lut_gemm_bitnet_per_tensor():
         bits=2, group_size=K, act_group_size=64,
     )
     assert nmse(oracle, np.asarray(got)) <= NMSE_GATE
+
+
+def test_halving_add_tree_semantics():
+    """vrhaddq_s8 pairwise tree: value ~= sum/2^n with positive rounding
+    bias in [0, 2^n-1] scaled (reference tests/test_halving_adder.cc)."""
+    from tmac_tpu.ops.lut import halving_add_tree
+    rng = np.random.default_rng(0)
+    vals = rng.integers(-100, 100, (5, 16)).astype(np.int32)
+    got = np.asarray(halving_add_tree(jnp.asarray(vals), axis=1))
+    exact = vals.sum(1) / 16.0
+    # halving tree = sum/16 + rounding bias of up to +0.5 per level (4
+    # levels for 16 elements; cf. reference test_halving_adder.cc:117-127,
+    # whose x16 comparison shows the same bounded drift)
+    assert (np.abs(got - exact) <= 2.0).all()
+    assert (got - exact >= -0.5).all()  # bias is one-sided (round-half-up)
+
+
+def test_fast_aggregation_correction_reference_semantics():
+    from tmac_tpu.ops.lut import fast_aggregation_correction
+    s = jnp.asarray([[2.0]])
+    b = jnp.asarray([[10.0]])
+    s2, b2 = fast_aggregation_correction(s, b, act_k=16, bits=2)
+    # ActK=16: log2=4, 4//4=1, bias_scale(2)=3 -> b' = 10 - 32*3
+    np.testing.assert_allclose(np.asarray(s2), [[32.0]])
+    np.testing.assert_allclose(np.asarray(b2), [[10.0 - 32.0 * 3]])
+    # ActK=8: integer division log2(8)//4 = 0 -> bias unchanged
+    s3, b3 = fast_aggregation_correction(s, b, act_k=8, bits=2)
+    np.testing.assert_allclose(np.asarray(s3), [[16.0]])
+    np.testing.assert_allclose(np.asarray(b3), [[10.0]])

@@ -86,11 +86,15 @@ def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
 )
 @dataclasses.dataclass
 class KVCache:
-    """k/v: (L, B, S_max, KV_heads, head_dim); pos: (B,) int32 write indices.
+    """k/v: (L, B, KV_heads, S_max, head_dim); pos: (B,) int32 write indices.
 
     Per-slot positions (rather than one scalar) let the continuous-batching
     engine (runtime/engine.py) run sequences of different lengths in the
-    same batch -- each slot advances independently.
+    same batch -- each slot advances independently.  The (KV, S, D) inner
+    layout keeps each head's history contiguous, so the flash-decode kernel
+    (ops/pallas/attention_kernel.py) streams it with large sequential DMAs
+    bounded by pos -- unlike the reference's llama.cpp attention (and an
+    XLA einsum), which reads the full allocation every step.
     """
 
     k: jax.Array
@@ -100,7 +104,14 @@ class KVCache:
     @classmethod
     def create(cls, cfg: ModelConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> "KVCache":
-        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        # Long allocations pad head_dim to the 128-lane tile so the
+        # flash-decode kernel's DMA slices are aligned (Mosaic requirement).
+        # Short allocations stay unpadded: there the XLA einsum attention
+        # wins anyway (measured v5e crossover ~512) and padding would just
+        # add ~28% cache traffic for models like BitNet (head_dim 100).
+        from tmac_tpu.utils import round_up
+        dp = round_up(cfg.head_dim, 128) if max_len > 512 else cfg.head_dim
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, dp)
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -109,7 +120,7 @@ class KVCache:
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 # ---------------------------------------------------------------------------
@@ -214,35 +225,71 @@ def make_head(head_km: np.ndarray, cfg: ModelConfig, dtype=jnp.bfloat16):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _attention(q, k, v, q_positions, kv_len_mask, cfg: ModelConfig):
-    """q (B,T,H,D), k/v (B,S,KV,D); causal within valid kv positions.
+def _attention(q, k_all, v_all, li: int, q_positions, kv_len_mask,
+               cfg: ModelConfig, impl: str = "auto"):
+    """q (B,T,H,D), k_all/v_all (L,B,KV,S,D) stacked cache, li layer index;
+    causal within valid kv positions.
 
-    Plain XLA attention; S_max stays modest for decode (the quantized
-    matmuls dominate).  A Pallas flash-attention path slots in here later.
+    Decode (T=1) on TPU routes to the flash-decode Pallas kernel with
+    pos-bounded KV reads on the stacked cache (the per-layer slice never
+    materializes); prefill / CPU use the XLA einsum path (prefill is
+    MXU-compute-bound, where XLA's fused masked attention is already good).
     """
     B, T, H, D = q.shape
-    S = k.shape[1]
-    KV = k.shape[2]
+    KV, S = k_all.shape[2], k_all.shape[3]
     rep = H // KV
-    # keep operands in the cache dtype (bf16); the MXU accumulates f32 via
-    # preferred_element_type -- avoids materializing an f32 cache copy
+    Dp = k_all.shape[-1]  # cache head_dim (lane-padded iff max_len > 512)
+    # flash decode reads only the pos+1 valid entries; the XLA einsum always
+    # reads all of S_max.  Standalone the kernel wins at every length
+    # (v5e, BitNet decode shape: 4.5 us vs 14.6 at S=256; 5.5 vs 92.4 at
+    # S=2048), but in-model integration costs (~15 us/layer: q pad/out
+    # slice fusion breaks + extra pallas/XLA boundaries) make XLA cheaper
+    # for short caches -- so dispatch on the allocation length (the cache
+    # is only lane-padded, a flash prerequisite, when max_len > 512).
+    import os
+    if (T == 1 and impl != "xla" and jax.default_backend() == "tpu"
+            and S > 512 and Dp % 128 == 0
+            and os.environ.get("TMAC_FLASH", "1") != "0"):
+        from tmac_tpu.ops.pallas.attention_kernel import flash_decode_stacked
+        kv_lens = q_positions[:, 0] + 1  # (B,) valid entries incl. current
+        qf = q.reshape(B, KV, rep, D)
+        if Dp != D:
+            qf = jnp.pad(qf, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+        o = flash_decode_stacked(qf, k_all, v_all, kv_lens, jnp.int32(li),
+                                 scale=1.0 / float(np.sqrt(D)))
+        return o[..., :D].reshape(B, T, H * D)
+    k, v = k_all[li], v_all[li]
+    # On TPU keep operands in the cache dtype (bf16); the MXU accumulates
+    # f32 via preferred_element_type -- avoids materializing an f32 cache
+    # copy.  CPU XLA can't do bf16 x bf16 -> f32 dots, so upcast there.
+    on_tpu = jax.default_backend() == "tpu"
     qr = q.reshape(B, T, KV, rep, D)
-    scores = jnp.einsum("btkrd,bskd->btkrs", qr, k,
+    if Dp != D:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, 0), (0, 0), (0, Dp - D)))
+    kk, vv = (k, v) if on_tpu else (k.astype(jnp.float32), v.astype(jnp.float32))
+    qq = qr if on_tpu else qr.astype(jnp.float32)
+    scores = jnp.einsum("btkrd,bksd->btkrs", qq, kk,
                         preferred_element_type=jnp.float32) / np.sqrt(D)
     # mask: kv position s must be < kv_len and <= query position
     s_idx = jnp.arange(S)[None, None, :]  # (1,1,S)
     valid = (s_idx <= q_positions[:, :, None]) & kv_len_mask[:, None, :]
     scores = jnp.where(valid[:, :, None, None, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("btkrs,bskd->btkrd", probs.astype(q.dtype), v,
+    out = jnp.einsum("btkrs,bksd->btkrd",
+                     probs.astype(q.dtype if on_tpu else jnp.float32), vv,
                      preferred_element_type=jnp.float32)
-    return out.reshape(B, T, H * D).astype(q.dtype)
+    return out[..., :D].reshape(B, T, H * D).astype(q.dtype)
 
 
 def _write_kv(buf: jax.Array, kv: jax.Array, pos: jax.Array) -> jax.Array:
-    """Write kv (B, T, KV, D) into buf (B, S, KV, D) at per-slot start pos (B,)."""
+    """Write kv (B, T, KV, D) into buf (B, KV, S, Dp) at per-slot start
+    pos (B,), zero-padding D up to the buffer's padded head_dim."""
+    kv = jnp.swapaxes(kv, 1, 2)  # (B, KV, T, D)
+    dp = buf.shape[-1]
+    if kv.shape[-1] != dp:
+        kv = jnp.pad(kv, ((0, 0), (0, 0), (0, 0), (0, dp - kv.shape[-1])))
     return jax.vmap(
-        lambda b, u, p: jax.lax.dynamic_update_slice(b, u, (p, 0, 0))
+        lambda b, u, p: jax.lax.dynamic_update_slice(b, u, (0, p, 0))
     )(buf, kv, pos)
 
 
@@ -293,7 +340,8 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
         new_k = new_k.at[li].set(_write_kv(new_k[li], k.astype(new_k.dtype), cache.pos))
         new_v = new_v.at[li].set(_write_kv(new_v[li], v.astype(new_v.dtype), cache.pos))
 
-        attn = _attention(q, new_k[li], new_v[li], positions, kv_len_mask, cfg)
+        attn = _attention(q, new_k, new_v, li, positions, kv_len_mask, cfg,
+                          impl=impl)
         o = apply_qlinear(attn, layer["wo"], mode, None, impl)
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)

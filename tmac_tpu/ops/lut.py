@@ -175,6 +175,42 @@ def lut_gemm_spec(
     return acc.astype(out_dtype)
 
 
+def halving_add_tree(vals: jax.Array, axis: int) -> jax.Array:
+    """Signed rounding-halving-add reduction (NEON vrhaddq_s8 semantics:
+    (a + b + 1) >> 1), the reference's "fast aggregation" adder
+    (SignedHalvingAdder, tbl.cc:86-141).  Reduces 2^n elements along `axis`
+    to ~sum/2^n with a small positive rounding bias.  On TPU this is *not*
+    faster than exact int32 accumulation (the MXU accumulates natively) --
+    it exists as an executable spec of the reference's -fa mode so its
+    accuracy impact can be measured (README.md:50: +10-20% CPU speed for
+    nonnegligible error)."""
+    n = vals.shape[axis]
+    assert n & (n - 1) == 0, f"fast aggregation needs a power-of-2 depth, got {n}"
+    v = jnp.moveaxis(vals, axis, -1).astype(jnp.int32)
+    while v.shape[-1] > 1:
+        a = v[..., 0::2]
+        b = v[..., 1::2]
+        v = (a + b + 1) >> 1
+    return v[..., 0]
+
+
+def fast_aggregation_correction(lut_scales: jax.Array, lut_biases: jax.Array,
+                                act_k: int, bits: int):
+    """The closed-form bias/scale correction the reference applies when
+    fast aggregation is on (tbl.cc:367-376, citing arXiv:2106.10860):
+        lut_scale *= ActK
+        lut_bias  -= lut_scale * (log2(ActK) / 4 * get_bias_scale(bits))
+    with integer division (mylog2<ActK>::value / 4, both C++ ints) and
+    get_bias_scale = 15/7/3/1 for bits 4/3/2/1 (tbl.cc:301-318: the summed
+    alpha ratio (1/2+1+2+4)/(1/2) etc., applied on bit-0 rows only).
+    Returns (scales', biases')."""
+    import math
+    bias_scale = {4: 15, 3: 7, 2: 3, 1: 1}[bits]
+    s = lut_scales * act_k
+    b = lut_biases - s * (int(math.log2(act_k)) // 4 * bias_scale)
+    return s, b
+
+
 def act_group_sums(b: jax.Array, group_size: int) -> jax.Array:
     """Per-group activation sums sum_{k in g} b[..., k] -> (..., K//gs)."""
     K = b.shape[-1]

@@ -1,0 +1,200 @@
+"""Flash-decode attention: pos-bounded KV streaming for T=1 steps.
+
+The reference has no attention code of its own (it lives in the absent
+llama.cpp fork; context handled via `-c 2048`, reference
+tools/run_pipeline.py:262).  This is the TPU-native design SURVEY.md
+section 5 calls for: the KV cache stays in HBM, and each decode step DMAs
+only the `pos+1` valid entries per batch row -- all KV heads in one
+strided DMA per S-block, double-buffered -- doing the online-softmax
+(flash) accumulation in VMEM.  An XLA einsum over the same cache reads the
+FULL S_max allocation every step; at S_max=2048 that is ~870 MB/step for
+BitNet-3B, more than the packed weights themselves.  This kernel reads
+only what exists, so decode cost stays ~flat in S_max.  Measured on v5e
+(32 heads, D=128): 4.5 us vs 14.6 us XLA at S=256; 5.5 vs 92.4 at S=2048.
+
+The kernel takes the WHOLE stacked cache (L, B, KV, S, D) plus a layer
+index so the per-layer slice never materializes (an HBM ref is indexed,
+not copied); `flash_decode` is the single-layer convenience wrapper.
+
+Layouts: q (B, KV, rep, D); cache (L, B, KV, S, D) -- per-head history
+contiguous along S (models/llama.py KVCache); kv_lens (B,) int32 valid
+lengths; D must be lane-aligned (the cache allocation pads head_dim).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, o_ref, *, blk: int,
+            scale: float):
+    """Grid (B,). k_ref/v_ref are FULL HBM-resident (L, B, KV, S, D) refs
+    (memory_space=HBM, DMA'd manually); q_ref (1, KV, rep, D) and o_ref in
+    VMEM; lens/li are scalar-prefetch."""
+    b = pl.program_id(0)
+    li = li_ref[0]
+    KV, rep, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    L = lens_ref[b]
+    nblk = pl.cdiv(L, blk)
+    q = q_ref[0].astype(jnp.float32) * scale  # (KV, rep, D)
+
+    def body(k_sc, v_sc, sem):
+        # scratch (2, KV, blk, D): one strided DMA per block covers every
+        # kv head (head histories are S-major, so this is KV descriptors
+        # of blk*D contiguous bytes each -- large and sequential)
+        def start(slot, i):
+            @pl.when(i < nblk)
+            def _():
+                off = pl.multiple_of(i * blk, blk)
+                pltpu.make_async_copy(
+                    k_ref.at[li, b, :, pl.ds(off, blk), :], k_sc.at[slot],
+                    sem.at[slot, 0]).start()
+                pltpu.make_async_copy(
+                    v_ref.at[li, b, :, pl.ds(off, blk), :], v_sc.at[slot],
+                    sem.at[slot, 1]).start()
+
+        def wait(slot, i):
+            off = pl.multiple_of(i * blk, blk)
+            pltpu.make_async_copy(
+                k_ref.at[li, b, :, pl.ds(off, blk), :], k_sc.at[slot],
+                sem.at[slot, 0]).wait()
+            pltpu.make_async_copy(
+                v_ref.at[li, b, :, pl.ds(off, blk), :], v_sc.at[slot],
+                sem.at[slot, 1]).wait()
+
+        start(0, 0)
+
+        def step(i, carry):
+            m, l, acc = carry
+            slot = i % 2
+            start(1 - slot, i + 1)
+            wait(slot, i)
+            kb = k_sc[slot]  # (KV, blk, D) cache dtype
+            vb = v_sc[slot]
+            # batched over KV: (KV, rep, D) x (KV, blk, D) -> (KV, rep, blk)
+            s = jax.lax.dot_general(
+                q, kb.astype(jnp.float32),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (KV, rep, blk), 2) + i * blk
+            s = jnp.where(idx < L, s, -jnp.inf)
+            m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
+            p = jnp.exp(s - m_new)                       # (KV, rep, blk)
+            corr = jnp.exp(m - m_new)                    # (KV, rep, 1)
+            l = l * corr + jnp.sum(p, axis=2, keepdims=True)
+            acc = acc * corr + jax.lax.dot_general(
+                p, vb.astype(jnp.float32),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # (KV, rep, D)
+            return m_new, l, acc
+
+        m0 = jnp.full((KV, rep, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((KV, rep, 1), jnp.float32)
+        a0 = jnp.zeros((KV, rep, D), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nblk, step, (m0, l0, a0))
+        o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        k_sc=pltpu.VMEM((2, KV, blk, D), k_ref.dtype),
+        v_sc=pltpu.VMEM((2, KV, blk, D), v_ref.dtype),
+        sem=pltpu.SemaphoreType.DMA((2, 2)),
+    )
+
+
+def _pick_blk(S: int, KV: int, D: int, itemsize: int,
+              vmem_budget: int = 8 << 20) -> int:
+    """Largest 128-multiple block with 2 double-buffered k+v scratch copies
+    inside the VMEM budget."""
+    per_row = 4 * KV * D * itemsize  # 2 slots x (k, v) per sequence position
+    blk = max(128, (vmem_budget // per_row) // 128 * 128)
+    blk = min(blk, S)
+    if S % blk:
+        blk = int(np.gcd(blk, S))
+    return blk
+
+
+@functools.partial(jax.jit, static_argnames=("blk", "interpret", "scale"))
+def flash_decode_stacked(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
+                         kv_lens: jax.Array, layer: jax.Array, blk: int = 0,
+                         interpret: bool | None = None,
+                         scale: float | None = None) -> jax.Array:
+    """Single-step attention over layer `layer` of a stacked cache.
+
+    q (B, KV, rep, D); k_all/v_all (L, B, KV, S, D); kv_lens (B,) valid
+    entries (current token already written); layer: traced int32 scalar.
+    Returns (B, KV, rep, D) in q.dtype.  scale: softmax scale; defaults to
+    1/sqrt(D) -- pass explicitly when D is padded beyond the logical
+    head_dim.  D must be a lane (128) multiple on hardware.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, KV, rep, D = q.shape
+    S = k_all.shape[3]
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(D))
+    assert interpret or D % 128 == 0, (
+        f"head_dim {D} must be lane-aligned; pad the cache (KVCache.create)")
+    if not blk:
+        blk = _pick_blk(S, KV, D, k_all.dtype.itemsize)
+    else:
+        blk = min(blk, S)
+        if S % blk:
+            blk = int(np.gcd(blk, S))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, KV, rep, D), lambda b, lens, li: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec(memory_space=pltpu.HBM),    # k: full ref, stays HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),    # v
+        ],
+        out_specs=pl.BlockSpec((1, KV, rep, D), lambda b, lens, li: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    cost = pl.CostEstimate(
+        flops=2 * 2 * B * KV * rep * S * D,
+        bytes_accessed=2 * B * KV * S * D * k_all.dtype.itemsize,
+        transcendentals=B * KV * rep * S,
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, blk=blk, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KV, rep, D), q.dtype),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32),
+      jnp.asarray(layer, jnp.int32).reshape(1), q, k_all, v_all)
+
+
+def flash_decode(q: jax.Array, k: jax.Array, v: jax.Array,
+                 kv_lens: jax.Array, blk: int = 0,
+                 interpret: bool | None = None,
+                 scale: float | None = None) -> jax.Array:
+    """Single-layer convenience wrapper: k/v (B, KV, S, D).
+
+    Pads D to the 128-lane tile if needed (copies! models/llama.py pads the
+    cache allocation instead to keep the hot path copy-free)."""
+    B, KV, rep, D = q.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(D))
+    D_logical = D
+    if not interpret and D % 128:
+        pad = 128 - D % 128
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    out = flash_decode_stacked(q, k[None], v[None], kv_lens,
+                               jnp.int32(0), blk=blk, interpret=interpret,
+                               scale=scale)
+    return out[..., :D_logical] if out.shape[-1] != D_logical else out

@@ -103,8 +103,9 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def cache_specs() -> KVCache:
-    return KVCache(k=P(None, "dp", None, "tp", None),
-                   v=P(None, "dp", None, "tp", None), pos=P("dp"))
+    # cache layout (L, B, KV, S, D): kv-heads on 'tp', batch on 'dp'
+    return KVCache(k=P(None, "dp", "tp", None, None),
+                   v=P(None, "dp", "tp", None, None), pos=P("dp"))
 
 
 def _localize_params(params, tp: int):

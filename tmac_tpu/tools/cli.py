@@ -176,6 +176,43 @@ def cmd_autotune(args):
     autotune.main(args.rest)
 
 
+def cmd_trace(args):
+    """Capture a jax.profiler device trace of a decode run (view with
+    tensorboard or xprof)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tmac_tpu.models.config import get_preset
+    from tmac_tpu.models.llama import KVCache, init_params
+    from tmac_tpu.runtime.generate import decode_loop, prefill
+    from tmac_tpu.runtime.sampling import SamplerConfig
+
+    if args.ckpt:
+        cfg, params = _load(args)
+    else:
+        cfg = get_preset(args.model)
+        params = init_params(cfg, seed=0)
+    B = args.batch
+    cache = KVCache.create(cfg, B, args.prompt_len + args.steps)
+    toks = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (B, args.prompt_len)))
+    key = jax.random.PRNGKey(0)
+    # compile outside the trace
+    logits, cache = prefill(params, cfg, toks, cache)
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+    out, cache = decode_loop(params, cfg, first, cache, key, steps=args.steps,
+                             sampler=SamplerConfig())
+    _ = np.asarray(out)
+    cache = KVCache.create(cfg, B, args.prompt_len + args.steps)
+    logits, cache = prefill(params, cfg, toks, cache)
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+    with jax.profiler.trace(args.out):
+        out, cache = decode_loop(params, cfg, first, cache, key,
+                                 steps=args.steps, sampler=SamplerConfig())
+        _ = np.asarray(out)
+    print(f"trace written to {args.out} (view: tensorboard --logdir {args.out})")
+
+
 def main():
     ap = argparse.ArgumentParser(prog="tmac-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -232,14 +269,28 @@ def main():
     p.set_defaults(fn=cmd_ppl)
 
     pr = sub.add_parser("profile", help="kernel profiler (pass-through args)")
-    pr.add_argument("rest", nargs=argparse.REMAINDER)
+    pr.add_argument("rest", nargs="*")
     pr.set_defaults(fn=cmd_profile)
 
     at = sub.add_parser("autotune", help="block-size autotuner (kcfg analog)")
-    at.add_argument("rest", nargs=argparse.REMAINDER)
+    at.add_argument("rest", nargs="*")
     at.set_defaults(fn=cmd_autotune)
 
-    args = ap.parse_args()
+    tr = sub.add_parser("trace", help="capture a jax.profiler decode trace")
+    tr.add_argument("--ckpt", default="")
+    tr.add_argument("--model", default="bitnet-3b")
+    tr.add_argument("--out", default="/tmp/tmac-trace")
+    tr.add_argument("--batch", type=int, default=1)
+    tr.add_argument("--prompt-len", type=int, default=16)
+    tr.add_argument("--steps", type=int, default=16)
+    tr.set_defaults(fn=cmd_trace)
+
+    # parse_known_args so pass-through flags (profile/autotune) survive
+    args, extra = ap.parse_known_args()
+    if hasattr(args, "rest"):
+        args.rest = list(args.rest) + extra
+    elif extra:
+        ap.error(f"unrecognized arguments: {' '.join(extra)}")
     args.fn(args)
 
 
