@@ -109,8 +109,10 @@ class KVCache:
         # Short allocations stay unpadded: there the XLA einsum attention
         # wins anyway (measured v5e crossover ~512) and padding would just
         # add ~28% cache traffic for models like BitNet (head_dim 100).
+        import os
         from tmac_tpu.utils import round_up
-        dp = round_up(cfg.head_dim, 128) if max_len > 512 else cfg.head_dim
+        pad_head = max_len > 512 or os.environ.get("TMAC_FLASH", "auto") == "1"
+        dp = round_up(cfg.head_dim, 128) if pad_head else cfg.head_dim
         shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, dp)
         return cls(
             k=jnp.zeros(shape, dtype),
@@ -247,17 +249,18 @@ def _attention(q, k_all, v_all, li: int, q_positions, kv_len_mask,
     # for short caches -- so dispatch on the allocation length (the cache
     # is only lane-padded, a flash prerequisite, when max_len > 512).
     import os
+    _flash_env = os.environ.get("TMAC_FLASH", "auto")
     if (T == 1 and impl != "xla" and jax.default_backend() == "tpu"
-            and S > 512 and Dp % 128 == 0
-            and os.environ.get("TMAC_FLASH", "1") != "0"):
+            and Dp % 128 == 0
+            and (_flash_env == "1" or (_flash_env != "0" and S > 512))):
         from tmac_tpu.ops.pallas.attention_kernel import flash_decode_stacked
         kv_lens = q_positions[:, 0] + 1  # (B,) valid entries incl. current
-        qf = q.reshape(B, KV, rep, D)
-        if Dp != D:
-            qf = jnp.pad(qf, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
-        o = flash_decode_stacked(qf, k_all, v_all, kv_lens, jnp.int32(li),
+        # pad/slice between logical D and the padded cache Dp happens
+        # in-kernel -- no glue ops around the pallas call
+        o = flash_decode_stacked(q.reshape(B, KV, rep, D), k_all, v_all,
+                                 kv_lens, jnp.int32(li),
                                  scale=1.0 / float(np.sqrt(D)))
-        return o[..., :D].reshape(B, T, H * D)
+        return o.reshape(B, T, H * D)
     k, v = k_all[li], v_all[li]
     # On TPU keep operands in the cache dtype (bf16); the MXU accumulates
     # f32 via preferred_element_type -- avoids materializing an f32 cache

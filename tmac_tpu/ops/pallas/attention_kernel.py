@@ -33,16 +33,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, o_ref, *, blk: int,
-            scale: float):
-    """Grid (B,). k_ref/v_ref are FULL HBM-resident (L, B, KV, S, D) refs
-    (memory_space=HBM, DMA'd manually); q_ref (1, KV, rep, D) and o_ref in
-    VMEM; lens/li are scalar-prefetch."""
+            scale: float, dp: int):
+    """Grid (B,). k_ref/v_ref are FULL HBM-resident (L, B, KV, S, Dp) refs
+    (memory_space=HBM, DMA'd manually); q_ref (1, KV, rep, Dl) and o_ref in
+    VMEM; lens/li are scalar-prefetch.  Dl (logical head_dim) may be below
+    the cache's lane-padded Dp: q is zero-extended and the output sliced
+    IN-KERNEL, so the caller needs no pad/slice glue ops."""
     b = pl.program_id(0)
     li = li_ref[0]
-    KV, rep, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    KV, rep, Dl = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    D = dp
     L = lens_ref[b]
     nblk = pl.cdiv(L, blk)
-    q = q_ref[0].astype(jnp.float32) * scale  # (KV, rep, D)
+    q = q_ref[0].astype(jnp.float32) * scale  # (KV, rep, Dl)
+    if Dl != D:
+        q = jnp.concatenate(
+            [q, jnp.zeros((KV, rep, D - Dl), jnp.float32)], axis=-1)
 
     def body(k_sc, v_sc, sem):
         # scratch (2, KV, blk, D): one strided DMA per block covers every
@@ -98,7 +104,10 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, o_ref, *, blk: int,
         l0 = jnp.zeros((KV, rep, 1), jnp.float32)
         a0 = jnp.zeros((KV, rep, D), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, nblk, step, (m0, l0, a0))
-        o_ref[0] = (acc / l).astype(o_ref.dtype)
+        o = acc / l
+        if Dl != D:
+            o = o[..., :Dl]
+        o_ref[0] = o.astype(o_ref.dtype)
 
     pl.run_scoped(
         body,
@@ -127,22 +136,25 @@ def flash_decode_stacked(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
                          scale: float | None = None) -> jax.Array:
     """Single-step attention over layer `layer` of a stacked cache.
 
-    q (B, KV, rep, D); k_all/v_all (L, B, KV, S, D); kv_lens (B,) valid
+    q (B, KV, rep, Dl); k_all/v_all (L, B, KV, S, Dp); kv_lens (B,) valid
     entries (current token already written); layer: traced int32 scalar.
-    Returns (B, KV, rep, D) in q.dtype.  scale: softmax scale; defaults to
-    1/sqrt(D) -- pass explicitly when D is padded beyond the logical
-    head_dim.  D must be a lane (128) multiple on hardware.
+    Returns (B, KV, rep, Dl) in q.dtype.  Dl <= Dp: the kernel zero-extends
+    q and slices the output in-kernel.  scale: softmax scale; defaults to
+    1/sqrt(Dl).  Dp (cache head_dim) must be a lane (128) multiple on
+    hardware (KVCache.create pads).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    B, KV, rep, D = q.shape
+    B, KV, rep, Dl = q.shape
     S = k_all.shape[3]
+    Dp = k_all.shape[4]
     if scale is None:
-        scale = 1.0 / float(np.sqrt(D))
-    assert interpret or D % 128 == 0, (
-        f"head_dim {D} must be lane-aligned; pad the cache (KVCache.create)")
+        scale = 1.0 / float(np.sqrt(Dl))
+    assert Dl <= Dp, (Dl, Dp)
+    assert interpret or Dp % 128 == 0, (
+        f"cache head_dim {Dp} must be lane-aligned (KVCache.create pads)")
     if not blk:
-        blk = _pick_blk(S, KV, D, k_all.dtype.itemsize)
+        blk = _pick_blk(S, KV, Dp, k_all.dtype.itemsize)
     else:
         blk = min(blk, S)
         if S % blk:
@@ -152,23 +164,23 @@ def flash_decode_stacked(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
         num_scalar_prefetch=2,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, KV, rep, D), lambda b, lens, li: (b, 0, 0, 0),
+            pl.BlockSpec((1, KV, rep, Dl), lambda b, lens, li: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),   # q
             pl.BlockSpec(memory_space=pltpu.HBM),    # k: full ref, stays HBM
             pl.BlockSpec(memory_space=pltpu.HBM),    # v
         ],
-        out_specs=pl.BlockSpec((1, KV, rep, D), lambda b, lens, li: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, KV, rep, Dl), lambda b, lens, li: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     cost = pl.CostEstimate(
-        flops=2 * 2 * B * KV * rep * S * D,
-        bytes_accessed=2 * B * KV * S * D * k_all.dtype.itemsize,
+        flops=2 * 2 * B * KV * rep * S * Dp,
+        bytes_accessed=2 * B * KV * S * Dp * k_all.dtype.itemsize,
         transcendentals=B * KV * rep * S,
     )
     return pl.pallas_call(
-        functools.partial(_kernel, blk=blk, scale=scale),
+        functools.partial(_kernel, blk=blk, scale=scale, dp=Dp),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KV, rep, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, KV, rep, Dl), q.dtype),
         cost_estimate=cost,
         interpret=interpret,
     )(kv_lens.astype(jnp.int32),
@@ -181,20 +193,19 @@ def flash_decode(q: jax.Array, k: jax.Array, v: jax.Array,
                  scale: float | None = None) -> jax.Array:
     """Single-layer convenience wrapper: k/v (B, KV, S, D).
 
-    Pads D to the 128-lane tile if needed (copies! models/llama.py pads the
-    cache allocation instead to keep the hot path copy-free)."""
+    Pads the CACHE's D to the 128-lane tile if needed (copies! keep cache
+    allocations padded -- KVCache.create -- to stay copy-free); q and the
+    output stay at the logical head_dim (handled in-kernel)."""
     B, KV, rep, D = q.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if scale is None:
         scale = 1.0 / float(np.sqrt(D))
-    D_logical = D
-    if not interpret and D % 128:
-        pad = 128 - D % 128
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    Dc = k.shape[-1]
+    if not interpret and Dc % 128:
+        pad = 128 - Dc % 128
         k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad)))
-    out = flash_decode_stacked(q, k[None], v[None], kv_lens,
-                               jnp.int32(0), blk=blk, interpret=interpret,
-                               scale=scale)
-    return out[..., :D_logical] if out.shape[-1] != D_logical else out
+    return flash_decode_stacked(q, k[None], v[None], kv_lens,
+                                jnp.int32(0), blk=blk, interpret=interpret,
+                                scale=scale)
