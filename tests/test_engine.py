@@ -121,3 +121,36 @@ def test_submit_validation(model):
     eng = InferenceEngine(cfg, params, max_batch=1, max_len=32, impl="xla")
     with pytest.raises(AssertionError):
         eng.submit(list(range(30)), max_new_tokens=10)  # exceeds max_len
+
+
+def test_engine_under_tp_mesh(model):
+    """Engine with tensor-parallel step functions on the virtual mesh must
+    match the single-chip engine token-for-token (same seed, greedy)."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from tmac_tpu.models.llama import KVCache
+    from tmac_tpu.parallel import tp as tpmod
+
+    cfg, _ = model
+    tp = 4
+    params = init_params(cfg, seed=0, tp=tp)
+    mesh = tpmod.make_mesh(tp=tp, dp=1)
+    sparams = tpmod.shard_params(params, mesh)
+    cache = tpmod.shard_cache(KVCache.create(cfg, 2, 64), mesh)
+    eng = InferenceEngine(cfg, sparams, max_batch=2, max_len=64,
+                          impl="xla", decode_chunk=4,
+                          step_fns=tpmod.make_engine_fns(cfg, mesh, impl="xla"),
+                          cache=cache)
+    u1 = eng.submit([1, 2, 3], max_new_tokens=6)
+    u2 = eng.submit([9, 8], max_new_tokens=5)
+    res = eng.run()
+
+    # single-chip reference with the SAME tp-packed params
+    eng2 = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                           impl="xla", decode_chunk=4)
+    v1 = eng2.submit([1, 2, 3], max_new_tokens=6)
+    v2 = eng2.submit([9, 8], max_new_tokens=5)
+    res2 = eng2.run()
+    assert res[u1] == res2[v1]
+    assert res[u2] == res2[v2]

@@ -152,6 +152,72 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
     )
 
 
+def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
+                    sampler: SamplerConfig = SamplerConfig(),
+                    impl: str = "auto"):
+    """(prefill_fn, decode_fn) for runtime/engine.InferenceEngine over a
+    TENSOR-PARALLEL mesh (tp axis only; batch slots are replicated --
+    data-parallel serving = one engine replica per dp group).
+
+    Usage:
+        mesh = make_mesh(tp=4)
+        sparams = shard_params(params, mesh)
+        cache = shard_cache(KVCache.create(cfg, B, S), mesh)
+        eng = InferenceEngine(cfg, sparams, max_batch=B, max_len=S,
+                              step_fns=make_engine_fns(cfg, mesh),
+                              cache=cache)
+    """
+    from tmac_tpu.runtime.engine import _decode_chunk_body, _prefill_slot_body
+
+    tp = mesh.shape["tp"]
+    assert mesh.shape.get("dp", 1) == 1, (
+        "engine runs tp-only meshes; replicate engines across dp groups")
+    check_cfg(cfg, tp)
+    lcfg = local_cfg(cfg, tp)
+    cspecs = KVCache(k=P(None, None, "tp", None, None),
+                     v=P(None, None, "tp", None, None), pos=REP)
+
+    def _fwd(params):
+        return lambda t, c, active=None: forward(
+            params, lcfg, t, c, impl=impl,
+            tp_axis="tp" if tp > 1 else None, active=active)
+
+    def _prefill(params, tokens, true_len, cache, slot):
+        params = _localize_params(params, tp)
+        return _prefill_slot_body(_fwd(params), tokens, true_len, cache, slot)
+
+    def _decode(params, last, cache, keys, active):
+        params = _localize_params(params, tp)
+        return _decode_chunk_body(_fwd(params), sampler, last, cache, keys,
+                                  active)
+
+    # shard_maps built lazily on first call (param_specs needs the pytree)
+    _prefill_sm = None
+    _decode_sm = None
+
+    def prefill_fn(params, tokens, true_len, cache, slot):
+        nonlocal _prefill_sm
+        if _prefill_sm is None:
+            pspecs = param_specs(params)
+            _prefill_sm = jax.jit(shard_map(
+                _prefill, mesh,
+                in_specs=(pspecs, REP, REP, cspecs, REP),
+                out_specs=(REP, cspecs)))
+        return _prefill_sm(params, tokens, true_len, cache, slot)
+
+    def decode_fn(params, last, cache, keys, active):
+        nonlocal _decode_sm
+        if _decode_sm is None:
+            pspecs = param_specs(params)
+            _decode_sm = jax.jit(shard_map(
+                _decode, mesh,
+                in_specs=(pspecs, REP, cspecs, REP, REP),
+                out_specs=(REP, cspecs)), donate_argnums=(2,))
+        return _decode_sm(params, last, cache, keys, active)
+
+    return prefill_fn, decode_fn
+
+
 def make_tp_step(cfg: ModelConfig, mesh: Mesh, params,
                  sampler: SamplerConfig = SamplerConfig(), impl: str = "auto"):
     """Build (prefill_fn, decode_fn) jitted over the mesh.

@@ -53,28 +53,57 @@ class Request:
         self.prompt_len = len(self.prompt)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "impl", "bucket"),
-                   donate_argnames=("cache",))
-def _prefill_slot(params, cfg: ModelConfig, tokens, true_len, cache: KVCache,
-                  slot, impl: str = "auto", bucket: int = 0):
-    """Prefill one request into cache slot `slot`.
+def _prefill_slot_body(forward_fn, tokens, true_len, cache: KVCache, slot):
+    """Prefill one request into cache slot `slot` (shared core).
 
+    forward_fn(tokens, cache, active=None) -> (logits, cache).
     tokens: (1, bucket) right-padded prompt. true_len, slot: traced scalars.
-    Returns (last-real-position logits (V,), cache). One compile per bucket.
+    Returns (last-real-position logits (V,), cache).
     """
-    del bucket
     sub = KVCache(
         k=jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
         v=jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1),
         pos=jnp.zeros((1,), jnp.int32),
     )
-    logits, sub = forward(params, cfg, tokens, sub, impl=impl)
+    logits, sub = forward_fn(tokens, sub)
     k = jax.lax.dynamic_update_slice_in_dim(cache.k, sub.k, slot, axis=1)
     v = jax.lax.dynamic_update_slice_in_dim(cache.v, sub.v, slot, axis=1)
     pos = jax.lax.dynamic_update_slice(cache.pos, true_len[None], (slot,))
     last = jax.lax.dynamic_slice(logits[0], (true_len - 1, 0),
                                  (1, logits.shape[-1]))[0]
     return last, KVCache(k=k, v=v, pos=pos)
+
+
+def _decode_chunk_body(forward_fn, sampler: SamplerConfig, last_tokens,
+                       cache: KVCache, keys, active):
+    """`steps` tokens for every active slot in one on-device scan (shared
+    core).  Inactive slots are frozen: their pos does not advance and their
+    token is carried through unchanged.  Slots whose pos would run off the
+    cache end self-deactivate."""
+    S = cache.max_len
+
+    def body(carry, k):
+        tok, cache = carry
+        act = active & (cache.pos < S)
+        logits, cache = forward_fn(tok[:, None], cache, active=act)
+        nxt = sample(logits[:, -1, :], k, sampler)
+        nxt = jnp.where(act, nxt, tok)
+        return (nxt, cache), nxt
+
+    (last, cache), toks = jax.lax.scan(body, (last_tokens, cache), keys)
+    return jnp.moveaxis(toks, 0, 1), cache  # (B, steps)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "impl", "bucket"),
+                   donate_argnames=("cache",))
+def _prefill_slot(params, cfg: ModelConfig, tokens, true_len, cache: KVCache,
+                  slot, impl: str = "auto", bucket: int = 0):
+    """Single-chip prefill-into-slot. One compile per bucket."""
+    del bucket
+    return _prefill_slot_body(
+        lambda t, c, active=None: forward(params, cfg, t, c, impl=impl,
+                                          active=active),
+        tokens, true_len, cache, slot)
 
 
 @functools.partial(
@@ -86,26 +115,12 @@ def _decode_chunk(params, cfg: ModelConfig, last_tokens, cache: KVCache,
                   keys, active, steps: int,
                   sampler: SamplerConfig = SamplerConfig(),
                   impl: str = "auto"):
-    """`steps` tokens for every active slot in one on-device scan.
-
-    last_tokens (B,), active (B,) bool. Inactive slots are frozen: their
-    pos does not advance and their token is carried through unchanged.
-    Slots whose pos would run off the cache end self-deactivate (the
-    host-side engine has already accounted for this via max_len).
-    """
-    S = cache.max_len
-
-    def body(carry, k):
-        tok, cache = carry
-        act = active & (cache.pos < S)
-        logits, cache = forward(params, cfg, tok[:, None], cache,
-                                impl=impl, active=act)
-        nxt = sample(logits[:, -1, :], k, sampler)
-        nxt = jnp.where(act, nxt, tok)
-        return (nxt, cache), nxt
-
-    (last, cache), toks = jax.lax.scan(body, (last_tokens, cache), keys)
-    return jnp.moveaxis(toks, 0, 1), cache  # (B, steps)
+    """Single-chip decode chunk: `steps` tokens for every active slot."""
+    del steps
+    return _decode_chunk_body(
+        lambda t, c, active=None: forward(params, cfg, t, c, impl=impl,
+                                          active=active),
+        sampler, last_tokens, cache, keys, active)
 
 
 class InferenceEngine:
@@ -123,9 +138,19 @@ class InferenceEngine:
                  max_len: int = 2048, sampler: SamplerConfig = SamplerConfig(),
                  impl: str = "auto", decode_chunk: int = 16,
                  prefill_buckets: Optional[List[int]] = None, seed: int = 0,
-                 stream_cb: Optional[Callable[[int, List[int]], None]] = None):
+                 stream_cb: Optional[Callable[[int, List[int]], None]] = None,
+                 step_fns=None, cache: Optional[KVCache] = None):
+        """step_fns: optional (prefill_fn, decode_fn) pair replacing the
+        single-chip jitted steps -- e.g. parallel/tp.make_engine_fns for a
+        tensor-parallel mesh (pass pre-sharded params and a sharded cache):
+          prefill_fn(params, tokens (1,Tb), true_len, cache, slot)
+              -> (last logits (V,), cache)
+          decode_fn(params, last (B,), cache, keys (steps,...), active (B,))
+              -> (tokens (B, steps), cache)
+        """
         self.cfg = cfg
         self.params = params
+        self._step_fns = step_fns
         self.B = max_batch
         self.S = max_len
         self.sampler = sampler
@@ -140,7 +165,8 @@ class InferenceEngine:
                 b *= 4
             prefill_buckets.append(max_len)
         self.buckets = sorted(prefill_buckets)
-        self.cache = KVCache.create(cfg, max_batch, max_len)
+        self.cache = cache if cache is not None else KVCache.create(
+            cfg, max_batch, max_len)
         self.key = jax.random.PRNGKey(seed)
         self._uid = itertools.count()
         self.waiting: deque[Request] = deque()
@@ -194,10 +220,15 @@ class InferenceEngine:
             bucket = self._bucket(req.prompt_len)
             toks = np.zeros((1, bucket), np.int32)
             toks[0, :req.prompt_len] = req.prompt
-            last, self.cache = _prefill_slot(
-                self.params, self.cfg, jnp.asarray(toks),
-                jnp.int32(req.prompt_len), self.cache, jnp.int32(slot),
-                impl=self.impl, bucket=bucket)
+            if self._step_fns is not None:
+                last, self.cache = self._step_fns[0](
+                    self.params, jnp.asarray(toks), jnp.int32(req.prompt_len),
+                    self.cache, jnp.int32(slot))
+            else:
+                last, self.cache = _prefill_slot(
+                    self.params, self.cfg, jnp.asarray(toks),
+                    jnp.int32(req.prompt_len), self.cache, jnp.int32(slot),
+                    impl=self.impl, bucket=bucket)
             first = sample(last[None], self._next_key(), self.sampler)
             first = int(first[0])
             req.output.append(first)
@@ -233,10 +264,15 @@ class InferenceEngine:
         if not active_np.any():
             return
         keys = jax.random.split(self._next_key(), self.chunk)
-        toks, self.cache = _decode_chunk(
-            self.params, self.cfg, jnp.asarray(self.last_tokens), self.cache,
-            keys, jnp.asarray(active_np), steps=self.chunk,
-            sampler=self.sampler, impl=self.impl)
+        if self._step_fns is not None:
+            toks, self.cache = self._step_fns[1](
+                self.params, jnp.asarray(self.last_tokens), self.cache,
+                keys, jnp.asarray(active_np))
+        else:
+            toks, self.cache = _decode_chunk(
+                self.params, self.cfg, jnp.asarray(self.last_tokens), self.cache,
+                keys, jnp.asarray(active_np), steps=self.chunk,
+                sampler=self.sampler, impl=self.impl)
         toks = np.asarray(toks)  # (B, chunk) -- the one host sync per chunk
         self.stats["chunks"] += 1
         for slot, req in enumerate(self.slots):
