@@ -66,3 +66,28 @@ def test_cli_generate_ids(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     ids = [int(t) for t in r.stdout.strip().split(",")]
     assert len(ids) == 4
+
+
+def test_scaling_efficiency():
+    from tmac_tpu.parallel.launch import scaling_efficiency
+    assert scaling_efficiency(200.0, 100.0, 2) == 1.0
+    assert abs(scaling_efficiency(170.0, 100.0, 2) - 0.85) < 1e-9
+
+
+def test_launch_init_single_host():
+    from tmac_tpu.parallel.launch import init
+    info = init()  # no-op on single host
+    assert info["process_count"] == 1
+    assert info["global_devices"] >= 1
+
+
+def test_microbench_probes_run_on_cpu():
+    """Smoke: probes compile and produce finite numbers (tiny sizes)."""
+    from tmac_tpu.tools import microbench
+    from tmac_tpu.tools.timing import null_roundtrip
+    ov = null_roundtrip()
+    rows = microbench.probe_hbm_copy(ov, sizes_mb=(1,))
+    rows += microbench.probe_vpu_shift(ov, mb=1)
+    rows += microbench.probe_gather(ov, K=256, M=128)
+    for r in rows:
+        assert all(v == v for v in r.values() if isinstance(v, float))  # no NaN

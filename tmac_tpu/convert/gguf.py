@@ -222,14 +222,15 @@ def _qt_from_gguf(r: GGUFReader, name: str, tp_m: int, tp_k: int):
         wq, scales, sub = r.q4_0_to_quantized(name)
         return QuantizedTensor.from_quantized(
             wq, scales, sub, bits=4, group_size=32,
-            k_shards=tp_k, m_shards=tp_m)
+            k_shards=tp_k, m_shards=tp_m, scale_dtype=jnp.bfloat16)
     # fall back: dequantize then requantize at 4 bits (zero_point affine)
     from tmac_tpu.ops.packing import quantize_weights
     w = r.dequantized(name).T  # (K, M)
     wq, scales, sub = quantize_weights(w, 4, 32, True)
     return QuantizedTensor.from_quantized(wq, scales, sub, bits=4,
                                           group_size=32,
-                                          k_shards=tp_k, m_shards=tp_m)
+                                          k_shards=tp_k, m_shards=tp_m,
+                                          scale_dtype=jnp.bfloat16)
 
 
 def convert_gguf_model(path: str, tp: int = 1, name: str = "gguf-model"):

@@ -148,10 +148,14 @@ def _qt_from_hf_linear(reader: HFReader, prefix: str, quant: QuantConfig,
         scales = np.pad(scales, ((0, 0), (0, d)))
         sub = np.pad(sub, ((0, 0), (0, d)))
 
+    # bf16 scales for grouped modes (reference stores fp16 scales too);
+    # per-tensor (BitNet) stays f32 -- exactness at zero traffic cost
+    grouped = quant.mode != "w_a8" and gs < wq.shape[0]
     return QuantizedTensor.from_quantized(
         wq, scales, sub, bits=bits,
         group_size=gs if quant.mode != "w_a8" else wq.shape[0] // k_shards,
-        k_shards=k_shards, m_shards=m_shards)
+        k_shards=k_shards, m_shards=m_shards,
+        scale_dtype=jnp.bfloat16 if grouped else jnp.float32)
 
 
 def _bf16(reader: HFReader, name: str) -> jnp.ndarray:

@@ -151,8 +151,13 @@ def _rand_qt(rng: np.random.Generator, K: int, M: int, cfg: ModelConfig,
         return QuantizedTensor.from_quantized(wq, scales, sub, bits=2,
                                               group_size=K, m_shards=m_shards)
     w = (rng.standard_normal((K, M)) * std).astype(np.float32)
+    # bf16 scales for grouped modes: halves the per-token scale/sub HBM
+    # traffic (~420 MB f32 for a 7B gs=128 model); the reference likewise
+    # stores fp16 scales (model_utils.py). Per-tensor modes keep f32 (free).
+    sd = jnp.bfloat16 if gs < K else jnp.float32
     return QuantizedTensor.from_float(w, q.bits, gs, q.zero_point,
-                                      k_shards=k_shards, m_shards=m_shards)
+                                      k_shards=k_shards, m_shards=m_shards,
+                                      scale_dtype=sd)
 
 
 def padded_intermediate(cfg: ModelConfig, tp: int) -> int:

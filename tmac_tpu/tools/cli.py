@@ -276,6 +276,11 @@ def main():
     at.add_argument("rest", nargs="*")
     at.set_defaults(fn=cmd_autotune)
 
+    mb = sub.add_parser("microbench", help="hardware probes (blackbox analog)")
+    mb.add_argument("rest", nargs="*")
+    mb.set_defaults(fn=lambda a: __import__(
+        "tmac_tpu.tools.microbench", fromlist=["main"]).main(a.rest))
+
     tr = sub.add_parser("trace", help="capture a jax.profiler decode trace")
     tr.add_argument("--ckpt", default="")
     tr.add_argument("--model", default="bitnet-3b")
