@@ -154,3 +154,17 @@ def test_engine_under_tp_mesh(model):
     res2 = eng2.run()
     assert res[u1] == res2[v1]
     assert res[u2] == res2[v2]
+
+
+def test_chunked_prefill_matches_oneshot(model):
+    """Long prompts prefill in chunks; output must equal the unchunked
+    single-stream decode."""
+    cfg, params = model
+    prompt = list(np.random.default_rng(7).integers(1, cfg.vocab_size, 40))
+    prompt = [int(t) for t in prompt]
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64, impl="xla",
+                          decode_chunk=4, prefill_chunk=16)
+    uid = eng.submit(prompt, max_new_tokens=6)
+    results = eng.run()
+    assert eng.stats["prefills"] == 1 and eng.stats["prefill_tokens"] == 40
+    assert results[uid] == _reference(cfg, params, prompt, 6)

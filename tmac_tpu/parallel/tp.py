@@ -182,9 +182,10 @@ def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
             params, lcfg, t, c, impl=impl,
             tp_axis="tp" if tp > 1 else None, active=active)
 
-    def _prefill(params, tokens, true_len, cache, slot):
+    def _prefill(params, tokens, true_len, cache, slot, start_pos):
         params = _localize_params(params, tp)
-        return _prefill_slot_body(_fwd(params), tokens, true_len, cache, slot)
+        return _prefill_slot_body(_fwd(params), tokens, true_len, cache, slot,
+                                  start_pos)
 
     def _decode(params, last, cache, keys, active):
         params = _localize_params(params, tp)
@@ -195,15 +196,15 @@ def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
     _prefill_sm = None
     _decode_sm = None
 
-    def prefill_fn(params, tokens, true_len, cache, slot):
+    def prefill_fn(params, tokens, true_len, cache, slot, start_pos):
         nonlocal _prefill_sm
         if _prefill_sm is None:
             pspecs = param_specs(params)
             _prefill_sm = jax.jit(shard_map(
                 _prefill, mesh,
-                in_specs=(pspecs, REP, REP, cspecs, REP),
+                in_specs=(pspecs, REP, REP, cspecs, REP, REP),
                 out_specs=(REP, cspecs)))
-        return _prefill_sm(params, tokens, true_len, cache, slot)
+        return _prefill_sm(params, tokens, true_len, cache, slot, start_pos)
 
     def decode_fn(params, last, cache, keys, active):
         nonlocal _decode_sm

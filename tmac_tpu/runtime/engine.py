@@ -53,22 +53,30 @@ class Request:
         self.prompt_len = len(self.prompt)
 
 
-def _prefill_slot_body(forward_fn, tokens, true_len, cache: KVCache, slot):
-    """Prefill one request into cache slot `slot` (shared core).
+def _prefill_slot_body(forward_fn, tokens, true_len, cache: KVCache, slot,
+                       start_pos=None):
+    """Prefill one chunk of a request into cache slot `slot` (shared core).
 
     forward_fn(tokens, cache, active=None) -> (logits, cache).
-    tokens: (1, bucket) right-padded prompt. true_len, slot: traced scalars.
-    Returns (last-real-position logits (V,), cache).
+    tokens: (1, bucket) right-padded chunk. true_len: valid tokens in THIS
+    chunk; start_pos: the slot position the chunk begins at (None = 0, a
+    fresh request).  Long prompts run as several chunks (engine
+    prefill_chunk) so attention-score memory stays bounded.
+    Returns (last-real-position logits (V,), cache); pos advances to
+    start_pos + true_len.
     """
+    if start_pos is None:
+        start_pos = jnp.zeros((), jnp.int32)
     sub = KVCache(
         k=jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
         v=jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1),
-        pos=jnp.zeros((1,), jnp.int32),
+        pos=start_pos[None].astype(jnp.int32),
     )
     logits, sub = forward_fn(tokens, sub)
     k = jax.lax.dynamic_update_slice_in_dim(cache.k, sub.k, slot, axis=1)
     v = jax.lax.dynamic_update_slice_in_dim(cache.v, sub.v, slot, axis=1)
-    pos = jax.lax.dynamic_update_slice(cache.pos, true_len[None], (slot,))
+    pos = jax.lax.dynamic_update_slice(
+        cache.pos, (start_pos + true_len)[None].astype(jnp.int32), (slot,))
     last = jax.lax.dynamic_slice(logits[0], (true_len - 1, 0),
                                  (1, logits.shape[-1]))[0]
     return last, KVCache(k=k, v=v, pos=pos)
@@ -97,13 +105,13 @@ def _decode_chunk_body(forward_fn, sampler: SamplerConfig, last_tokens,
 @functools.partial(jax.jit, static_argnames=("cfg", "impl", "bucket"),
                    donate_argnames=("cache",))
 def _prefill_slot(params, cfg: ModelConfig, tokens, true_len, cache: KVCache,
-                  slot, impl: str = "auto", bucket: int = 0):
+                  slot, start_pos, impl: str = "auto", bucket: int = 0):
     """Single-chip prefill-into-slot. One compile per bucket."""
     del bucket
     return _prefill_slot_body(
         lambda t, c, active=None: forward(params, cfg, t, c, impl=impl,
                                           active=active),
-        tokens, true_len, cache, slot)
+        tokens, true_len, cache, slot, start_pos)
 
 
 @functools.partial(
@@ -139,18 +147,23 @@ class InferenceEngine:
                  impl: str = "auto", decode_chunk: int = 16,
                  prefill_buckets: Optional[List[int]] = None, seed: int = 0,
                  stream_cb: Optional[Callable[[int, List[int]], None]] = None,
-                 step_fns=None, cache: Optional[KVCache] = None):
+                 step_fns=None, cache: Optional[KVCache] = None,
+                 prefill_chunk: int = 256):
         """step_fns: optional (prefill_fn, decode_fn) pair replacing the
         single-chip jitted steps -- e.g. parallel/tp.make_engine_fns for a
         tensor-parallel mesh (pass pre-sharded params and a sharded cache):
-          prefill_fn(params, tokens (1,Tb), true_len, cache, slot)
+          prefill_fn(params, tokens (1,Tb), true_len, cache, slot, start_pos)
               -> (last logits (V,), cache)
           decode_fn(params, last (B,), cache, keys (steps,...), active (B,))
               -> (tokens (B, steps), cache)
+        prefill_chunk: long prompts prefill in chunks of at most this many
+        tokens, bounding attention-score memory (a 2048-token one-shot
+        prefill would materialize ~0.5 GB of f32 scores per layer).
         """
         self.cfg = cfg
         self.params = params
         self._step_fns = step_fns
+        self.prefill_chunk = prefill_chunk
         self.B = max_batch
         self.S = max_len
         self.sampler = sampler
@@ -160,11 +173,11 @@ class InferenceEngine:
         if prefill_buckets is None:
             prefill_buckets = []
             b = 16
-            while b < max_len:
+            while b < min(max_len, prefill_chunk):
                 prefill_buckets.append(b)
                 b *= 4
-            prefill_buckets.append(max_len)
-        self.buckets = sorted(prefill_buckets)
+            prefill_buckets.append(min(max_len, prefill_chunk))
+        self.buckets = sorted(set(prefill_buckets))
         self.cache = cache if cache is not None else KVCache.create(
             cfg, max_batch, max_len)
         self.key = jax.random.PRNGKey(seed)
@@ -217,18 +230,24 @@ class InferenceEngine:
             if self.slots[slot] is not None:
                 continue
             req = self.waiting.popleft()
-            bucket = self._bucket(req.prompt_len)
-            toks = np.zeros((1, bucket), np.int32)
-            toks[0, :req.prompt_len] = req.prompt
-            if self._step_fns is not None:
-                last, self.cache = self._step_fns[0](
-                    self.params, jnp.asarray(toks), jnp.int32(req.prompt_len),
-                    self.cache, jnp.int32(slot))
-            else:
-                last, self.cache = _prefill_slot(
-                    self.params, self.cfg, jnp.asarray(toks),
-                    jnp.int32(req.prompt_len), self.cache, jnp.int32(slot),
-                    impl=self.impl, bucket=bucket)
+            # prefill in chunks of <= prefill_chunk tokens
+            off = 0
+            last = None
+            while off < req.prompt_len:
+                n = min(self.prefill_chunk, req.prompt_len - off)
+                bucket = self._bucket(n)
+                toks = np.zeros((1, bucket), np.int32)
+                toks[0, :n] = req.prompt[off:off + n]
+                if self._step_fns is not None:
+                    last, self.cache = self._step_fns[0](
+                        self.params, jnp.asarray(toks), jnp.int32(n),
+                        self.cache, jnp.int32(slot), jnp.int32(off))
+                else:
+                    last, self.cache = _prefill_slot(
+                        self.params, self.cfg, jnp.asarray(toks),
+                        jnp.int32(n), self.cache, jnp.int32(slot),
+                        jnp.int32(off), impl=self.impl, bucket=bucket)
+                off += n
             first = sample(last[None], self._next_key(), self.sampler)
             first = int(first[0])
             req.output.append(first)
