@@ -197,3 +197,25 @@ def test_qgemm_bits8(gs):
     # unpack returns the signed codes
     np.testing.assert_array_equal(
         np.asarray(qt.unpack()), (wq.astype(np.int16) - 128).astype(np.int8))
+
+
+def test_qgemm_pallas_fused_act_quant():
+    """act='fused' (in-kernel per-token quantization, per-tensor scale)
+    must match the XLA-prologue int8 path and the dequant oracle."""
+    rng = np.random.default_rng(21)
+    N, K, M = 3, 512, 256
+    wq = rng.integers(1, 4, (K, M)).astype(np.uint8)  # ternary {1,2,3}
+    s = np.full((1, M), 0.07, np.float32)
+    qt = QuantizedTensor.from_quantized(wq, s, 2 * s, bits=2, group_size=K)
+    x = (rng.standard_normal((N, K)) * 0.5).astype(np.float32)
+    xb = jnp.asarray(x, jnp.bfloat16)
+
+    got = np.asarray(qgemm_pallas(xb, qt, interpret=True, act="fused",
+                                  out_dtype=jnp.float32))
+
+    # external-prologue reference (same quantization recipe)
+    xf = np.asarray(xb, np.float32)
+    scale = np.maximum(np.abs(xf).max(1, keepdims=True), 1e-20) / 127.0
+    xq = np.clip(np.rint(xf / scale), -127, 127)
+    oracle = (xq @ (wq.astype(np.float64) - 2)).astype(np.float32) * (s[0] * scale)
+    np.testing.assert_allclose(got, oracle, rtol=1e-4, atol=1e-3)

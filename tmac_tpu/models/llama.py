@@ -48,8 +48,15 @@ def apply_qlinear(x: jax.Array, qt: QuantizedTensor, mode: str,
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     if mode == "w_a8":
-        xq, xscale = quantize_activations_int8(x2)
-        out = qgemm(xq, qt, impl=impl, out_dtype=jnp.float32) * xscale
+        use_pallas = impl == "pallas" or (
+            impl == "auto" and jax.default_backend() == "tpu")
+        if use_pallas and qt.scales.shape[0] == 1:
+            # activation quantization happens inside the kernel (act=fused)
+            out = qgemm(x2, qt, impl="pallas", out_dtype=jnp.float32,
+                        act="fused")
+        else:
+            xq, xscale = quantize_activations_int8(x2)
+            out = qgemm(xq, qt, impl=impl, out_dtype=jnp.float32) * xscale
     else:
         out = qgemm(x2, qt, impl=impl, out_dtype=jnp.float32)
     if bias is not None:

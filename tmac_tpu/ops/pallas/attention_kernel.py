@@ -118,9 +118,10 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, o_ref, *, blk: int,
 
 
 def _pick_blk(S: int, KV: int, D: int, itemsize: int,
-              vmem_budget: int = 8 << 20) -> int:
+              vmem_budget: int = 4 << 20) -> int:
     """Largest 128-multiple block with 2 double-buffered k+v scratch copies
-    inside the VMEM budget."""
+    inside the VMEM budget (kept well under the ~16 MB core VMEM so the
+    scratch doesn't evict neighboring kernels' pipeline buffers)."""
     per_row = 4 * KV * D * itemsize  # 2 slots x (k, v) per sequence position
     blk = max(128, (vmem_budget // per_row) // 128 * 128)
     blk = min(blk, S)

@@ -107,7 +107,8 @@ def _unpack_block_swar_shifted(wp_swar, bits: int, j: int, lshift: int):
     return pltpu.bitcast((v & mask) << lshift, jnp.int8)
 
 
-def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int):
+def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
+                 fused_quant=False):
     p = 8 // bits if bits != 3 else 4
     kb = K // p  # unpacked k-rows per field block
     chunk = min(gs, kb)
@@ -119,7 +120,22 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int):
     )
     nchunks = kb // chunk
 
-    def kernel(x_ref, xsum_ref, *rest):
+    def kernel(x_ref, *rest):
+        xscale = None
+        if fused_quant:
+            # in-kernel activation quantization (per-tensor weight scales,
+            # G == 1): the reference's preprocessor/GEMM fusion for small N
+            # (SURVEY.md 7.2 step 3). Replaces ~8 tiny XLA fusions per
+            # linear in the decode step.
+            xsum_ref = None
+            xf = x_ref[:].astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)      # (N, 1)
+            xscale = jnp.maximum(amax, 1e-20) / 127.0
+            xqf = jnp.clip(jnp.rint(xf / xscale), -127, 127)
+            x = xqf.astype(jnp.int8)
+            xsum_f = jnp.sum(xqf, axis=1, keepdims=True) * xscale   # (N, 1)
+        else:
+            xsum_ref, *rest = rest
         if grouped_int:
             xs_ref, wp_ref, *rest = rest
         else:
@@ -131,7 +147,8 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int):
             scales_ref, sub_ref, out_ref = rest
             wph_ref = None
 
-        x = x_ref[:]
+        if not fused_quant:
+            x = x_ref[:]
         acc = jnp.zeros(out_ref.shape, dtype=jnp.int32 if int_acc else jnp.float32)
 
         if swar:
@@ -203,6 +220,15 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int):
             # (tbl.cc:536-670, chosen when m_groups != -1 and ags == K).
             acc = acc.astype(jnp.float32) * scales_ref[0, :].astype(jnp.float32)[None, :]
 
+        if fused_quant:
+            # dequantize the activations (per-row scale) and apply the
+            # zero-offset fold with the in-kernel group sum; G == 1 so the
+            # xsum contraction degenerates to an outer product
+            acc = acc * xscale
+            acc = acc - xsum_f * sub_ref[0, :].astype(jnp.float32)[None, :]
+            out_ref[:] = acc.astype(out_dtype)
+            return
+
         # zero-offset fold: C -= xsum @ sub  (covers both the 2^(bits-1)
         # midpoint and GPTQ zero points; reference folds this via the
         # entry-0 LUT bias, tbl.cc:374-415)
@@ -229,7 +255,8 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
     N = x.shape[0]
     KP, Mp = packed.shape
     G = scales.shape[0]
-    int_acc = (x.dtype == jnp.int8) and G == 1 and xscales is None
+    fused = xsum is None  # in-kernel activation quantization (G == 1)
+    int_acc = fused or ((x.dtype == jnp.int8) and G == 1 and xscales is None)
     grouped_int = xscales is not None
     if not block_m:
         # tuned table first (the kcfg analog), static heuristic otherwise
@@ -245,13 +272,17 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
     # bitcast semantics; interpret mode uses the widening fallback
     swar = (not interpret) and KP % 4 == 0 and (
         bits != 3 or packed_hi.shape[0] % 4 == 0)
-    kernel = _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int)
+    kernel = _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
+                          fused_quant=fused)
 
     in_specs = [
         pl.BlockSpec((N, K), lambda i: (0, 0), memory_space=pltpu.VMEM),       # x
-        pl.BlockSpec((N, G), lambda i: (0, 0), memory_space=pltpu.VMEM),       # xsum
     ]
-    args = [x, xsum]
+    args = [x]
+    if not fused:
+        in_specs.append(pl.BlockSpec((N, G), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))                 # xsum
+        args.append(xsum)
     if grouped_int:
         in_specs.append(pl.BlockSpec((N, G), lambda i: (0, 0), memory_space=pltpu.VMEM))
         args.append(xscales)
@@ -296,6 +327,10 @@ def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
                per-group scale folding: the TPU analog of the reference's
                int8-LUT quantization (lut_ctor.cc), ~25% faster than the
                bf16 path and within the same NMSE budget
+      "fused"  per-tensor-scale tensors (G == 1, BitNet) only: the
+               quantization happens INSIDE the kernel (per-token absmax,
+               int8, exact int32 accumulation) -- no XLA prologue at all;
+               the preprocessor/GEMM fusion of SURVEY.md 7.2 step 3
       "native" keep x's dtype on the MXU (exact w.r.t. the dequant model)
       "auto"   "int8"
     With int8 x and per-tensor scales (BitNet) the accumulation is exact
@@ -315,6 +350,14 @@ def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
     gs = qt.group_size
 
     xscales = None
+    if act == "fused":
+        assert x.dtype != jnp.int8, "fused quantization needs float x"
+        assert G == 1, "act='fused' requires per-tensor scales (G == 1)"
+        out = _qgemm_pallas_call(
+            x.astype(jnp.bfloat16), None, None, qt.packed, qt.packed_hi,
+            qt.scales, qt.sub, (qt.bits, gs, Kp, qt.mdim), out_dtype,
+            block_m, interpret)
+        return qt.slice_m(out)
     if x.dtype != jnp.int8 and act in ("auto", "int8"):
         # per-weight-group activation quantization (lut_ctor analog)
         xg = x.reshape(N, G, gs).astype(jnp.float32)

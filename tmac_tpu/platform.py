@@ -28,10 +28,10 @@ class DeviceSpec:
 
 
 _REGISTRY = {
-    "TPU v4": DeviceSpec("TPU v4", 1228.0, 275.0, 275.0, 32.0, 128.0, 50.0),
-    "TPU v5 lite": DeviceSpec("TPU v5 lite", 819.0, 197.0, 394.0, 16.0, 128.0, 50.0),
-    "TPU v5": DeviceSpec("TPU v5", 2765.0, 459.0, 918.0, 95.0, 128.0, 100.0),
-    "TPU v6 lite": DeviceSpec("TPU v6 lite", 1640.0, 918.0, 1836.0, 32.0, 128.0, 100.0),
+    "TPU v4": DeviceSpec("TPU v4", 1228.0, 275.0, 275.0, 32.0, 16.0, 50.0),
+    "TPU v5 lite": DeviceSpec("TPU v5 lite", 819.0, 197.0, 394.0, 16.0, 16.0, 50.0),
+    "TPU v5": DeviceSpec("TPU v5", 2765.0, 459.0, 918.0, 95.0, 16.0, 100.0),
+    "TPU v6 lite": DeviceSpec("TPU v6 lite", 1640.0, 918.0, 1836.0, 32.0, 16.0, 100.0),
 }
 
 _FALLBACK = _REGISTRY["TPU v5 lite"]
