@@ -262,7 +262,7 @@ def make_tp_step(cfg: ModelConfig, mesh: Mesh, params,
         out_specs=(P("dp", None), cspecs),
     )
 
-    prefill_jit = jax.jit(prefill_sm)
+    prefill_jit = jax.jit(prefill_sm, donate_argnums=(2,))
     decode_jit = jax.jit(decode_sm, donate_argnums=(2,))
 
     def decode_fn(params, last, cache, key, steps: int):

@@ -20,9 +20,14 @@ from tmac_tpu.models.llama import KVCache, forward
 from tmac_tpu.runtime.sampling import SamplerConfig, sample
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "impl"))
+@functools.partial(jax.jit, static_argnames=("cfg", "impl"),
+                   donate_argnames=("cache",))
 def prefill(params, cfg: ModelConfig, tokens, cache: KVCache, impl: str = "auto"):
-    """Run the prompt; returns (last-position logits (B, V), cache)."""
+    """Run the prompt; returns (last-position logits (B, V), cache).
+
+    The cache is donated: without it XLA copies the full (L, ...) stack at
+    every layer's in-place KV write (L^2 bytes moved -- measured as the
+    dominant prefill cost on 26-layer models)."""
     logits, cache = forward(params, cfg, tokens, cache, impl=impl)
     return logits[:, -1, :], cache
 
