@@ -219,3 +219,24 @@ def test_qgemm_pallas_fused_act_quant():
     xq = np.clip(np.rint(xf / scale), -127, 127)
     oracle = (xq @ (wq.astype(np.float64) - 2)).astype(np.float32) * (s[0] * scale)
     np.testing.assert_allclose(got, oracle, rtol=1e-4, atol=1e-3)
+
+
+def test_qgemm_pallas_fused_grouped():
+    """act='fused' with grouped scales (G > 1): in-kernel per-group
+    quantization matches the external-prologue int8 path."""
+    rng = np.random.default_rng(22)
+    N, K, M, gs, bits = 2, 512, 256, 128, 2
+    w = rng.standard_normal((K, M)).astype(np.float32)
+    wq, scales, sub = packing.quantize_weights(w, bits, gs, True)
+    qt = QuantizedTensor.from_quantized(wq, scales, sub, bits, gs)
+    x = (rng.standard_normal((N, K)) * 0.5).astype(np.float32)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    fused = np.asarray(qgemm_pallas(xb, qt, interpret=True, act="fused",
+                                    out_dtype=jnp.float32))
+    pro = np.asarray(qgemm_pallas(xb, qt, interpret=True, act="int8",
+                                  out_dtype=jnp.float32))
+    assert nmse(pro, fused) < 1e-9
+    # and within the reference accuracy gate vs the dequant oracle
+    wdq = packing.dequantize(wq, scales, sub, gs)
+    oracle = np.asarray(xb, np.float32) @ wdq
+    assert nmse(oracle, fused) < 5e-4

@@ -47,9 +47,9 @@ def apply_qlinear(x: jax.Array, qt: QuantizedTensor, mode: str,
     """x (..., K) @ Wdq (K, M) -> (..., M) in x's float dtype."""
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu")
     if mode == "w_a8":
-        use_pallas = impl == "pallas" or (
-            impl == "auto" and jax.default_backend() == "tpu")
         if use_pallas and qt.scales.shape[0] == 1:
             # activation quantization happens inside the kernel (act=fused)
             out = qgemm(x2, qt, impl="pallas", out_dtype=jnp.float32,
@@ -57,6 +57,8 @@ def apply_qlinear(x: jax.Array, qt: QuantizedTensor, mode: str,
         else:
             xq, xscale = quantize_activations_int8(x2)
             out = qgemm(xq, qt, impl=impl, out_dtype=jnp.float32) * xscale
+    elif use_pallas:
+        out = qgemm(x2, qt, impl="pallas", out_dtype=jnp.float32, act="fused")
     else:
         out = qgemm(x2, qt, impl=impl, out_dtype=jnp.float32)
     if bias is not None:
@@ -170,14 +172,25 @@ def _rand_qt(rng: np.random.Generator, K: int, M: int, cfg: ModelConfig,
                 k_shards=k_shards, m_shards=m_shards)
         return QuantizedTensor.from_quantized(wq, scales, sub, bits=2,
                                               group_size=K, m_shards=m_shards)
-    w = (rng.standard_normal((K, M)) * std).astype(np.float32)
+    # synthesize quantized codes directly (float-gen + quantize of a 7B
+    # model costs minutes of host CPU; the benchmark math is identical)
+    qmax = (1 << q.bits) - 1
+    mid = 1 << (q.bits - 1)
+    G = K // gs
+    wq = rng.integers(0, qmax + 1, (K, M), dtype=np.int64).astype(np.uint8)
+    scales = ((0.5 + rng.random((G, M))) * (2.0 * std / mid)).astype(np.float32)
+    if q.zero_point:
+        zq = rng.integers(0, qmax + 1, (G, M)).astype(np.float32)
+        sub = scales * zq
+    else:
+        sub = mid * scales
     # bf16 scales for grouped modes: halves the per-token scale/sub HBM
     # traffic (~420 MB f32 for a 7B gs=128 model); the reference likewise
     # stores fp16 scales (model_utils.py). Per-tensor modes keep f32 (free).
     sd = jnp.bfloat16 if gs < K else jnp.float32
-    return QuantizedTensor.from_float(w, q.bits, gs, q.zero_point,
-                                      k_shards=k_shards, m_shards=m_shards,
-                                      scale_dtype=sd)
+    return QuantizedTensor.from_quantized(wq, scales, sub, q.bits, gs,
+                                          k_shards=k_shards, m_shards=m_shards,
+                                          scale_dtype=sd)
 
 
 def padded_intermediate(cfg: ModelConfig, tp: int) -> int:
@@ -396,7 +409,11 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
                             preferred_element_type=jnp.float32)
     elif isinstance(head, QuantizedTensor):
         x2 = x.reshape(-1, x.shape[-1])
-        logits = qgemm(x2, head, impl=impl, out_dtype=jnp.float32)
+        head_pallas = impl == "pallas" or (
+            impl == "auto" and jax.default_backend() == "tpu")
+        logits = qgemm(x2, head, impl="pallas" if head_pallas else impl,
+                       out_dtype=jnp.float32,
+                       act="fused" if head_pallas else "auto")
         logits = logits.reshape(B, T, head.mdim)
     else:
         logits = jnp.einsum("bth,hv->btv", x, head,

@@ -120,20 +120,43 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
     )
     nchunks = kb // chunk
 
+    G = K // gs
+
     def kernel(x_ref, *rest):
         xscale = None
         if fused_quant:
-            # in-kernel activation quantization (per-tensor weight scales,
-            # G == 1): the reference's preprocessor/GEMM fusion for small N
-            # (SURVEY.md 7.2 step 3). Replaces ~8 tiny XLA fusions per
-            # linear in the decode step.
+            # in-kernel activation quantization: the reference's
+            # preprocessor/GEMM fusion for small N (SURVEY.md 7.2 step 3).
+            # Replaces ~8 tiny XLA fusions per linear in the decode step.
+            # One scale per (token, weight-group); G == 1 covers the
+            # per-tensor (BitNet) case.  Computed ONCE on grid step 0 into
+            # scratch (TPU grid steps run sequentially; scratch persists),
+            # so the M-blocked grid doesn't redo it.
             xsum_ref = None
-            xf = x_ref[:].astype(jnp.float32)
-            amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)      # (N, 1)
-            xscale = jnp.maximum(amax, 1e-20) / 127.0
-            xqf = jnp.clip(jnp.rint(xf / xscale), -127, 127)
-            x = xqf.astype(jnp.int8)
-            xsum_f = jnp.sum(xqf, axis=1, keepdims=True) * xscale   # (N, 1)
+            *rest, xq_s, xs_s, xsum_s = rest
+
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                xf = x_ref[:].astype(jnp.float32)
+                if G == 1:
+                    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)  # (N,1)
+                    sc = jnp.maximum(amax, 1e-20) / 127.0
+                    xqf = jnp.clip(jnp.rint(xf / sc), -127, 127)
+                    xsum = jnp.sum(xqf, axis=1, keepdims=True) * sc
+                else:
+                    xg = xf.reshape(N, G, gs)
+                    amax = jnp.max(jnp.abs(xg), axis=2, keepdims=True)
+                    sc_g = jnp.maximum(amax, 1e-20) / 127.0
+                    xqf = jnp.clip(jnp.rint(xg / sc_g), -127, 127).reshape(N, K)
+                    sc = sc_g[..., 0]                                 # (N, G)
+                    xsum = jnp.sum(xqf.reshape(N, G, gs), axis=2) * sc
+                xq_s[:] = xqf.astype(jnp.int8)
+                xs_s[:] = sc
+                xsum_s[:] = xsum
+
+            x = xq_s[:]
+            xscale = xs_s[:]
+            xsum_f = xsum_s[:]
         else:
             xsum_ref, *rest = rest
         if grouped_int:
@@ -149,6 +172,14 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
 
         if not fused_quant:
             x = x_ref[:]
+        # per-group activation scales: from the prologue input (grouped_int)
+        # or computed in-kernel (fused, G > 1)
+        if grouped_int:
+            xs_all = xs_ref[:]
+        elif fused_quant and G > 1:
+            xs_all = xscale
+        else:
+            xs_all = None
         acc = jnp.zeros(out_ref.shape, dtype=jnp.int32 if int_acc else jnp.float32)
 
         if swar:
@@ -193,7 +224,7 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
                         preferred_element_type=jnp.int32,
                     )
                     acc = acc + part
-                elif grouped_int:
+                elif xs_all is not None:
                     # int8 acts quantized per weight-group (the int8-LUT
                     # analog, reference lut_ctor.cc): int8 MXU dot, both
                     # scales folded per group
@@ -203,7 +234,7 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
                         preferred_element_type=jnp.int32,
                     ).astype(jnp.float32)
                     acc = acc + part * (
-                        xs_ref[:, g:g + 1].astype(jnp.float32)
+                        xs_all[:, g:g + 1].astype(jnp.float32)
                         * scales_ref[g, :].astype(jnp.float32)[None, :])
                 else:
                     part = jax.lax.dot_general(
@@ -221,11 +252,19 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
             acc = acc.astype(jnp.float32) * scales_ref[0, :].astype(jnp.float32)[None, :]
 
         if fused_quant:
-            # dequantize the activations (per-row scale) and apply the
-            # zero-offset fold with the in-kernel group sum; G == 1 so the
-            # xsum contraction degenerates to an outer product
-            acc = acc * xscale
-            acc = acc - xsum_f * sub_ref[0, :].astype(jnp.float32)[None, :]
+            if G == 1:
+                # per-row dequant + zero-offset fold as an outer product
+                acc = acc * xscale
+                acc = acc - xsum_f * sub_ref[0, :].astype(jnp.float32)[None, :]
+            else:
+                # grouped: scales already folded per chunk; fold the
+                # zero offsets through the in-kernel group sums
+                acc = acc - jax.lax.dot_general(
+                    xsum_f, sub_ref[:].astype(jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
             out_ref[:] = acc.astype(out_dtype)
             return
 
@@ -255,8 +294,9 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
     N = x.shape[0]
     KP, Mp = packed.shape
     G = scales.shape[0]
-    fused = xsum is None  # in-kernel activation quantization (G == 1)
-    int_acc = fused or ((x.dtype == jnp.int8) and G == 1 and xscales is None)
+    fused = xsum is None  # in-kernel activation quantization
+    int_acc = (fused and G == 1) or (
+        (x.dtype == jnp.int8) and G == 1 and xscales is None)
     grouped_int = xscales is not None
     if not block_m:
         # tuned table first (the kcfg analog), static heuristic otherwise
@@ -305,12 +345,20 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
         transcendentals=0,
     )
 
+    scratch = []
+    if fused:
+        scratch = [
+            pltpu.VMEM((N, K), jnp.int8),      # quantized activations
+            pltpu.VMEM((N, G), jnp.float32),   # per-group scales
+            pltpu.VMEM((N, G), jnp.float32),   # per-group sums (dequantized)
+        ]
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((N, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, Mp), out_dtype),
+        scratch_shapes=scratch,
         cost_estimate=cost,
         interpret=interpret,
     )(*args)
@@ -327,10 +375,10 @@ def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
                per-group scale folding: the TPU analog of the reference's
                int8-LUT quantization (lut_ctor.cc), ~25% faster than the
                bf16 path and within the same NMSE budget
-      "fused"  per-tensor-scale tensors (G == 1, BitNet) only: the
-               quantization happens INSIDE the kernel (per-token absmax,
-               int8, exact int32 accumulation) -- no XLA prologue at all;
-               the preprocessor/GEMM fusion of SURVEY.md 7.2 step 3
+      "fused"  the quantization happens INSIDE the kernel (per-(token,
+               weight-group) absmax int8; exact int32 accumulation when
+               G == 1) -- no XLA prologue at all; the preprocessor/GEMM
+               fusion of SURVEY.md 7.2 step 3
       "native" keep x's dtype on the MXU (exact w.r.t. the dequant model)
       "auto"   "int8"
     With int8 x and per-tensor scales (BitNet) the accumulation is exact
@@ -352,7 +400,6 @@ def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
     xscales = None
     if act == "fused":
         assert x.dtype != jnp.int8, "fused quantization needs float x"
-        assert G == 1, "act='fused' requires per-tensor scales (G == 1)"
         out = _qgemm_pallas_call(
             x.astype(jnp.bfloat16), None, None, qt.packed, qt.packed_hi,
             qt.scales, qt.sub, (qt.bits, gs, Kp, qt.mdim), out_dtype,
