@@ -79,7 +79,7 @@ def main():
     # timed runs: decode_loop donates the cache, so rebuild it each rep via
     # prefill (cheap) and time only the decode scan
     best_tps = 0.0
-    for rep in range(3):
+    for rep in range(4):  # tunnel timing is noisy; best-of-4
         cache = KVCache.create(cfg, B, max_len)
         logits, cache = prefill(params, cfg, toks, cache)
         first = jnp.argmax(logits, -1).astype(jnp.int32)

@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import itertools
+import time
 from collections import deque
 from typing import Callable, Dict, List, Optional
 
@@ -186,9 +187,11 @@ class InferenceEngine:
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.last_tokens = np.zeros((max_batch,), np.int32)
         self.finished: Dict[int, Request] = {}
-        # counters (observability)
+        # counters (observability; served by runtime/server.py /v1/stats)
         self.stats = {"prefill_tokens": 0, "decode_tokens": 0,
-                      "chunks": 0, "prefills": 0}
+                      "chunks": 0, "prefills": 0,
+                      "decode_s": 0.0, "prefill_s": 0.0,
+                      "requests_finished": 0}
 
     # ------------------------------------------------------------------ API
     def submit(self, prompt, max_new_tokens: int = 128,
@@ -230,6 +233,7 @@ class InferenceEngine:
             if self.slots[slot] is not None:
                 continue
             req = self.waiting.popleft()
+            t0 = time.perf_counter()
             # prefill in chunks of <= prefill_chunk tokens
             off = 0
             last = None
@@ -253,6 +257,7 @@ class InferenceEngine:
             req.output.append(first)
             self.stats["prefills"] += 1
             self.stats["prefill_tokens"] += req.prompt_len
+            self.stats["prefill_s"] += time.perf_counter() - t0
             if self._finished_after_append(req):
                 self._finish(slot=None, req=req)
                 continue
@@ -271,6 +276,7 @@ class InferenceEngine:
     def _finish(self, slot: Optional[int], req: Request):
         req.done = True
         self.finished[req.uid] = req
+        self.stats["requests_finished"] += 1
         if self.stream_cb:
             self.stream_cb(req.uid, req.output)
         if slot is not None:
@@ -282,6 +288,7 @@ class InferenceEngine:
         active_np = np.array([r is not None for r in self.slots])
         if not active_np.any():
             return
+        t0 = time.perf_counter()
         keys = jax.random.split(self._next_key(), self.chunk)
         if self._step_fns is not None:
             toks, self.cache = self._step_fns[1](
@@ -294,6 +301,7 @@ class InferenceEngine:
                 sampler=self.sampler, impl=self.impl)
         toks = np.asarray(toks)  # (B, chunk) -- the one host sync per chunk
         self.stats["chunks"] += 1
+        self.stats["decode_s"] += time.perf_counter() - t0
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
