@@ -300,26 +300,40 @@ def _attention(q, k_all, v_all, li: int, q_positions, kv_len_mask,
                                  scale=1.0 / float(np.sqrt(D)))
         return o.reshape(B, T, H * D)
     k, v = k_all[li], v_all[li]
-    # On TPU keep operands in the cache dtype (bf16); the MXU accumulates
-    # f32 via preferred_element_type -- avoids materializing an f32 cache
-    # copy.  CPU XLA can't do bf16 x bf16 -> f32 dots, so upcast there.
     on_tpu = jax.default_backend() == "tpu"
     qr = q.reshape(B, T, KV, rep, D)
     if Dp != D:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, 0), (0, 0), (0, Dp - D)))
-    kk, vv = (k, v) if on_tpu else (k.astype(jnp.float32), v.astype(jnp.float32))
-    qq = qr if on_tpu else qr.astype(jnp.float32)
-    scores = jnp.einsum("btkrd,bksd->btkrs", qq, kk,
-                        preferred_element_type=jnp.float32) / np.sqrt(D)
-    # mask: kv position s must be < kv_len and <= query position
-    s_idx = jnp.arange(S)[None, None, :]  # (1,1,S)
-    valid = (s_idx <= q_positions[:, :, None]) & kv_len_mask[:, None, :]
-    scores = jnp.where(valid[:, :, None, None, :], scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("btkrs,bksd->btkrd",
-                     probs.astype(q.dtype if on_tpu else jnp.float32), vv,
-                     preferred_element_type=jnp.float32)
-    return out[..., :D].reshape(B, T, H * D).astype(q.dtype)
+
+    def masked_attn(kc, vc):
+        """Attention over a static prefix kc/vc (B, KV, Sb, Dp).
+
+        On TPU keep operands in the cache dtype (bf16); the MXU
+        accumulates f32 via preferred_element_type -- avoids
+        materializing an f32 cache copy.  CPU XLA can't do
+        bf16 x bf16 -> f32 dots, so upcast there."""
+        Sb = kc.shape[2]
+        kk, vv = (kc, vc) if on_tpu else (kc.astype(jnp.float32),
+                                          vc.astype(jnp.float32))
+        qq = qr if on_tpu else qr.astype(jnp.float32)
+        scores = jnp.einsum("btkrd,bksd->btkrs", qq, kk,
+                            preferred_element_type=jnp.float32) / np.sqrt(D)
+        # mask: kv position s must be < kv_len and <= query position
+        s_idx = jnp.arange(Sb)[None, None, :]  # (1,1,Sb)
+        valid = (s_idx <= q_positions[:, :, None]) & kv_len_mask[:, None, :Sb]
+        scores = jnp.where(valid[:, :, None, None, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("btkrs,bksd->btkrd",
+                         probs.astype(q.dtype if on_tpu else jnp.float32), vv,
+                         preferred_element_type=jnp.float32)
+        return out[..., :D].reshape(B, T, H * D).astype(q.dtype)
+
+    # NOTE: a lax.switch over power-of-two KV prefixes (reading only the
+    # bucket covering pos+1) was tried here and REGRESSED decode 513 -> 423
+    # tok/s on v5e -- per-layer control flow costs more than the saved
+    # reads at S <= 512.  Pos-bounded reads belong to the flash kernel
+    # (dispatched above for long allocations).
+    return masked_attn(k, v)
 
 
 def _write_kv(buf: jax.Array, kv: jax.Array, pos: jax.Array) -> jax.Array:
