@@ -1,0 +1,51 @@
+"""Sequence-parallel prefill on the virtual mesh vs single-device prefill."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tmac_tpu.models.config import get_preset
+from tmac_tpu.models.llama import KVCache, init_params
+from tmac_tpu.parallel import sp as spmod
+from tmac_tpu.runtime.generate import decode_loop, prefill
+from tmac_tpu.runtime.sampling import SamplerConfig
+
+
+@pytest.mark.parametrize("preset", ["llama-2-7b", "bitnet-3b"])
+def test_sp_prefill_matches_single_device(preset):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    cfg = get_preset(preset).scaled(8)
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    B, T = 2, 16
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)))
+
+    ref_logits, ref_cache = prefill(params, cfg, toks,
+                                    KVCache.create(cfg, B, 32), impl="xla")
+
+    mesh = spmod.make_sp_mesh(4)
+    pf = spmod.make_sp_prefill(cfg, mesh, impl="xla")
+    got_logits, got_cache = pf(params, toks, KVCache.create(cfg, B, 32))
+
+    np.testing.assert_allclose(np.asarray(got_logits, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               rtol=3e-2, atol=3e-2)
+    assert (np.asarray(got_cache.pos) == T).all()
+    # cache contents must match where written (bf16 noise tolerance)
+    np.testing.assert_allclose(
+        np.asarray(got_cache.k[:, :, :, :T], np.float32),
+        np.asarray(ref_cache.k[:, :, :, :T], np.float32),
+        rtol=3e-2, atol=3e-2)
+
+    # the sp-produced cache must drive single-device decode to the same
+    # tokens as the single-device cache
+    key = jax.random.PRNGKey(0)
+    first = jnp.argmax(ref_logits, -1).astype(jnp.int32)
+    t_ref, _ = decode_loop(params, cfg, first, ref_cache, key, steps=4,
+                           sampler=SamplerConfig(), impl="xla")
+    first2 = jnp.argmax(got_logits, -1).astype(jnp.int32)
+    t_got, _ = decode_loop(params, cfg, first2, got_cache, key, steps=4,
+                           sampler=SamplerConfig(), impl="xla")
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_got))
