@@ -126,17 +126,12 @@ class KVCache:
     @classmethod
     def create(cls, cfg: ModelConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> "KVCache":
-        # Allocations in the flash-decode regime (batch * max_len > 512,
-        # see _attention) pad head_dim to the 128-lane tile so the kernel's
-        # DMA slices are aligned (Mosaic requirement).  Small allocations
-        # stay unpadded: there the XLA einsum attention wins anyway and
-        # padding would just add ~28% cache traffic for models like BitNet
-        # (head_dim 100).
-        import os
+        # head_dim padded to the 128-lane tile: the flash-decode kernel
+        # (the default decode attention on TPU) needs lane-aligned DMA
+        # slices, and it reads only pos+1 entries so the padding does not
+        # cost bandwidth the way it would for a full-allocation reader.
         from tmac_tpu.utils import round_up
-        pad_head = (batch * max_len > 512
-                    or os.environ.get("TMAC_FLASH", "auto") == "1")
-        dp = round_up(cfg.head_dim, 128) if pad_head else cfg.head_dim
+        dp = round_up(cfg.head_dim, 128)
         shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, dp)
         return cls(
             k=jnp.zeros(shape, dtype),
@@ -282,18 +277,15 @@ def _attention(q, k_all, v_all, li: int, q_positions, kv_len_mask,
     rep = H // KV
     Dp = k_all.shape[-1]  # cache head_dim (lane-padded iff max_len > 512)
     # flash decode reads only the pos+1 valid entries; the XLA einsum always
-    # reads all of B x S_max.  Standalone the kernel wins at every length
-    # (v5e, BitNet decode shape: 4.5 us vs 14.6 at S=256; 5.5 vs 92.4 at
-    # S=2048), but in-model integration costs (~10-15 us/layer pallas-call
-    # adjacency) make XLA cheaper for SMALL total allocations -- measured:
-    # B=1,S=256 XLA wins (513 vs 450 tok/s); B=8,S=256 flash wins (2361 vs
-    # 2220 aggregate); B=1,S=2048 flash wins by far.  Dispatch on B*S (the
-    # cache is lane-padded, a flash prerequisite, in the same regime).
+    # reads all of B x S_max.  With lens/layer passed as plain SMEM inputs
+    # (NOT scalar prefetch -- a runtime-dynamic prefetch stalls ~15 us per
+    # call, see attention_kernel.py) the kernel wins at every size:
+    # B=1 ctx256 542 vs 524 tok/s; B=8 2361 vs 2220; S=2048 5.5 vs 92
+    # us/layer.  TMAC_FLASH=0 forces the XLA einsum path.
     import os
-    _flash_env = os.environ.get("TMAC_FLASH", "auto")
     if (T == 1 and impl != "xla" and jax.default_backend() == "tpu"
             and Dp % 128 == 0
-            and (_flash_env == "1" or (_flash_env != "0" and B * S > 512))):
+            and os.environ.get("TMAC_FLASH", "1") != "0"):
         from tmac_tpu.ops.pallas.attention_kernel import flash_decode_stacked
         kv_lens = q_positions[:, 0] + 1  # (B,) valid entries incl. current
         # pad/slice between logical D and the padded cache Dp happens

@@ -161,16 +161,24 @@ def flash_decode_stacked(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
         if S % blk:
             blk = int(np.gcd(blk, S))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+    # lens/li ride as plain SMEM inputs, NOT PrefetchScalarGridSpec:
+    # runtime-dynamic scalar prefetch stalls the pipeline ~15 us per call
+    # (measured in-model: 450 tok/s with prefetched pos-derived lens vs
+    # 534.6 with a constant) because the scalars must land in SMEM before
+    # the grid starts; regular SMEM operands flow with the normal operand
+    # pipeline.  Neither value is used in an index_map, so prefetch
+    # semantics aren't needed.
+    grid_spec = pl.GridSpec(
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, KV, rep, Dl), lambda b, lens, li: (b, 0, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # lens (B,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # li (1,)
+            pl.BlockSpec((1, KV, rep, Dl), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),   # q
             pl.BlockSpec(memory_space=pltpu.HBM),    # k: full ref, stays HBM
             pl.BlockSpec(memory_space=pltpu.HBM),    # v
         ],
-        out_specs=pl.BlockSpec((1, KV, rep, Dl), lambda b, lens, li: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, KV, rep, Dl), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     cost = pl.CostEstimate(
