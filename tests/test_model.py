@@ -88,3 +88,20 @@ def test_samplers():
     assert int(t[0]) in (1, 2)
     t = sample(logits, key, SamplerConfig(temperature=0.8, top_p=0.5))
     assert int(t[0]) == 1  # top-1 prob already > 0.5
+
+
+def test_prefill_chunking_matches_oneshot():
+    """Chunked prefill (long prompts) must produce the same logits/cache
+    as a single-chunk prefill."""
+    cfg = tiny("llama-2-7b")
+    params = init_params(cfg, seed=4)
+    rng = np.random.default_rng(4)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 12)))
+    l1, c1 = prefill(params, cfg, toks, KVCache.create(cfg, 2, 16),
+                     impl="xla", chunk=256)
+    l2, c2 = prefill(params, cfg, toks, KVCache.create(cfg, 2, 16),
+                     impl="xla", chunk=4)
+    np.testing.assert_allclose(np.asarray(l1, np.float32),
+                               np.asarray(l2, np.float32), rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(l1.argmax(-1)), np.asarray(l2.argmax(-1)))
+    assert (np.asarray(c1.pos) == 12).all() and (np.asarray(c2.pos) == 12).all()

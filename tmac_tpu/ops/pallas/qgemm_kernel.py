@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 from tmac_tpu.ops.qgemm import QuantizedTensor
 
 
-def _pick_block_m(mpad: int, kp: int, requested: int = 0) -> int:
+def _pick_block_m(mpad: int, kp: int, requested: int = 0,
+                  per_bm_bytes: int = 0, avail_bytes: int = 0) -> int:
     """Block size along M for the packed-weight grid.
 
     Two forces: DMA efficiency wants large blocks (measured: ~1.7 MB packed
@@ -43,19 +44,26 @@ def _pick_block_m(mpad: int, kp: int, requested: int = 0) -> int:
     pipeline needs >= 2 grid steps so the next block's HBM->VMEM DMA
     overlaps the current block's unpack+MXU work -- with grid=1 the kernel
     serializes DMA then compute, which costs ~40% at decode.  So: largest
-    block <= ~2 MB that still leaves >= 2 grid steps (>= 3 preferred when
-    the shape allows, for a fuller pipeline).
+    block <= ~2 MB packed that still leaves >= 2 grid steps (>= 3 preferred
+    when the shape allows).  per_bm_bytes/avail_bytes additionally cap the
+    block by the TOTAL per-block VMEM footprint (packed + output double
+    buffers) against what's left after the N-dependent fixed buffers --
+    large-N prefill otherwise blows the scoped-VMEM limit.
     """
     if requested:
         assert mpad % requested == 0 and requested % 128 == 0
         return requested
+    bm_cap = mpad
+    if per_bm_bytes and avail_bytes:
+        bm_cap = max(128, avail_bytes // per_bm_bytes)
     best = 128
     for min_steps in (3, 2):
         for d in range(1, mpad // 128 + 1):
             bm = 128 * d
             if mpad % bm:
                 continue
-            if kp * bm <= (2 << 20) and mpad // bm >= min_steps and bm > best:
+            if (kp * bm <= (2 << 20) and bm <= bm_cap
+                    and mpad // bm >= min_steps and bm > best):
                 best = bm
         if best > 128 or mpad // 128 <= min_steps:
             break
@@ -305,8 +313,21 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
         block_m = tune_table.lookup_block_m(bits, K, Mp, N, gs, path)
         if block_m and (Mp % block_m or block_m % 128):
             block_m = 0
-    bm = _pick_block_m(Mp, KP, block_m)
+    # N-aware VMEM budget: x (possibly double-buffered by the pipeline) +
+    # fused-quant scratch are resident for the whole call; packed + output
+    # blocks are double-buffered per grid step
+    fixed = 2 * N * K * x.dtype.itemsize
+    if fused:
+        fixed += N * K + 2 * N * G * 4
+    out_itemsize = jnp.dtype(out_dtype).itemsize
+    per_bm = 2 * (KP + N * out_itemsize + 2 * G * 4)
+    if bits == 3 and packed_hi is not None:
+        per_bm += 2 * packed_hi.shape[0]
+    avail = (13 << 20) - fixed
+    bm = _pick_block_m(Mp, KP, block_m, per_bm, max(avail, 1))
     grid = (Mp // bm,)
+    est_vmem = fixed + per_bm * bm + (1 << 20)
+    vmem_limit = int(min(100 << 20, max(16 << 20, est_vmem * 3 // 2)))
 
     # SWAR unpack needs 4-row-aligned packed tiles and compiled (Mosaic)
     # bitcast semantics; interpret mode uses the widening fallback
@@ -360,6 +381,7 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
         out_shape=jax.ShapeDtypeStruct((N, Mp), out_dtype),
         scratch_shapes=scratch,
         cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(*args)
     return out

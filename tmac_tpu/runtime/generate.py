@@ -20,15 +20,25 @@ from tmac_tpu.models.llama import KVCache, forward
 from tmac_tpu.runtime.sampling import SamplerConfig, sample
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "impl"),
+@functools.partial(jax.jit, static_argnames=("cfg", "impl", "chunk"),
                    donate_argnames=("cache",))
-def prefill(params, cfg: ModelConfig, tokens, cache: KVCache, impl: str = "auto"):
+def prefill(params, cfg: ModelConfig, tokens, cache: KVCache,
+            impl: str = "auto", chunk: int = 256):
     """Run the prompt; returns (last-position logits (B, V), cache).
 
     The cache is donated: without it XLA copies the full (L, ...) stack at
     every layer's in-place KV write (L^2 bytes moved -- measured as the
-    dominant prefill cost on 26-layer models)."""
-    logits, cache = forward(params, cfg, tokens, cache, impl=impl)
+    dominant prefill cost on 26-layer models).
+
+    Long prompts run in `chunk`-token pieces inside one jit: the fused
+    qgemm kernel keeps its activations + quantized scratch + output block
+    in VMEM, which overflows the ~16 MB core VMEM beyond a few hundred
+    rows, and attention-score memory grows with T^2."""
+    B, T = tokens.shape
+    logits = None
+    for off in range(0, T, chunk):  # static unroll at trace time
+        logits, cache = forward(params, cfg, tokens[:, off:off + chunk],
+                                cache, impl=impl)
     return logits[:, -1, :], cache
 
 
