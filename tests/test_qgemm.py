@@ -240,3 +240,15 @@ def test_qgemm_pallas_fused_grouped():
     wdq = packing.dequantize(wq, scales, sub, gs)
     oracle = np.asarray(xb, np.float32) @ wdq
     assert nmse(oracle, fused) < 5e-4
+
+
+def test_pick_block_m_vmem_budget():
+    """N-aware budget caps the block; tiny-N decode shapes are unaffected."""
+    from tmac_tpu.ops.pallas.qgemm_kernel import _pick_block_m
+    # decode (N=1): budget not binding, 2 MB packed rule decides
+    assert _pick_block_m(9600, 800) == _pick_block_m(9600, 800, 0, 2 * 800 + 8, (13 << 20))
+    # large-N: per_bm dominated by N*4 output rows -> small blocks
+    per_bm = 2 * (2160 + 256 * 4)
+    bm = _pick_block_m(3200, 2160, 0, per_bm, (13 << 20) - 2 * 256 * 8640 * 2 - 256 * 8640)
+    assert bm * per_bm <= (13 << 20)
+    assert bm >= 128 and 3200 % bm == 0
