@@ -252,3 +252,25 @@ def test_pick_block_m_vmem_budget():
     bm = _pick_block_m(3200, 2160, 0, per_bm, (13 << 20) - 2 * 256 * 8640 * 2 - 256 * 8640)
     assert bm * per_bm <= (13 << 20)
     assert bm >= 128 and 3200 % bm == 0
+
+
+def test_qgemm_pallas_single_dot_large_n():
+    """The large-N per-tensor path (unpack-to-scratch + one dot) must match
+    the small-N chunked path and the oracle."""
+    rng = np.random.default_rng(30)
+    K, M = 512, 256
+    wq = rng.integers(1, 4, (K, M)).astype(np.uint8)
+    s = np.full((1, M), 0.05, np.float32)
+    qt = QuantizedTensor.from_quantized(wq, s, 2 * s, bits=2, group_size=K)
+    x = rng.integers(-127, 128, (64, K)).astype(np.int8)  # N=64 -> single_dot
+    oracle = (x.astype(np.int64) @ (wq.astype(np.int64) - 2)).astype(np.float32) * s[0]
+    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True,
+                                  out_dtype=jnp.float32))
+    np.testing.assert_allclose(got, oracle, rtol=1e-5, atol=1e-3)
+    # fused float path at large N too
+    xb = jnp.asarray(x.astype(np.float32) / 127.0, jnp.bfloat16)
+    gf = np.asarray(qgemm_pallas(xb, qt, interpret=True, act="fused",
+                                 out_dtype=jnp.float32))
+    small = np.asarray(qgemm_pallas(xb[:2], qt, interpret=True, act="fused",
+                                    out_dtype=jnp.float32))
+    np.testing.assert_allclose(gf[:2], small, rtol=1e-5, atol=1e-5)

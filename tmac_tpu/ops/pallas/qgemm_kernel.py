@@ -116,7 +116,7 @@ def _unpack_block_swar_shifted(wp_swar, bits: int, j: int, lshift: int):
 
 
 def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
-                 fused_quant=False):
+                 fused_quant=False, single_dot=False):
     p = 8 // bits if bits != 3 else 4
     kb = K // p  # unpacked k-rows per field block
     chunk = min(gs, kb)
@@ -172,6 +172,10 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
         else:
             wp_ref, *rest = rest
             xs_ref = None
+        w_s = None
+        if single_dot:
+            *rest2, w_s = rest
+            rest = rest2
         if bits == 3:
             wph_ref, scales_ref, sub_ref, out_ref = rest
         else:
@@ -198,6 +202,35 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
             wp32 = wp_ref[:].astype(jnp.int32)  # widen once per m-tile
             wph32 = wph_ref[:].astype(jnp.int32) if bits == 3 else None
             unpack = _unpack_block
+
+        if single_dot:
+            # large-N path (per-tensor scales): unpack the whole m-block
+            # into int8 scratch, then ONE MXU dot.  p separate per-field
+            # dots fragment MXU work at big N (measured: our 4-dot kernel
+            # 87.2 us vs a single XLA int8 dot 49.5 us at 256x8640x3200).
+            for j in range(p):
+                v = unpack(wp32, bits, j)
+                w_s[j * kb:(j + 1) * kb, :] = (
+                    v if swar or bits == 8 else v.astype(jnp.int8))
+            acc = jax.lax.dot_general(
+                x, w_s[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = acc.astype(jnp.float32) * scales_ref[0, :].astype(jnp.float32)[None, :]
+            if fused_quant:
+                acc = acc * xscale
+                acc = acc - xsum_f * sub_ref[0, :].astype(jnp.float32)[None, :]
+            else:
+                acc = acc - jax.lax.dot_general(
+                    xsum_ref[:].astype(jnp.float32), sub_ref[:].astype(jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            out_ref[:] = acc.astype(out_dtype)
+            return
+
         for j in range(p):
             wj = None if (bits == 3 and swar) else unpack(wp32, 2 if bits == 3 else bits, j)
             for c in range(nchunks):
@@ -323,6 +356,8 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
     per_bm = 2 * (KP + N * out_itemsize + 2 * G * 4)
     if bits == 3 and packed_hi is not None:
         per_bm += 2 * packed_hi.shape[0]
+    if N >= 64 and G == 1 and bits in (1, 2, 4, 8) and int_acc:
+        per_bm += K  # int8 unpack scratch (single-dot path)
     avail = (13 << 20) - fixed
     bm = _pick_block_m(Mp, KP, block_m, per_bm, max(avail, 1))
     grid = (Mp // bm,)
@@ -333,8 +368,10 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
     # bitcast semantics; interpret mode uses the widening fallback
     swar = (not interpret) and KP % 4 == 0 and (
         bits != 3 or packed_hi.shape[0] % 4 == 0)
+    # big-N per-tensor shapes: unpack to scratch + one dot (see kernel)
+    single_dot = N >= 64 and G == 1 and bits in (1, 2, 4, 8) and int_acc
     kernel = _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
-                          fused_quant=fused)
+                          fused_quant=fused, single_dot=single_dot)
 
     in_specs = [
         pl.BlockSpec((N, K), lambda i: (0, 0), memory_space=pltpu.VMEM),       # x
@@ -367,8 +404,11 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
     )
 
     scratch = []
+    if single_dot:
+        # FIRST so the fused path's trailing-3 unpack stays stable
+        scratch.append(pltpu.VMEM((K, bm), jnp.int8))  # unpacked weights
     if fused:
-        scratch = [
+        scratch += [
             pltpu.VMEM((N, K), jnp.int8),      # quantized activations
             pltpu.VMEM((N, G), jnp.float32),   # per-group scales
             pltpu.VMEM((N, G), jnp.float32),   # per-group sums (dequantized)
