@@ -274,3 +274,28 @@ def test_qgemm_pallas_single_dot_large_n():
     small = np.asarray(qgemm_pallas(xb[:2], qt, interpret=True, act="fused",
                                     out_dtype=jnp.float32))
     np.testing.assert_allclose(gf[:2], small, rtol=1e-5, atol=1e-5)
+
+
+def test_qgemm_fused_norm_matches_external():
+    """rms_norm folded into the fused prologue == norm outside + fused,
+    including K padding (variance over logical K only)."""
+    rng = np.random.default_rng(31)
+    K, M = 500, 256  # K pads to 512 -> exercises the logical-K variance
+    wq = rng.integers(1, 4, (K, M)).astype(np.uint8)
+    s = np.full((1, M), 0.05, np.float32)
+    qt = QuantizedTensor.from_quantized(wq, s, 2 * s, bits=2, group_size=K)
+    x = jnp.asarray(rng.standard_normal((2, K)), jnp.bfloat16)
+    w_n = jnp.asarray(1.0 + 0.1 * rng.standard_normal(K), jnp.bfloat16)
+    eps = 1e-5
+    fused = np.asarray(qgemm_pallas(x, qt, interpret=True, act="fused",
+                                    out_dtype=jnp.float32, norm=(w_n, eps)))
+    xf = np.asarray(x, np.float32)
+    var = np.mean(xf ** 2, axis=1, keepdims=True)
+    xn = jnp.asarray(xf / np.sqrt(var + eps) * np.asarray(w_n, np.float32),
+                     jnp.bfloat16)
+    ref = np.asarray(qgemm_pallas(xn, qt, interpret=True, act="fused",
+                                  out_dtype=jnp.float32))
+    # the folded path normalizes in f32 from the bf16 input (no bf16
+    # round-trip of the normalized activations) -> tiny quantization-code
+    # differences possible
+    assert nmse(ref, fused) < 1e-4

@@ -43,24 +43,31 @@ def quantize_activations_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def apply_qlinear(x: jax.Array, qt: QuantizedTensor, mode: str,
-                  bias: Optional[jax.Array] = None, impl: str = "auto") -> jax.Array:
-    """x (..., K) @ Wdq (K, M) -> (..., M) in x's float dtype."""
+                  bias: Optional[jax.Array] = None, impl: str = "auto",
+                  norm=None) -> jax.Array:
+    """x (..., K) @ Wdq (K, M) -> (..., M) in x's float dtype.
+
+    norm: optional (rms weight (K,), eps) applied to x first -- folded into
+    the fused kernel's prologue on the pallas path."""
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu")
     if mode == "w_a8":
         if use_pallas and qt.scales.shape[0] == 1:
-            # activation quantization happens inside the kernel (act=fused)
+            # activation quantization (and rms_norm) inside the kernel
             out = qgemm(x2, qt, impl="pallas", out_dtype=jnp.float32,
-                        act="fused")
+                        act="fused", norm=norm)
         else:
+            if norm is not None:
+                x2 = rms_norm(x2, norm[0], norm[1])
             xq, xscale = quantize_activations_int8(x2)
             out = qgemm(xq, qt, impl=impl, out_dtype=jnp.float32) * xscale
     elif use_pallas:
-        out = qgemm(x2, qt, impl="pallas", out_dtype=jnp.float32, act="fused")
+        out = qgemm(x2, qt, impl="pallas", out_dtype=jnp.float32, act="fused",
+                    norm=norm)
     else:
-        out = qgemm(x2, qt, impl=impl, out_dtype=jnp.float32)
+        out = qgemm(x2, qt, impl=impl, out_dtype=jnp.float32, norm=norm)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.reshape(*shape[:-1], qt.mdim).astype(x.dtype)
@@ -372,8 +379,8 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
 
     new_k, new_v = cache.k, cache.v
     for li, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-        qkv = apply_qlinear(h, layer["wqkv"], mode, None, impl)
+        qkv = apply_qlinear(x, layer["wqkv"], mode, None, impl,
+                            norm=(layer["attn_norm"], cfg.rms_norm_eps))
         qd, kvd = cfg.q_dim, cfg.kv_dim
         q = qkv[..., :qd]
         k = qkv[..., qd:qd + kvd]
@@ -398,8 +405,8 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             o = jax.lax.psum(o, tp_axis)
         x = x + o
 
-        h = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
-        gu = apply_qlinear(h, layer["gate_up"], mode, None, impl)
+        gu = apply_qlinear(x, layer["gate_up"], mode, None, impl,
+                           norm=(layer["mlp_norm"], cfg.rms_norm_eps))
         ihalf = layer["gate_up"].mdim // 2  # local intermediate width
         g, u = gu[..., :ihalf], gu[..., ihalf:]
         d = apply_qlinear(jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u,

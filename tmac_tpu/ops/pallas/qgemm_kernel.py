@@ -116,7 +116,8 @@ def _unpack_block_swar_shifted(wp_swar, bits: int, j: int, lshift: int):
 
 
 def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
-                 fused_quant=False, single_dot=False):
+                 fused_quant=False, single_dot=False, norm_eps=0.0,
+                 norm_k=0):
     p = 8 // bits if bits != 3 else 4
     kb = K // p  # unpacked k-rows per field block
     chunk = min(gs, kb)
@@ -141,11 +142,23 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
             # scratch (TPU grid steps run sequentially; scratch persists),
             # so the M-blocked grid doesn't redo it.
             xsum_ref = None
+            if norm_eps:
+                norm_ref, *rest = rest
             *rest, xq_s, xs_s, xsum_s = rest
 
             @pl.when(pl.program_id(0) == 0)
             def _():
                 xf = x_ref[:].astype(jnp.float32)
+                if norm_eps:
+                    # rms_norm folded into the prologue (the norm input is
+                    # only consumed by this linear) -- one less XLA fusion
+                    # round-trip per layer.  Divide by the LOGICAL K: the
+                    # kernel's K is zero-padded (zeros add nothing to the
+                    # sum but would skew a mean).
+                    var = jnp.sum(jnp.square(xf), axis=1, keepdims=True) \
+                        * (1.0 / norm_k)
+                    xf = xf * jax.lax.rsqrt(var + norm_eps)
+                    xf = xf * norm_ref[:].astype(jnp.float32)
                 if G == 1:
                     amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)  # (N,1)
                     sc = jnp.maximum(amax, 1e-20) / 127.0
@@ -327,10 +340,12 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("qt_meta", "out_dtype", "block_m", "interpret"),
+    static_argnames=("qt_meta", "out_dtype", "block_m", "interpret",
+                     "norm_meta"),
 )
 def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
-                       qt_meta, out_dtype, block_m, interpret):
+                       qt_meta, out_dtype, block_m, interpret,
+                       norm_w=None, norm_meta=None):
     bits, gs, K, M = qt_meta
     N = x.shape[0]
     KP, Mp = packed.shape
@@ -370,13 +385,20 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
         bits != 3 or packed_hi.shape[0] % 4 == 0)
     # big-N per-tensor shapes: unpack to scratch + one dot (see kernel)
     single_dot = N >= 64 and G == 1 and bits in (1, 2, 4, 8) and int_acc
+    norm_eps, norm_k = norm_meta if norm_meta else (0.0, 0)
     kernel = _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
-                          fused_quant=fused, single_dot=single_dot)
+                          fused_quant=fused, single_dot=single_dot,
+                          norm_eps=norm_eps, norm_k=norm_k)
 
     in_specs = [
         pl.BlockSpec((N, K), lambda i: (0, 0), memory_space=pltpu.VMEM),       # x
     ]
     args = [x]
+    if norm_meta:
+        assert fused and norm_w is not None
+        in_specs.append(pl.BlockSpec((1, K), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))                 # norm w
+        args.append(norm_w.reshape(1, K))
     if not fused:
         in_specs.append(pl.BlockSpec((N, G), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))                 # xsum
@@ -429,7 +451,7 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
 
 def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
                  block_m: int = 0, interpret: bool | None = None,
-                 act: str = "auto") -> jax.Array:
+                 act: str = "auto", norm=None) -> jax.Array:
     """x (N, K) bf16/f32/int8 @ packed Wdq -> (N, M).
 
     act: activation handling for float x --
@@ -462,11 +484,19 @@ def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
     xscales = None
     if act == "fused":
         assert x.dtype != jnp.int8, "fused quantization needs float x"
+        norm_w, norm_meta = None, None
+        if norm is not None:
+            # rms_norm folded into the kernel prologue: norm = (weight (K,),
+            # eps).  Weight padded like x; variance divides by logical K.
+            w_n, eps = norm
+            norm_w = pad_x_for(w_n.reshape(1, K), qt)
+            norm_meta = (float(eps), K)
         out = _qgemm_pallas_call(
             x.astype(jnp.bfloat16), None, None, qt.packed, qt.packed_hi,
             qt.scales, qt.sub, (qt.bits, gs, Kp, qt.mdim), out_dtype,
-            block_m, interpret)
+            block_m, interpret, norm_w=norm_w, norm_meta=norm_meta)
         return qt.slice_m(out)
+    assert norm is None, "norm folding requires act='fused'"
     if x.dtype != jnp.int8 and act in ("auto", "int8"):
         # per-weight-group activation quantization (lut_ctor analog)
         xg = x.reshape(N, G, gs).astype(jnp.float32)

@@ -400,18 +400,28 @@ def dequant_baseline_matmul(x: jax.Array, w_int8: jax.Array, scales: jax.Array,
 # ---------------------------------------------------------------------------
 
 def qgemm(x: jax.Array, qt: QuantizedTensor, impl: str = "auto",
-          out_dtype=None, block_m: int = 0, act: str = "auto") -> jax.Array:
+          out_dtype=None, block_m: int = 0, act: str = "auto",
+          norm=None) -> jax.Array:
     """Quantized matmul x (N, K) @ Wdq (K, M) -> (N, M).
 
     impl: "auto" (pallas on TPU, xla elsewhere), "pallas", "xla".
     act: float-activation handling for the pallas impl ("int8" group-quant
          by default -- the int8-LUT analog; "native" for exact).
+    norm: optional (weight (K,), eps) rms_norm folded into the kernel
+          prologue (pallas act='fused' only).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
+        if norm is not None:
+            w_n, eps = norm
+            xf = x.astype(jnp.float32)
+            var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            x = (xf * jax.lax.rsqrt(var + eps) * w_n.astype(jnp.float32)
+                 ).astype(x.dtype)
         return qgemm_xla(x, qt, out_dtype)
     if impl == "pallas":
         from tmac_tpu.ops.pallas.qgemm_kernel import qgemm_pallas
-        return qgemm_pallas(x, qt, out_dtype=out_dtype, block_m=block_m, act=act)
+        return qgemm_pallas(x, qt, out_dtype=out_dtype, block_m=block_m,
+                            act=act, norm=norm)
     raise ValueError(f"unknown impl {impl}")

@@ -53,8 +53,8 @@ def _sp_forward(params, cfg: ModelConfig, tokens, cache: KVCache,
     new_k, new_v = cache.k, cache.v
     Dp = new_k.shape[-1]
     for li, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-        qkv = apply_qlinear(h, layer["wqkv"], mode, None, impl)
+        qkv = apply_qlinear(x, layer["wqkv"], mode, None, impl,
+                            norm=(layer["attn_norm"], cfg.rms_norm_eps))
         qd, kvd = cfg.q_dim, cfg.kv_dim
         q = qkv[..., :qd]
         k = qkv[..., qd:qd + kvd]
@@ -101,8 +101,8 @@ def _sp_forward(params, cfg: ModelConfig, tokens, cache: KVCache,
 
         o = apply_qlinear(attn, layer["wo"], mode, None, impl)
         x = x + o
-        h = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
-        gu = apply_qlinear(h, layer["gate_up"], mode, None, impl)
+        gu = apply_qlinear(x, layer["gate_up"], mode, None, impl,
+                           norm=(layer["mlp_norm"], cfg.rms_norm_eps))
         ihalf = layer["gate_up"].mdim // 2
         g, u = gu[..., :ihalf], gu[..., ihalf:]
         d = apply_qlinear(jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u,
