@@ -299,3 +299,24 @@ def test_qgemm_fused_norm_matches_external():
     # round-trip of the normalized activations) -> tiny quantization-code
     # differences possible
     assert nmse(ref, fused) < 1e-4
+
+
+def test_qgemm_fused_glu_matches_external():
+    """SwiGLU folded into the fused prologue == silu outside + fused."""
+    rng = np.random.default_rng(32)
+    K, M = 512, 256
+    wq = rng.integers(1, 4, (K, M)).astype(np.uint8)
+    s = np.full((1, M), 0.05, np.float32)
+    qt = QuantizedTensor.from_quantized(wq, s, 2 * s, bits=2, group_size=K)
+    gu = rng.standard_normal((2, 2 * K)).astype(np.float32)
+    gub = jnp.asarray(gu, jnp.bfloat16)
+    fused = np.asarray(qgemm_pallas(gub, qt, interpret=True, act="fused",
+                                    out_dtype=jnp.float32, glu=True))
+    gf = np.asarray(gub, np.float32)
+    prod = jnp.asarray(gf[:, :K] / (1 + np.exp(-gf[:, :K])) * gf[:, K:],
+                       jnp.bfloat16)
+    ref = np.asarray(qgemm_pallas(prod, qt, interpret=True, act="fused",
+                                  out_dtype=jnp.float32))
+    # kernel keeps the product in f32 (no bf16 round-trip) -> small
+    # quantization-code noise only
+    assert nmse(ref, fused) < 1e-4

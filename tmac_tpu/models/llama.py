@@ -44,29 +44,33 @@ def quantize_activations_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def apply_qlinear(x: jax.Array, qt: QuantizedTensor, mode: str,
                   bias: Optional[jax.Array] = None, impl: str = "auto",
-                  norm=None) -> jax.Array:
+                  norm=None, glu: bool = False) -> jax.Array:
     """x (..., K) @ Wdq (K, M) -> (..., M) in x's float dtype.
 
     norm: optional (rms weight (K,), eps) applied to x first -- folded into
-    the fused kernel's prologue on the pallas path."""
+    the fused kernel's prologue on the pallas path.  glu: x is (..., 2K)
+    and silu(x[:K]) * x[K:] feeds the matmul (pallas fused path only;
+    callers fall back to explicit silu otherwise)."""
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu")
     if mode == "w_a8":
         if use_pallas and qt.scales.shape[0] == 1:
-            # activation quantization (and rms_norm) inside the kernel
+            # activation quantization (and rms_norm / SwiGLU) in-kernel
             out = qgemm(x2, qt, impl="pallas", out_dtype=jnp.float32,
-                        act="fused", norm=norm)
+                        act="fused", norm=norm, glu=glu)
         else:
+            assert not glu
             if norm is not None:
                 x2 = rms_norm(x2, norm[0], norm[1])
             xq, xscale = quantize_activations_int8(x2)
             out = qgemm(xq, qt, impl=impl, out_dtype=jnp.float32) * xscale
     elif use_pallas:
         out = qgemm(x2, qt, impl="pallas", out_dtype=jnp.float32, act="fused",
-                    norm=norm)
+                    norm=norm, glu=glu)
     else:
+        assert not glu
         out = qgemm(x2, qt, impl=impl, out_dtype=jnp.float32, norm=norm)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
@@ -407,10 +411,19 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
 
         gu = apply_qlinear(x, layer["gate_up"], mode, None, impl,
                            norm=(layer["mlp_norm"], cfg.rms_norm_eps))
-        ihalf = layer["gate_up"].mdim // 2  # local intermediate width
-        g, u = gu[..., :ihalf], gu[..., ihalf:]
-        d = apply_qlinear(jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u,
-                          layer["down"], mode, None, impl)
+        down = layer["down"]
+        use_pallas = impl == "pallas" or (
+            impl == "auto" and jax.default_backend() == "tpu")
+        if (use_pallas and down.kdim_padded == down.kdim
+                and (mode != "w_a8" or down.scales.shape[0] == 1)):
+            # silu(g)*u folded into the down kernel's prologue
+            d = apply_qlinear(gu, down, mode, None, impl, glu=True)
+        else:
+            ihalf = down.kdim  # local intermediate width
+            g, u = gu[..., :ihalf], gu[..., ihalf:]
+            d = apply_qlinear(
+                jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u,
+                down, mode, None, impl)
         if tp_axis is not None:
             d = jax.lax.psum(d, tp_axis)
         x = x + d

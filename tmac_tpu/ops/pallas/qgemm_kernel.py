@@ -117,7 +117,7 @@ def _unpack_block_swar_shifted(wp_swar, bits: int, j: int, lshift: int):
 
 def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
                  fused_quant=False, single_dot=False, norm_eps=0.0,
-                 norm_k=0):
+                 norm_k=0, glu=False):
     p = 8 // bits if bits != 3 else 4
     kb = K // p  # unpacked k-rows per field block
     chunk = min(gs, kb)
@@ -149,6 +149,12 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
             @pl.when(pl.program_id(0) == 0)
             def _():
                 xf = x_ref[:].astype(jnp.float32)
+                if glu:
+                    # SwiGLU gating folded into the prologue: x is the raw
+                    # fused gate_up output (N, 2K); compute silu(g) * u
+                    # here instead of in XLA glue ops
+                    g_half = xf[:, :K]
+                    xf = g_half * jax.nn.sigmoid(g_half) * xf[:, K:]
                 if norm_eps:
                     # rms_norm folded into the prologue (the norm input is
                     # only consumed by this linear) -- one less XLA fusion
@@ -341,11 +347,11 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
 @functools.partial(
     jax.jit,
     static_argnames=("qt_meta", "out_dtype", "block_m", "interpret",
-                     "norm_meta"),
+                     "norm_meta", "glu"),
 )
 def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
                        qt_meta, out_dtype, block_m, interpret,
-                       norm_w=None, norm_meta=None):
+                       norm_w=None, norm_meta=None, glu=False):
     bits, gs, K, M = qt_meta
     N = x.shape[0]
     KP, Mp = packed.shape
@@ -364,7 +370,7 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
     # N-aware VMEM budget: x (possibly double-buffered by the pipeline) +
     # fused-quant scratch are resident for the whole call; packed + output
     # blocks are double-buffered per grid step
-    fixed = 2 * N * K * x.dtype.itemsize
+    fixed = 2 * N * x.shape[1] * x.dtype.itemsize
     if fused:
         fixed += N * K + 2 * N * G * 4
     out_itemsize = jnp.dtype(out_dtype).itemsize
@@ -388,10 +394,12 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
     norm_eps, norm_k = norm_meta if norm_meta else (0.0, 0)
     kernel = _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
                           fused_quant=fused, single_dot=single_dot,
-                          norm_eps=norm_eps, norm_k=norm_k)
+                          norm_eps=norm_eps, norm_k=norm_k, glu=glu)
 
+    x_cols = 2 * K if glu else K
+    assert x.shape[1] == x_cols, (x.shape, K, glu)
     in_specs = [
-        pl.BlockSpec((N, K), lambda i: (0, 0), memory_space=pltpu.VMEM),       # x
+        pl.BlockSpec((N, x_cols), lambda i: (0, 0), memory_space=pltpu.VMEM),  # x
     ]
     args = [x]
     if norm_meta:
@@ -451,7 +459,7 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
 
 def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
                  block_m: int = 0, interpret: bool | None = None,
-                 act: str = "auto", norm=None) -> jax.Array:
+                 act: str = "auto", norm=None, glu: bool = False) -> jax.Array:
     """x (N, K) bf16/f32/int8 @ packed Wdq -> (N, M).
 
     act: activation handling for float x --
@@ -472,10 +480,21 @@ def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     from tmac_tpu.ops.qgemm import pad_x_for
-    N, K = x.shape
-    assert K == qt.kdim, (K, qt.kdim)
+    if glu:
+        # x is the raw fused gate_up output (N, 2K); silu(g)*u happens in
+        # the kernel prologue.  Requires an unpadded K (padded_intermediate
+        # guarantees this for model shapes) and act='fused'.
+        assert act == "fused" and norm is None
+        N, K2 = x.shape
+        assert K2 == 2 * qt.kdim, (K2, qt.kdim)
+        assert qt.kdim_padded == qt.kdim, "glu fold needs K == K_padded"
+        K = qt.kdim
+    else:
+        N, K = x.shape
+        assert K == qt.kdim, (K, qt.kdim)
     assert qt.k_shards == 1, "k-sharded tensors must run under shard_map (localized)"
-    x = pad_x_for(x, qt)
+    if not glu:
+        x = pad_x_for(x, qt)
     Kp = qt.kdim_padded
     out_dtype = out_dtype or (jnp.float32 if x.dtype == jnp.int8 else x.dtype)
     G = qt.scales.shape[0]
@@ -494,9 +513,10 @@ def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
         out = _qgemm_pallas_call(
             x.astype(jnp.bfloat16), None, None, qt.packed, qt.packed_hi,
             qt.scales, qt.sub, (qt.bits, gs, Kp, qt.mdim), out_dtype,
-            block_m, interpret, norm_w=norm_w, norm_meta=norm_meta)
+            block_m, interpret, norm_w=norm_w, norm_meta=norm_meta, glu=glu)
         return qt.slice_m(out)
     assert norm is None, "norm folding requires act='fused'"
+    assert not glu, "glu folding requires act='fused'"
     if x.dtype != jnp.int8 and act in ("auto", "int8"):
         # per-weight-group activation quantization (lut_ctor analog)
         xg = x.reshape(N, G, gs).astype(jnp.float32)

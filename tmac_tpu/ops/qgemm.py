@@ -401,7 +401,7 @@ def dequant_baseline_matmul(x: jax.Array, w_int8: jax.Array, scales: jax.Array,
 
 def qgemm(x: jax.Array, qt: QuantizedTensor, impl: str = "auto",
           out_dtype=None, block_m: int = 0, act: str = "auto",
-          norm=None) -> jax.Array:
+          norm=None, glu: bool = False) -> jax.Array:
     """Quantized matmul x (N, K) @ Wdq (K, M) -> (N, M).
 
     impl: "auto" (pallas on TPU, xla elsewhere), "pallas", "xla".
@@ -413,6 +413,10 @@ def qgemm(x: jax.Array, qt: QuantizedTensor, impl: str = "auto",
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
+        if glu:
+            K = qt.kdim
+            g, u = x[..., :K].astype(jnp.float32), x[..., K:].astype(jnp.float32)
+            x = (g * jax.nn.sigmoid(g) * u).astype(x.dtype)
         if norm is not None:
             w_n, eps = norm
             xf = x.astype(jnp.float32)
@@ -423,5 +427,5 @@ def qgemm(x: jax.Array, qt: QuantizedTensor, impl: str = "auto",
     if impl == "pallas":
         from tmac_tpu.ops.pallas.qgemm_kernel import qgemm_pallas
         return qgemm_pallas(x, qt, out_dtype=out_dtype, block_m=block_m,
-                            act=act, norm=norm)
+                            act=act, norm=norm, glu=glu)
     raise ValueError(f"unknown impl {impl}")
