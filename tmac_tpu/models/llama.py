@@ -44,34 +44,41 @@ def quantize_activations_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def apply_qlinear(x: jax.Array, qt: QuantizedTensor, mode: str,
                   bias: Optional[jax.Array] = None, impl: str = "auto",
-                  norm=None, glu: bool = False) -> jax.Array:
+                  norm=None, glu: bool = False, residual=None) -> jax.Array:
     """x (..., K) @ Wdq (K, M) -> (..., M) in x's float dtype.
 
     norm: optional (rms weight (K,), eps) applied to x first -- folded into
     the fused kernel's prologue on the pallas path.  glu: x is (..., 2K)
     and silu(x[:K]) * x[K:] feeds the matmul (pallas fused path only;
-    callers fall back to explicit silu otherwise)."""
+    callers fall back to explicit silu otherwise).  residual: optional
+    (..., M) skip connection added in the kernel epilogue."""
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
+    res2 = residual.reshape(-1, residual.shape[-1]) if residual is not None \
+        else None
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu")
     if mode == "w_a8":
         if use_pallas and qt.scales.shape[0] == 1:
-            # activation quantization (and rms_norm / SwiGLU) in-kernel
+            # activation quantization (and rms_norm / SwiGLU / residual)
+            # in-kernel
             out = qgemm(x2, qt, impl="pallas", out_dtype=jnp.float32,
-                        act="fused", norm=norm, glu=glu)
+                        act="fused", norm=norm, glu=glu, residual=res2)
         else:
             assert not glu
             if norm is not None:
                 x2 = rms_norm(x2, norm[0], norm[1])
             xq, xscale = quantize_activations_int8(x2)
             out = qgemm(xq, qt, impl=impl, out_dtype=jnp.float32) * xscale
+            if res2 is not None:
+                out = out + res2.astype(out.dtype)
     elif use_pallas:
         out = qgemm(x2, qt, impl="pallas", out_dtype=jnp.float32, act="fused",
-                    norm=norm, glu=glu)
+                    norm=norm, glu=glu, residual=res2)
     else:
         assert not glu
-        out = qgemm(x2, qt, impl=impl, out_dtype=jnp.float32, norm=norm)
+        out = qgemm(x2, qt, impl=impl, out_dtype=jnp.float32, norm=norm,
+                    residual=res2)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.reshape(*shape[:-1], qt.mdim).astype(x.dtype)
@@ -404,29 +411,39 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
 
         attn = _attention(q, new_k, new_v, li, positions, kv_len_mask, cfg,
                           impl=impl)
-        o = apply_qlinear(attn, layer["wo"], mode, None, impl)
+        # residual folds into the wo/down kernel epilogues ONLY when no
+        # cross-chip psum follows (it must see the partial sum, not
+        # partial + residual per shard)
+        res = x if tp_axis is None else None
+        o = apply_qlinear(attn, layer["wo"], mode, None, impl, residual=res)
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)
-        x = x + o
+            x = x + o
+        else:
+            x = o
 
         gu = apply_qlinear(x, layer["gate_up"], mode, None, impl,
                            norm=(layer["mlp_norm"], cfg.rms_norm_eps))
         down = layer["down"]
         use_pallas = impl == "pallas" or (
             impl == "auto" and jax.default_backend() == "tpu")
+        res = x if tp_axis is None else None
         if (use_pallas and down.kdim_padded == down.kdim
                 and (mode != "w_a8" or down.scales.shape[0] == 1)):
             # silu(g)*u folded into the down kernel's prologue
-            d = apply_qlinear(gu, down, mode, None, impl, glu=True)
+            d = apply_qlinear(gu, down, mode, None, impl, glu=True,
+                              residual=res)
         else:
             ihalf = down.kdim  # local intermediate width
             g, u = gu[..., :ihalf], gu[..., ihalf:]
             d = apply_qlinear(
                 jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u,
-                down, mode, None, impl)
+                down, mode, None, impl, residual=res)
         if tp_axis is not None:
             d = jax.lax.psum(d, tp_axis)
-        x = x + d
+            x = x + d
+        else:
+            x = d
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")

@@ -117,7 +117,7 @@ def _unpack_block_swar_shifted(wp_swar, bits: int, j: int, lshift: int):
 
 def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
                  fused_quant=False, single_dot=False, norm_eps=0.0,
-                 norm_k=0, glu=False):
+                 norm_k=0, glu=False, with_residual=False):
     p = 8 // bits if bits != 3 else 4
     kb = K // p  # unpacked k-rows per field block
     chunk = min(gs, kb)
@@ -195,11 +195,25 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
         if single_dot:
             *rest2, w_s = rest
             rest = rest2
-        if bits == 3:
+        res_ref = None
+        if with_residual:
+            if bits == 3:
+                wph_ref, scales_ref, sub_ref, res_ref, out_ref = rest
+            else:
+                scales_ref, sub_ref, res_ref, out_ref = rest
+                wph_ref = None
+        elif bits == 3:
             wph_ref, scales_ref, sub_ref, out_ref = rest
         else:
             scales_ref, sub_ref, out_ref = rest
             wph_ref = None
+
+        def _finish(acc):
+            # residual fold: the layer's skip connection added in the
+            # epilogue (only when no cross-chip psum follows)
+            if with_residual:
+                acc = acc + res_ref[:].astype(jnp.float32)
+            out_ref[:] = acc.astype(out_dtype)
 
         if not fused_quant:
             x = x_ref[:]
@@ -247,7 +261,7 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
-            out_ref[:] = acc.astype(out_dtype)
+            _finish(acc)
             return
 
         for j in range(p):
@@ -325,7 +339,7 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
-            out_ref[:] = acc.astype(out_dtype)
+            _finish(acc)
             return
 
         # zero-offset fold: C -= xsum @ sub  (covers both the 2^(bits-1)
@@ -339,7 +353,7 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        out_ref[:] = acc.astype(out_dtype)
+        _finish(acc)
 
     return kernel
 
@@ -351,7 +365,7 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
 )
 def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
                        qt_meta, out_dtype, block_m, interpret,
-                       norm_w=None, norm_meta=None, glu=False):
+                       norm_w=None, norm_meta=None, glu=False, residual=None):
     bits, gs, K, M = qt_meta
     N = x.shape[0]
     KP, Mp = packed.shape
@@ -394,7 +408,8 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
     norm_eps, norm_k = norm_meta if norm_meta else (0.0, 0)
     kernel = _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
                           fused_quant=fused, single_dot=single_dot,
-                          norm_eps=norm_eps, norm_k=norm_k, glu=glu)
+                          norm_eps=norm_eps, norm_k=norm_k, glu=glu,
+                          with_residual=residual is not None)
 
     x_cols = 2 * K if glu else K
     assert x.shape[1] == x_cols, (x.shape, K, glu)
@@ -425,6 +440,10 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
         pl.BlockSpec((G, bm), lambda i: (0, i), memory_space=pltpu.VMEM),      # sub
     ]
     args += [scales, sub]
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((N, bm), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))                 # residual
+        args.append(residual)
 
     wbytes = KP * Mp + (packed_hi.size if packed_hi is not None else 0)
     cost = pl.CostEstimate(
@@ -459,7 +478,8 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
 
 def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
                  block_m: int = 0, interpret: bool | None = None,
-                 act: str = "auto", norm=None, glu: bool = False) -> jax.Array:
+                 act: str = "auto", norm=None, glu: bool = False,
+                 residual=None) -> jax.Array:
     """x (N, K) bf16/f32/int8 @ packed Wdq -> (N, M).
 
     act: activation handling for float x --
@@ -510,13 +530,18 @@ def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
             w_n, eps = norm
             norm_w = pad_x_for(w_n.reshape(1, K), qt)
             norm_meta = (float(eps), K)
+        if residual is not None:
+            assert qt.mdim_padded == qt.mdim and qt.m_segments is None, \
+                "residual fold needs an unpadded, unfused M"
         out = _qgemm_pallas_call(
             x.astype(jnp.bfloat16), None, None, qt.packed, qt.packed_hi,
             qt.scales, qt.sub, (qt.bits, gs, Kp, qt.mdim), out_dtype,
-            block_m, interpret, norm_w=norm_w, norm_meta=norm_meta, glu=glu)
+            block_m, interpret, norm_w=norm_w, norm_meta=norm_meta, glu=glu,
+            residual=residual)
         return qt.slice_m(out)
     assert norm is None, "norm folding requires act='fused'"
     assert not glu, "glu folding requires act='fused'"
+    assert residual is None, "residual folding requires act='fused'"
     if x.dtype != jnp.int8 and act in ("auto", "int8"):
         # per-weight-group activation quantization (lut_ctor analog)
         xg = x.reshape(N, G, gs).astype(jnp.float32)

@@ -401,7 +401,7 @@ def dequant_baseline_matmul(x: jax.Array, w_int8: jax.Array, scales: jax.Array,
 
 def qgemm(x: jax.Array, qt: QuantizedTensor, impl: str = "auto",
           out_dtype=None, block_m: int = 0, act: str = "auto",
-          norm=None, glu: bool = False) -> jax.Array:
+          norm=None, glu: bool = False, residual=None) -> jax.Array:
     """Quantized matmul x (N, K) @ Wdq (K, M) -> (N, M).
 
     impl: "auto" (pallas on TPU, xla elsewhere), "pallas", "xla".
@@ -423,9 +423,12 @@ def qgemm(x: jax.Array, qt: QuantizedTensor, impl: str = "auto",
             var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
             x = (xf * jax.lax.rsqrt(var + eps) * w_n.astype(jnp.float32)
                  ).astype(x.dtype)
-        return qgemm_xla(x, qt, out_dtype)
+        out = qgemm_xla(x, qt, out_dtype)
+        if residual is not None:
+            out = out + residual.astype(out.dtype)
+        return out
     if impl == "pallas":
         from tmac_tpu.ops.pallas.qgemm_kernel import qgemm_pallas
         return qgemm_pallas(x, qt, out_dtype=out_dtype, block_m=block_m,
-                            act=act, norm=norm, glu=glu)
+                            act=act, norm=norm, glu=glu, residual=residual)
     raise ValueError(f"unknown impl {impl}")

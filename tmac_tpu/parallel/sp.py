@@ -99,15 +99,23 @@ def _sp_forward(params, cfg: ModelConfig, tokens, cache: KVCache,
         attn = jnp.einsum("btkrs,bksd->btkrd", probs, vg.astype(jnp.float32))
         attn = attn.reshape(B, Tl, cfg.q_dim).astype(x.dtype)
 
-        o = apply_qlinear(attn, layer["wo"], mode, None, impl)
-        x = x + o
+        # residual folded like models/llama.forward (no psum here: weights
+        # are replicated under sp)
+        x = apply_qlinear(attn, layer["wo"], mode, None, impl, residual=x)
         gu = apply_qlinear(x, layer["gate_up"], mode, None, impl,
                            norm=(layer["mlp_norm"], cfg.rms_norm_eps))
-        ihalf = layer["gate_up"].mdim // 2
-        g, u = gu[..., :ihalf], gu[..., ihalf:]
-        d = apply_qlinear(jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u,
-                          layer["down"], mode, None, impl)
-        x = x + d
+        down = layer["down"]
+        use_pallas = impl == "pallas" or (
+            impl == "auto" and jax.default_backend() == "tpu")
+        if (use_pallas and down.kdim_padded == down.kdim
+                and (mode != "w_a8" or down.scales.shape[0] == 1)):
+            x = apply_qlinear(gu, down, mode, None, impl, glu=True, residual=x)
+        else:
+            ihalf = down.kdim
+            g, u = gu[..., :ihalf], gu[..., ihalf:]
+            x = apply_qlinear(
+                jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u,
+                down, mode, None, impl, residual=x)
 
     # only the last shard's last position matters for the next token; all
     # shards compute their local logits, caller takes the global last
