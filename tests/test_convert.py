@@ -20,7 +20,7 @@ from tmac_tpu.ops.qgemm import QuantizedTensor, qgemm_xla
 from tmac_tpu.utils import nmse
 
 
-@pytest.mark.parametrize("bits", [2, 4])
+@pytest.mark.parametrize("bits", [2, 3, 4])
 def test_gptq_roundtrip(bits):
     rng = np.random.default_rng(0)
     K, M, gs = 256, 128, 64
@@ -147,6 +147,51 @@ def test_convert_hf_gptq_end_to_end(tmp_path):
     assert nmse(got, got_fused) < 1e-10
 
     # and the full model must run
+    cache = KVCache.create(cfg, 1, 8)
+    logits, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]]), cache, impl="xla")
+    assert np.isfinite(np.asarray(logits, dtype=np.float32)).all()
+
+
+def test_gptq_b3_codes_exact():
+    """The 3-bit straddle layout (AutoGPTQ pack: 32 codes / 3 words with
+    codes 10 and 21 split across word boundaries) round-trips every code
+    exactly, for weights and for zeros."""
+    rng = np.random.default_rng(6)
+    K, M, gs = 96, 64, 32
+    from tmac_tpu.convert.gptq import _unpack_int32_fields
+    codes = rng.integers(0, 8, (K, M)).astype(np.int64)
+    # force every group to span [0, 7] so scale == 1 (fp16-exact) and
+    # zero == 0: the packed codes are then exactly `codes`
+    codes[::gs, :] = 0
+    codes[1::gs, :] = 7
+    w = codes.astype(np.float32)
+    qweight, scales, qzeros = quantize_gptq_like(w, 3, gs)
+    np.testing.assert_array_equal(scales.astype(np.float32), 1.0)
+    wq, s, sub, b, g = unpack_gptq(qweight, scales, qzeros, gptq_v2=True)
+    assert b == 3 and g == gs
+    # raw field extraction is bit-exact
+    np.testing.assert_array_equal(wq.astype(np.int64), codes)
+    np.testing.assert_array_equal(sub, 0.0)
+    np.testing.assert_array_equal(dequantize(wq, s, sub, gs), w)
+
+
+def test_convert_hf_gptq_b3_end_to_end(tmp_path):
+    """bits=3 HF GPTQ checkpoint -> packed b3 kernel tensors -> model runs
+    (reference compiles bits=3 e2e, python/t_mac/ops/qgemm.py:99-100)."""
+    cfg0 = get_preset("llama-2-7b").scaled(8)
+    ref = _write_synthetic_hf_gptq(str(tmp_path), cfg0, bits=3, gs=128)
+    cfg, params = convert_hf_model(str(tmp_path), name="tiny-b3")
+    assert cfg.quant.bits == 3
+    qt = params["layers"][0]["wqkv"]
+    assert qt.bits == 3 and qt.packed_hi is not None
+
+    x = np.random.default_rng(7).standard_normal(
+        (2, cfg.hidden_size)).astype(np.float32)
+    w = ref["model.layers.0.self_attn.q_proj"]
+    got = np.asarray(qgemm_xla(jnp.asarray(x), qt,
+                               out_dtype=jnp.float32))[:, :cfg.q_dim]
+    assert nmse(x @ w, got) < 5e-2  # 3-bit quant noise bound
+
     cache = KVCache.create(cfg, 1, 8)
     logits, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]]), cache, impl="xla")
     assert np.isfinite(np.asarray(logits, dtype=np.float32)).all()

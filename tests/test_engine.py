@@ -168,6 +168,95 @@ def test_engine_under_tp_mesh(model):
                                rtol=5e-2, atol=0.08)
 
 
+def test_admission_does_not_stall_decodes(model):
+    """A long chunked admission must interleave with running slots' decode:
+    the running request keeps producing tokens between the newcomer's
+    prefill chunks (no head-of-line blocking), and both outputs still match
+    their single-stream references."""
+    cfg, params = model
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=128, impl="xla",
+                          decode_chunk=2, prefill_chunk=8)
+    ua = eng.submit([1, 2, 3], max_new_tokens=20)
+    eng.step()  # admit + fully prefill A (3 < chunk), decode first chunk
+    assert eng.slots[0] is not None and not eng.slots[0].prefilling
+    tokens_before = len(eng.slots[0].output)
+    long_prompt = [int(t) for t in
+                   np.random.default_rng(3).integers(1, cfg.vocab_size, 32)]
+    ub = eng.submit(long_prompt, max_new_tokens=4)
+
+    def b_pending():
+        return bool(eng.waiting) or any(
+            r is not None and r.prefilling for r in eng.slots)
+
+    interleaved = 0
+    for _ in range(50):
+        if not b_pending():
+            break
+        na = len(eng.slots[0].output) if eng.slots[0] is not None else 0
+        eng.step()  # <= 1 prefill chunk per tick + a decode chunk
+        if eng.slots[0] is not None and len(eng.slots[0].output) > na:
+            interleaved += 1
+    # B's prefill took 4 chunks; A made progress during at least 3 of them
+    assert interleaved >= 3, "decode stalled during chunked admission"
+    assert len(eng.slots[0].output) > tokens_before
+    results = eng.run()
+    assert results[ua] == _reference(cfg, params, [1, 2, 3], 20)
+    assert results[ub] == _reference(cfg, params, long_prompt, 4)
+
+
+def test_cancel_frees_slot_and_queue(model):
+    cfg, params = model
+    eng = InferenceEngine(cfg, params, max_batch=1, max_len=64, impl="xla",
+                          decode_chunk=2)
+    u1 = eng.submit([1, 2, 3], max_new_tokens=30)
+    u2 = eng.submit([4, 5], max_new_tokens=5)  # waits behind u1
+    eng.step()
+    assert eng.cancel(u1)        # running in the slot
+    assert not eng.cancel(9999)  # unknown uid
+    results = eng.run()
+    assert u1 not in results
+    assert results[u2] == _reference(cfg, params, [4, 5], 5)
+
+
+def test_engine_under_dp_tp_mesh(model):
+    """dp=2 x tp=2: batch slots sharded over dp groups; engine output
+    lengths/ranges correct and slots isolated across dp groups."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from tmac_tpu.models.llama import KVCache
+    from tmac_tpu.parallel import tp as tpmod
+
+    cfg, _ = model
+    tp, dp = 2, 2
+    params = init_params(cfg, seed=0, tp=tp)
+    mesh = tpmod.make_mesh(tp=tp, dp=dp)
+    sparams = tpmod.shard_params(params, mesh)
+    cache = tpmod.shard_cache(KVCache.create(cfg, 4, 64), mesh)
+    eng = InferenceEngine(cfg, sparams, max_batch=4, max_len=64,
+                          impl="xla", decode_chunk=4,
+                          step_fns=tpmod.make_engine_fns(cfg, mesh,
+                                                         impl="xla"),
+                          cache=cache)
+    # 4 slots -> slots 0,1 owned by dp group 0, slots 2,3 by group 1
+    prompts = [[1, 2, 3], [9, 8], [5, 6, 7], [4]]
+    lens = [6, 5, 4, 7]
+    uids = [eng.submit(p, max_new_tokens=n) for p, n in zip(prompts, lens)]
+    res = eng.run()
+    for uid, n in zip(uids, lens):
+        assert len(res[uid]) == n
+        assert all(0 <= t < cfg.vocab_size for t in res[uid])
+    # greedy equality vs the single-chip engine (greedy decode; psum-order
+    # noise can flip near-ties, so compare only the robust first tokens)
+    eng1 = InferenceEngine(cfg, init_params(cfg, seed=0), max_batch=4,
+                           max_len=64, impl="xla", decode_chunk=4)
+    u1 = [eng1.submit(p, max_new_tokens=n) for p, n in zip(prompts, lens)]
+    res1 = eng1.run()
+    agree = sum(res[u] and res1[v] and res[u][0] == res1[v][0]
+                for u, v in zip(uids, u1))
+    assert agree >= 3, (res, res1)
+
+
 def test_chunked_prefill_matches_oneshot(model):
     """Long prompts prefill in chunks; output must equal the unchunked
     single-stream decode."""

@@ -56,7 +56,75 @@ def test_f16_f32_tensors(tmp_path):
     r.close()
 
 
-def _write_tiny_llama_gguf(path: str, cfg, rng):
+@pytest.mark.parametrize("ttype", [gguf.GGML_TQ1_0, gguf.GGML_TQ2_0,
+                                   gguf.GGML_I2_S])
+def test_ternary_roundtrip(ttype, tmp_path):
+    """BitNet ternary types (reference run_pipeline.py:375 lists
+    i2/tq1_0/tq2_0): write -> read -> exact trit + scale recovery."""
+    rng = np.random.default_rng(3)
+    M, K = 32, 512
+    s = 0.037
+    trits = rng.integers(-1, 2, (M, K)).astype(np.float32)
+    w = trits * s
+    path = str(tmp_path / "t.gguf")
+    gguf.write_gguf(path, {}, {"w": (ttype, w)})
+    r = gguf.GGUFReader(path)
+    wdq = r.dequantized("w")
+    # trits recovered exactly; scale within fp16 (f32 for i2_s)
+    np.testing.assert_array_equal(np.sign(wdq), np.sign(w))
+    tol = 1e-6 if ttype == gguf.GGML_I2_S else 1e-3
+    np.testing.assert_allclose(wdq, w, rtol=tol, atol=tol * s)
+
+    # mapping onto the kernel layout: per-tensor scale (uniform blocks)
+    wq, scales, sub, gs, per_tensor = r.ternary_to_quantized("w")
+    assert per_tensor and gs == K
+    assert wq.shape == (K, M) and scales.shape == (1, M)
+    from tmac_tpu.ops.packing import dequantize
+    wdq2 = scales.repeat(K // gs if gs < K else 1, 0)
+    np.testing.assert_allclose(
+        dequantize(wq, scales, sub, gs), wdq.T, rtol=2e-3, atol=2e-3 * s)
+    r.close()
+
+
+def test_tq1_0_all_trit_bytes_roundtrip():
+    """Every 5-trit combination survives the base-3 fixed-point byte
+    encoding (the subtle part of TQ1_0)."""
+    import itertools
+    combos = np.array(list(itertools.product([-1, 0, 1], repeat=5)),
+                      np.float32)  # (243, 5)
+    # lay each combo along the stride-32 element pattern of one block
+    w = np.zeros((243, 256), np.float32)
+    for n in range(5):
+        w[:, 32 * n] = combos[:, n]
+    w[:, 1] = 1.0  # ensure every block's amax is 1
+    raw = np.frombuffer(gguf._pack_tq1_0(w), np.uint8).reshape(-1, 54)
+    trits, d = gguf.GGUFReader._tq1_0_fields(raw.reshape(-1))
+    got = np.stack([trits[:, 32 * n] for n in range(5)], 1).astype(np.int32) - 1
+    np.testing.assert_array_equal(got, combos.astype(np.int32))
+    np.testing.assert_array_equal(d, np.ones(243, np.float16))
+
+
+def test_ternary_nonuniform_blocks_grouped():
+    """TQ2_0 with genuinely different per-block scales maps onto grouped
+    (gs=256) scales."""
+    rng = np.random.default_rng(4)
+    M, K = 8, 512
+    w = rng.integers(-1, 2, (M, K)).astype(np.float32)
+    w[:, :256] *= 0.5  # first block scale differs
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "t.gguf")
+        gguf.write_gguf(path, {}, {"w": (gguf.GGML_TQ2_0, w)})
+        r = gguf.GGUFReader(path)
+        wq, scales, sub, gs, per_tensor = r.ternary_to_quantized("w")
+        assert not per_tensor and gs == 256 and scales.shape == (2, M)
+        from tmac_tpu.ops.packing import dequantize
+        np.testing.assert_allclose(dequantize(wq, scales, sub, gs), w.T,
+                                   rtol=1e-3, atol=1e-3)
+        r.close()
+
+
+def _write_tiny_llama_gguf(path: str, cfg, rng, wtype=gguf.GGML_Q4_0):
     H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     md = {
         "general.architecture": "llama",
@@ -88,8 +156,12 @@ def _write_tiny_llama_gguf(path: str, cfg, rng):
         tensors[f"{p}.attn_norm.weight"] = (gguf.GGML_F32, np.ones((H,)))
         tensors[f"{p}.ffn_norm.weight"] = (gguf.GGML_F32, np.ones((H,)))
         for n, shp in shapes.items():
-            w = (rng.standard_normal(shp) * std).astype(np.float32)
-            tensors[f"{p}.{n}.weight"] = (gguf.GGML_Q4_0, w)
+            if wtype in gguf.TERNARY_TYPES:
+                # ternary * per-tensor scale (what a BitNet artifact holds)
+                w = (rng.integers(-1, 2, shp) * std).astype(np.float32)
+            else:
+                w = (rng.standard_normal(shp) * std).astype(np.float32)
+            tensors[f"{p}.{n}.weight"] = (wtype, w)
             ref_w[f"{p}.{n}"] = w
     gguf.write_gguf(path, md, tensors)
     return ref_w
@@ -113,6 +185,33 @@ def test_convert_gguf_model_end_to_end(tmp_path):
     assert e < 2e-2, e  # Q4_0's symmetric max/-8 scale is cruder than affine
 
     # model runs
+    cache = KVCache.create(cfg, 1, 8)
+    logits, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]]), cache, impl="xla")
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
+@pytest.mark.parametrize("ttype", [gguf.GGML_TQ1_0, gguf.GGML_I2_S])
+def test_convert_bitnet_gguf_end_to_end(ttype, tmp_path):
+    """A BitNet gguf artifact (ternary tensor types) converts to the w_a8
+    per-tensor path and the model runs -- the reference's main
+    distribution-format ingestion (run_pipeline.py:375)."""
+    cfg0 = get_preset("bitnet-3b").scaled(12)
+    rng = np.random.default_rng(5)
+    path = str(tmp_path / "model.gguf")
+    ref_w = _write_tiny_llama_gguf(path, cfg0, rng, wtype=ttype)
+    cfg, params = gguf.convert_gguf_model(path, name="tiny-bitnet-gguf")
+    assert cfg.quant.mode == "w_a8" and cfg.quant.group_size == -1
+    qt = params["layers"][0]["wqkv"]
+    assert qt.bits == 2 and qt.scales.shape[0] == 1
+
+    # exact ternary recovery through the whole pipeline: int8 activations x
+    # converted weights == float oracle (exact-int path, near-zero nmse)
+    x = rng.integers(-10, 11, (2, cfg.hidden_size)).astype(np.float32)
+    got = np.asarray(qgemm_xla(jnp.asarray(x, jnp.float32), qt))
+    wq = ref_w["blk.0.attn_q"].T  # (H, qd)
+    e = nmse(x @ wq, got[:, :cfg.q_dim])
+    assert e < 1e-4, e  # fp16 scale rounding only (exact for i2_s)
+
     cache = KVCache.create(cfg, 1, 8)
     logits, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]]), cache, impl="xla")
     assert np.isfinite(np.asarray(logits, np.float32)).all()

@@ -276,6 +276,118 @@ def test_qgemm_pallas_single_dot_large_n():
     np.testing.assert_allclose(gf[:2], small, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("bits", [1, 2, 3, 4])
+@pytest.mark.parametrize("zero_point", [False, True])
+def test_qgemm_pallas_dequant_dot_large_n(bits, zero_point):
+    """Grouped scales at N >= 64 take the bf16 dequant-dot path (scale AND
+    zero-offset folded into the bf16 scratch, one MXU dot); must match the
+    dequant oracle within bf16 rounding and agree with the small-N chunked
+    path."""
+    x, qt, oracle = _setup(bits, 128, 512, 256, 32, zero_point)
+    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True,
+                                  act="native"))
+    assert nmse(oracle, got) < 5e-5  # bf16 weight rounding only
+    # act='auto' at N >= 3*gs (the dispatch heuristic) must route large-N
+    # grouped floats to the same native path -- not through int8 act quant
+    auto = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True,
+                                   act="auto"))
+    np.testing.assert_array_equal(auto, got)
+    # explicit dispatch forces each path regardless of the heuristic
+    chunk = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True,
+                                    act="auto", dispatch="chunk"))
+    assert nmse(oracle, chunk) < 5e-4  # int8 act quant gate
+    assert not np.array_equal(chunk, got)
+    # consistency with the small-N chunk path on the same rows
+    small = np.asarray(qgemm_pallas(jnp.asarray(x[:2]), qt, interpret=True,
+                                    act="native"))
+    assert nmse(small, got[:2]) < 5e-5
+
+
+def test_act_group_size_production_paths():
+    """Independent act_group_size (reference -ags knob): finer act groups
+    on the chunked int8 paths reduce activation quant error and stay
+    within the accuracy gate; fused and external paths agree."""
+    x, qt, oracle = _setup(2, 2, 512, 256, 128, True, seed=11)
+    e_default = nmse(oracle, np.asarray(qgemm_pallas(
+        jnp.asarray(x), qt, interpret=True, act="int8")))
+    e_fine = nmse(oracle, np.asarray(qgemm_pallas(
+        jnp.asarray(x), qt, interpret=True, act="int8", act_group_size=32)))
+    assert e_fine < 5e-4 and e_default < 5e-4
+    assert e_fine <= e_default * 1.5  # typically strictly better
+    # fused prologue honors it too
+    xb = jnp.asarray(x, jnp.bfloat16)
+    f_fine = np.asarray(qgemm_pallas(xb, qt, interpret=True, act="fused",
+                                     out_dtype=jnp.float32,
+                                     act_group_size=32))
+    assert nmse(oracle, f_fine) < 5e-4
+    # invalid values (not dividing gs / coarser than gs) are ignored
+    same = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True,
+                                   act="int8", act_group_size=96))
+    base = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True,
+                                   act="int8"))
+    np.testing.assert_array_equal(same, base)
+
+
+def test_dequant_dot_tuned_dispatch(tmp_path, monkeypatch):
+    """A tuned dispatch entry overrides the heuristic for fused grouped
+    large-N calls (the kcfg analog extended to path choice)."""
+    import json
+    from tmac_tpu.ops.pallas import tune_table
+    x, qt, oracle = _setup(2, 128, 512, 256, 128, True)  # N=128 < 3*gs
+    xb = jnp.asarray(x, jnp.bfloat16)
+    # default heuristic -> chunk; force dequant via a table entry
+    base = np.asarray(qgemm_pallas(xb, qt, interpret=True, act="fused",
+                                   out_dtype=jnp.float32))
+    deq = np.asarray(qgemm_pallas(xb, qt, interpret=True, act="fused",
+                                  out_dtype=jnp.float32, dispatch="dequant"))
+    assert not np.array_equal(base, deq)  # different numerics -> different path
+    tab = str(tmp_path / "tune.json")
+    key = tune_table.key(2, qt.kdim_padded, qt.mdim_padded, 128, 128,
+                         "dispatch-fused")
+    with open(tab, "w") as f:
+        json.dump({"cpu_unknown": {key: {"block_m": 0, "us": 1.0,
+                                         "path": "dequant"}}}, f)
+    monkeypatch.setenv("TMAC_TUNE_TABLE", tab)
+    monkeypatch.setattr(tune_table, "_device_kind", "cpu_unknown")
+    tune_table.invalidate_cache()
+    try:
+        tuned = np.asarray(qgemm_pallas(xb, qt, interpret=True, act="fused",
+                                        out_dtype=jnp.float32))
+        np.testing.assert_array_equal(tuned, deq)
+    finally:
+        tune_table.invalidate_cache()
+
+
+def test_qgemm_pallas_dequant_dot_fused_prologue():
+    """act='fused' grouped at large N: the prologue only applies norm/glu
+    (activations stay bf16); output must match norm-outside + native path."""
+    rng = np.random.default_rng(33)
+    K, M, gs, N = 512, 256, 128, 128
+    w = rng.standard_normal((K, M)).astype(np.float32)
+    wq, scales, sub = packing.quantize_weights(w, 2, gs, True)
+    wdq = packing.dequantize(wq, scales, sub, gs)
+    qt = QuantizedTensor.from_quantized(wq, scales, sub, 2, gs)
+    x = jnp.asarray(rng.standard_normal((N, K)), jnp.bfloat16)
+    w_n = jnp.asarray(1.0 + 0.1 * rng.standard_normal(K), jnp.bfloat16)
+    eps = 1e-5
+    fused = np.asarray(qgemm_pallas(x, qt, interpret=True, act="fused",
+                                    out_dtype=jnp.float32, norm=(w_n, eps),
+                                    dispatch="dequant"))
+    xf = np.asarray(x, np.float32)
+    var = np.mean(xf ** 2, axis=1, keepdims=True)
+    xn = xf / np.sqrt(var + eps) * np.asarray(w_n, np.float32)
+    oracle = xn @ wdq
+    assert nmse(oracle, fused) < 5e-5
+    # glu fold at large N
+    gu = jnp.asarray(rng.standard_normal((N, 2 * K)), jnp.bfloat16)
+    fg = np.asarray(qgemm_pallas(gu, qt, interpret=True, act="fused",
+                                 out_dtype=jnp.float32, glu=True,
+                                 dispatch="dequant"))
+    guf = np.asarray(gu, np.float32)
+    prod = guf[:, :K] / (1 + np.exp(-guf[:, :K])) * guf[:, K:]
+    assert nmse(prod @ wdq, fg) < 5e-5
+
+
 def test_qgemm_fused_norm_matches_external():
     """rms_norm folded into the fused prologue == norm outside + fused,
     including K padding (variance over logical K only)."""

@@ -49,3 +49,54 @@ def test_sp_prefill_matches_single_device(preset):
     t_got, _ = decode_loop(params, cfg, first2, got_cache, key, steps=4,
                            sampler=SamplerConfig(), impl="xla")
     np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_got))
+
+
+def test_sp8_long_context_chunked_attention():
+    """sp=8 at T=2048 with bounded (attn_chunk=256) score memory: the v2
+    online-softmax path must match single-device prefill logits at the
+    last position (VERDICT round-1 item 8)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = get_preset("llama-2-7b").scaled(8)
+    params = init_params(cfg, seed=1)
+    rng = np.random.default_rng(1)
+    B, T = 1, 2048
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)))
+
+    ref_logits, ref_cache = prefill(params, cfg, toks,
+                                    KVCache.create(cfg, B, T), impl="xla")
+    mesh = spmod.make_sp_mesh(8)
+    pf = spmod.make_sp_prefill(cfg, mesh, impl="xla", attn_chunk=256)
+    got_logits, got_cache = pf(params, toks, KVCache.create(cfg, B, T))
+    np.testing.assert_allclose(np.asarray(got_logits, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               rtol=3e-2, atol=3e-2)
+    assert (np.asarray(got_cache.pos) == T).all()
+
+
+def test_sp_chunked_prefill_composition():
+    """SP + chunked prefill (start offsets): several sp-sharded spans must
+    reproduce the one-shot prefill (lifts round 1's fresh-cache-only
+    restriction)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    cfg = get_preset("llama-2-7b").scaled(8)
+    params = init_params(cfg, seed=2)
+    rng = np.random.default_rng(2)
+    B, T, chunk = 2, 64, 16
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)))
+
+    ref_logits, ref_cache = prefill(params, cfg, toks,
+                                    KVCache.create(cfg, B, 128), impl="xla")
+    mesh = spmod.make_sp_mesh(4)
+    pf = spmod.make_sp_prefill(cfg, mesh, impl="xla", attn_chunk=64)
+    got_logits, got_cache = spmod.sp_prefill_chunked(
+        pf, params, toks, KVCache.create(cfg, B, 128), chunk=chunk)
+    np.testing.assert_allclose(np.asarray(got_logits, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               rtol=3e-2, atol=3e-2)
+    assert (np.asarray(got_cache.pos) == T).all()
+    np.testing.assert_allclose(
+        np.asarray(got_cache.k[:, :, :, :T], np.float32),
+        np.asarray(ref_cache.k[:, :, :, :T], np.float32),
+        rtol=3e-2, atol=3e-2)

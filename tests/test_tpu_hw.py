@@ -1,0 +1,170 @@
+"""Hardware test tier: the BENCH.md accuracy gates as pytest, on real TPU.
+
+Run with `TMAC_TEST_TPU=1 python -m pytest tests/test_tpu_hw.py -q` on a
+machine with a TPU (the conftest skips these when no TPU is present).
+These exercise the COMPILED Mosaic kernels -- the CPU suite only covers
+interpret mode, which differs in unpack path (no SWAR), MXU precision, and
+lowering legality.
+
+Reference accuracy gate: NMSE <= 5e-4 vs the dequant oracle
+(reference python/t_mac/ops/qgemm.py:278).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tmac_tpu.ops import packing
+from tmac_tpu.ops.qgemm import QuantizedTensor
+from tmac_tpu.ops.pallas.qgemm_kernel import qgemm_pallas
+from tmac_tpu.utils import nmse
+
+pytestmark = pytest.mark.tpu
+
+
+def _setup(bits, N, K, M, gs, zero_point, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((K, M)).astype(np.float32)
+    x = rng.standard_normal((N, K)).astype(np.float32)
+    wq, scales, sub = packing.quantize_weights(w, bits, gs, zero_point)
+    wdq = packing.dequantize(wq, scales, sub, gs)
+    qt = QuantizedTensor.from_quantized(wq, scales, sub, bits, gs)
+    return x, qt, x @ wdq
+
+
+@pytest.mark.parametrize("bits", [1, 2, 3, 4])
+@pytest.mark.parametrize("zero_point", [False, True])
+def test_hw_pallas_vs_oracle_grouped(bits, zero_point):
+    """Compiled SWAR kernel vs dequant oracle at every bits x zp combo."""
+    x, qt, oracle = _setup(bits, 4, 1024, 512, 128, zero_point)
+    got = np.asarray(qgemm_pallas(jnp.asarray(x, jnp.bfloat16), qt,
+                                  act="int8", out_dtype=jnp.float32))
+    assert nmse(oracle, got) < 5e-4
+
+
+def test_hw_int8_per_tensor_exact():
+    """BitNet path: int8 acts x per-tensor scale accumulates exactly in
+    int32 on the MXU."""
+    rng = np.random.default_rng(1)
+    K, M = 1024, 512
+    wq = rng.integers(1, 4, (K, M)).astype(np.uint8)
+    s = np.full((1, M), 0.031, np.float32)
+    qt = QuantizedTensor.from_quantized(wq, s, 2 * s, bits=2, group_size=K)
+    x = rng.integers(-127, 128, (4, K)).astype(np.int8)
+    oracle = (x.astype(np.int64) @ (wq.astype(np.int64) - 2)
+              ).astype(np.float32) * s[0]
+    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, out_dtype=jnp.float32))
+    assert nmse(oracle, got) < 1e-10
+
+
+def test_hw_fused_equals_external_prologue():
+    """act='fused' (in-kernel act quant) == external int8 prologue path."""
+    rng = np.random.default_rng(2)
+    K, M = 1024, 512
+    wq = rng.integers(1, 4, (K, M)).astype(np.uint8)
+    s = np.full((1, M), 0.02, np.float32)
+    qt = QuantizedTensor.from_quantized(wq, s, 2 * s, bits=2, group_size=K)
+    xb = jnp.asarray(rng.standard_normal((2, K)), jnp.bfloat16)
+    fused = np.asarray(qgemm_pallas(xb, qt, act="fused",
+                                    out_dtype=jnp.float32))
+    # external per-token quantization (same math as the kernel prologue)
+    xf = np.asarray(xb, np.float32)
+    sc = np.maximum(np.abs(xf).max(1, keepdims=True), 1e-20) / 127.0
+    xq = np.clip(np.rint(xf / sc), -127, 127).astype(np.int8)
+    ext = np.asarray(qgemm_pallas(jnp.asarray(xq), qt,
+                                  out_dtype=jnp.float32)) * sc
+    assert nmse(ext, fused) < 1e-9
+
+
+@pytest.mark.parametrize("dispatch", ["chunk", "dequant"])
+def test_hw_large_n_grouped_paths(dispatch):
+    """Both large-N grouped kernel paths stay within the gate on hardware
+    (the dispatch choice is perf-only, never accuracy)."""
+    x, qt, oracle = _setup(4, 256, 1024, 512, 128, True)
+    got = np.asarray(qgemm_pallas(jnp.asarray(x, jnp.bfloat16), qt,
+                                  act="fused", out_dtype=jnp.float32,
+                                  dispatch=dispatch))
+    assert nmse(oracle, got) < 5e-4
+
+
+def test_hw_single_dot_large_n_per_tensor():
+    rng = np.random.default_rng(3)
+    K, M = 1024, 512
+    wq = rng.integers(1, 4, (K, M)).astype(np.uint8)
+    s = np.full((1, M), 0.05, np.float32)
+    qt = QuantizedTensor.from_quantized(wq, s, 2 * s, bits=2, group_size=K)
+    x = rng.integers(-127, 128, (128, K)).astype(np.int8)
+    oracle = (x.astype(np.int64) @ (wq.astype(np.int64) - 2)
+              ).astype(np.float32) * s[0]
+    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, out_dtype=jnp.float32))
+    assert nmse(oracle, got) < 1e-10
+
+
+def test_hw_norm_glu_folds():
+    """rms_norm and SwiGLU prologue folds == external ops, compiled."""
+    rng = np.random.default_rng(4)
+    K, M = 1024, 512
+    wq = rng.integers(1, 4, (K, M)).astype(np.uint8)
+    s = np.full((1, M), 0.02, np.float32)
+    qt = QuantizedTensor.from_quantized(wq, s, 2 * s, bits=2, group_size=K)
+    x = jnp.asarray(rng.standard_normal((2, K)), jnp.bfloat16)
+    w_n = jnp.asarray(1.0 + 0.1 * rng.standard_normal(K), jnp.bfloat16)
+    eps = 1e-5
+    fused = np.asarray(qgemm_pallas(x, qt, act="fused",
+                                    out_dtype=jnp.float32, norm=(w_n, eps)))
+    xf = np.asarray(x, np.float32)
+    var = np.mean(xf ** 2, 1, keepdims=True)
+    xn = jnp.asarray(xf / np.sqrt(var + eps) * np.asarray(w_n, np.float32),
+                     jnp.bfloat16)
+    ref = np.asarray(qgemm_pallas(xn, qt, act="fused",
+                                  out_dtype=jnp.float32))
+    assert nmse(ref, fused) < 1e-4
+
+    gu = jnp.asarray(rng.standard_normal((2, 2 * K)), jnp.bfloat16)
+    fg = np.asarray(qgemm_pallas(gu, qt, act="fused", out_dtype=jnp.float32,
+                                 glu=True))
+    guf = np.asarray(gu, np.float32)
+    prod = jnp.asarray(guf[:, :K] / (1 + np.exp(-guf[:, :K])) * guf[:, K:],
+                       jnp.bfloat16)
+    rf = np.asarray(qgemm_pallas(prod, qt, act="fused",
+                                 out_dtype=jnp.float32))
+    assert nmse(rf, fg) < 1e-4
+
+
+@pytest.mark.parametrize("D,S", [(100, 256), (128, 256), (128, 2048)])
+def test_hw_flash_decode_vs_oracle(D, S):
+    """Flash-decode kernel vs masked-softmax oracle on hardware, padded
+    head_dim (D=100 -> Dp=128) and per-slot lens included."""
+    from tmac_tpu.ops.pallas.attention_kernel import flash_decode_stacked
+    rng = np.random.default_rng(5)
+    L, B, KV, rep = 2, 2, 2, 2
+    Dp = 128
+    k = rng.standard_normal((L, B, KV, S, Dp)).astype(np.float32)
+    v = rng.standard_normal((L, B, KV, S, Dp)).astype(np.float32)
+    if D < Dp:
+        k[..., D:] = 0.0
+        v[..., D:] = 0.0
+    q = rng.standard_normal((B, KV, rep, D)).astype(np.float32)
+    lens = np.array([S // 3, S - 1], np.int32)
+    li = 1
+    scale = 1.0 / np.sqrt(D)
+    out = np.asarray(flash_decode_stacked(
+        jnp.asarray(q, jnp.bfloat16),
+        jnp.asarray(k, jnp.bfloat16), jnp.asarray(v, jnp.bfloat16),
+        jnp.asarray(lens), jnp.int32(li), scale=scale))
+    # oracle in f64 on host
+    qb = np.asarray(np.asarray(jnp.asarray(q, jnp.bfloat16), np.float32))
+    kb = np.asarray(np.asarray(jnp.asarray(k, jnp.bfloat16), np.float32))
+    vb = np.asarray(np.asarray(jnp.asarray(v, jnp.bfloat16), np.float32))
+    for b in range(B):
+        n = lens[b]
+        for h in range(KV):
+            for r in range(rep):
+                sc = (kb[li, b, h, :n, :D] @ qb[b, h, r]) * scale
+                p = np.exp(sc - sc.max())
+                p /= p.sum()
+                o = p @ vb[li, b, h, :n, :D]
+                got = np.asarray(out).reshape(B, KV, rep, -1)[b, h, r, :D]
+                assert nmse(o, got) < 1e-3, (b, h, r)

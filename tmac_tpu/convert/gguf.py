@@ -44,9 +44,17 @@ _SCALAR_FMT = {
 # ggml tensor types (subset)
 GGML_F32, GGML_F16, GGML_Q4_0, GGML_Q4_1 = 0, 1, 2, 3
 GGML_Q8_0 = 8
+# ternary types: TQ1_0/TQ2_0 are upstream llama.cpp (ggml.h enum 34/35);
+# I2_S is the BitNet-fork per-tensor-scale 2-bit type (the "i2" of
+# reference tools/run_pipeline.py:375; fork absent from the snapshot --
+# layout reconstructed below)
+GGML_TQ1_0, GGML_TQ2_0, GGML_I2_S = 34, 35, 36
 
 _TYPE_NAMES = {GGML_F32: "F32", GGML_F16: "F16", GGML_Q4_0: "Q4_0",
-               GGML_Q4_1: "Q4_1", GGML_Q8_0: "Q8_0"}
+               GGML_Q4_1: "Q4_1", GGML_Q8_0: "Q8_0", GGML_TQ1_0: "TQ1_0",
+               GGML_TQ2_0: "TQ2_0", GGML_I2_S: "I2_S"}
+
+TERNARY_TYPES = (GGML_TQ1_0, GGML_TQ2_0, GGML_I2_S)
 
 
 def _block_layout(ggml_type: int) -> Tuple[int, int]:
@@ -59,6 +67,10 @@ def _block_layout(ggml_type: int) -> Tuple[int, int]:
         return 32, 18
     if ggml_type == GGML_Q8_0:
         return 32, 34
+    if ggml_type == GGML_TQ1_0:
+        return 256, 54   # qs[48] + qh[4] + fp16 d
+    if ggml_type == GGML_TQ2_0:
+        return 256, 66   # qs[64] + fp16 d
     raise NotImplementedError(
         f"ggml tensor type {ggml_type} ({_TYPE_NAMES.get(ggml_type, '?')}) "
         "unsupported -- requantize with llama-quantize to Q4_0/Q8_0")
@@ -122,8 +134,11 @@ class GGUFReader:
     def tensor_bytes(self, name: str) -> np.ndarray:
         info = self.tensors[name]
         elems = int(np.prod(info["dims"]))
-        bele, bbytes = _block_layout(info["type"])
-        nbytes = elems // bele * bbytes
+        if info["type"] == GGML_I2_S:
+            nbytes = elems // 4 + 4  # packed 2-bit codes + trailing f32 scale
+        else:
+            bele, bbytes = _block_layout(info["type"])
+            nbytes = elems // bele * bbytes
         start = self._data_start + info["offset"]
         return np.frombuffer(self._mm, np.uint8, nbytes, start)
 
@@ -148,7 +163,125 @@ class GGUFReader:
             d = blk[:, :2].copy().view(np.float16).reshape(-1)
             q = blk[:, 2:].view(np.int8)
             return (q.astype(np.float32) * d.astype(np.float32)[:, None]).reshape(shape)
+        if t == GGML_TQ1_0 or t == GGML_TQ2_0:
+            fields = self._tq1_0_fields if t == GGML_TQ1_0 else self._tq2_0_fields
+            trits, d = fields(raw)
+            return ((trits.astype(np.float32) - 1.0)
+                    * d.astype(np.float32)[:, None]).reshape(shape)
+        if t == GGML_I2_S:
+            trits, scale = self._i2_s_fields(raw, int(np.prod(dims)))
+            return (trits.astype(np.float32) - 1.0).reshape(shape) * scale
         raise NotImplementedError(_TYPE_NAMES.get(t, str(t)))
+
+    @staticmethod
+    def _tq1_0_fields(raw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """(trits uint8 (nblocks, 256) codes {0,1,2}, d fp16 (nblocks,)).
+
+        llama.cpp block_tq1_0 (ggml quantize_row_tq1_0_ref): qs[48] packs 5
+        trits per byte in fixed-point base-3 -- byte = ceil((t0*81 + t1*27
+        + ... + t4) * 256 / 243); digit n extracted as
+        ((byte * 3^n mod 256) * 3) >> 8.  The first 32 qs bytes cover
+        elements 0..159 with element index m + 32n, the next 16 bytes cover
+        160..239 at stride 16; qh[4] packs 4 trits per byte (x256/81) for
+        elements 240..255 at stride 4; fp16 d last.
+        """
+        blk = raw.reshape(-1, 54)
+        nb = blk.shape[0]
+        qs = blk[:, :48].astype(np.uint16)
+        qh = blk[:, 48:52].astype(np.uint16)
+        d = blk[:, 52:54].copy().view(np.float16).reshape(-1)
+        trits = np.empty((nb, 256), np.uint8)
+        pow3 = (1, 3, 9, 27, 81)
+        for n in range(5):
+            q = (qs[:, :32] * pow3[n]) & 0xFF
+            trits[:, 32 * n:32 * (n + 1)] = (q * 3) >> 8
+        for n in range(5):
+            q = (qs[:, 32:48] * pow3[n]) & 0xFF
+            trits[:, 160 + 16 * n:160 + 16 * (n + 1)] = (q * 3) >> 8
+        for n in range(4):
+            q = (qh * pow3[n]) & 0xFF
+            trits[:, 240 + 4 * n:240 + 4 * (n + 1)] = (q * 3) >> 8
+        return trits, d
+
+    @staticmethod
+    def _tq2_0_fields(raw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """(trits uint8 (nblocks, 256) codes {0,1,2}, d fp16 (nblocks,)).
+
+        llama.cpp block_tq2_0: qs[64], 4 elements per byte at 2 bits each,
+        element index j*4 + m + 32n for byte j+m (j in {0,32}), code =
+        (byte >> 2n) & 3; fp16 d last."""
+        blk = raw.reshape(-1, 66)
+        qs = blk[:, :64]
+        d = blk[:, 64:66].copy().view(np.float16).reshape(-1)
+        trits = np.empty((blk.shape[0], 256), np.uint8)
+        for j in (0, 32):
+            for n in range(4):
+                trits[:, j * 4 + 32 * n:j * 4 + 32 * (n + 1)] = \
+                    (qs[:, j:j + 32] >> (2 * n)) & 3
+        return trits, d
+
+    @staticmethod
+    def _i2_s_fields(raw: np.ndarray, elems: int) -> Tuple[np.ndarray, float]:
+        """(trits uint8 (elems,) codes {0,1,2}, per-tensor f32 scale).
+
+        The BitNet-fork "i2" per-tensor-scale 2-bit type (reference
+        tools/run_pipeline.py:375; the fork submodule is absent from the
+        snapshot, so this layout is this framework's own contract, written
+        by write_gguf below): element e lives in byte e//4 at bit offset
+        2*(e%4), codes {0,1,2} = trit + 1; one f32 scale trails the packed
+        bytes.  Dequant: w = (code - 1) * scale.
+        """
+        qs = raw[:elems // 4]
+        scale = float(raw[elems // 4:elems // 4 + 4].copy().view(np.float32)[0])
+        trits = np.empty((elems,), np.uint8)
+        for n in range(4):
+            trits[n::4] = (qs >> (2 * n)) & 3
+        return trits, scale
+
+    def ternary_block_scales(self, name: str) -> Optional[np.ndarray]:
+        """Per-256-block fp16 scales of a TQ tensor (None for I2_S, which
+        is per-tensor by construction).  Cheap: reads only the d fields."""
+        info = self.tensors[name]
+        t = info["type"]
+        if t == GGML_I2_S:
+            return None
+        step = 54 if t == GGML_TQ1_0 else 66
+        blk = self.tensor_bytes(name).reshape(-1, step)
+        return blk[:, step - 2:step].copy().view(np.float16).reshape(-1)
+
+    def ternary_to_quantized(self, name: str):
+        """Ternary tensor -> (wq (K, M) uint8 codes {1,2,3}, scales, sub,
+        group_size, per_tensor) in this framework's kernel layout
+        (Wdq = scales*wq - sub, mid = 2 -- the convert/bitnet.py encoding).
+
+        TQ1_0/TQ2_0 carry per-256-block fp16 scales; when all blocks agree
+        (the BitNet case: ternary * per-tensor scale survives block
+        quantization with every d equal) the tensor maps onto per-tensor
+        scales and the exact-int32 w_a8 path.  Otherwise it maps onto
+        grouped scales with group_size=256.
+        """
+        info = self.tensors[name]
+        t = info["type"]
+        K, M = info["dims"][0], info["dims"][1]  # ne0 = in, ne1 = out
+        raw = self.tensor_bytes(name)
+        if t == GGML_I2_S:
+            trits, scale = self._i2_s_fields(raw, K * M)
+            wq = (trits.reshape(M, K).T + 1).astype(np.uint8)
+            scales = np.full((1, M), scale, np.float32)
+            return wq, scales, 2.0 * scales, K, True
+        if t == GGML_TQ1_0:
+            trits, d = self._tq1_0_fields(raw)
+        elif t == GGML_TQ2_0:
+            trits, d = self._tq2_0_fields(raw)
+        else:
+            raise NotImplementedError(_TYPE_NAMES.get(t, str(t)))
+        wq = (trits.reshape(M, K).T + 1).astype(np.uint8)
+        db = d.astype(np.float32).reshape(M, K // 256)
+        if np.all(db == db[:, :1]):  # uniform block scales -> per-tensor
+            scales = db[:, 0][None, :].copy()  # (1, M)
+            return wq, scales, 2.0 * scales, K, True
+        scales = db.T.copy()  # (K//256, M)
+        return wq, scales, 2.0 * scales, 256, False
 
     @staticmethod
     def _q4_0_fields(raw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -199,6 +332,27 @@ def model_config_from_gguf(r: GGUFReader, name: str = "gguf-model"):
     vocab = md.get(f"{arch}.vocab_size")
     if vocab is None:
         vocab = r.tensors["token_embd.weight"]["dims"][1]
+    # quant mode from the matmul tensor types: ternary (BitNet i2/tq1_0/
+    # tq2_0 artifacts, reference run_pipeline.py:375) -> the w_a8
+    # per-tensor exact-int path; Q4_0 et al. -> the grouped w_fp path
+    t0name = ("blk.0.ffn_gate.weight"
+              if "blk.0.ffn_gate.weight" in r.tensors
+              else "blk.0.attn_q.weight")
+    t0 = r.tensors.get(t0name, {})
+    if t0.get("type") in TERNARY_TYPES:
+        d = r.ternary_block_scales(t0name)
+        if d is None or np.all(d == d[0]):
+            # true BitNet artifact: ternary * per-tensor scale -> the
+            # exact-int32 w_a8 path
+            quant = QuantConfig(bits=2, group_size=-1, zero_point=False,
+                                mode="w_a8")
+        else:
+            # per-block scales genuinely differ -> grouped dequant model
+            quant = QuantConfig(bits=2, group_size=256, zero_point=False,
+                                mode="w_fp")
+    else:
+        quant = QuantConfig(bits=4, group_size=32, zero_point=True,
+                            mode="w_fp")
     return ModelConfig(
         name=name,
         vocab_size=int(vocab),
@@ -211,18 +365,33 @@ def model_config_from_gguf(r: GGUFReader, name: str = "gguf-model"):
         rope_theta=float(md.get(f"{arch}.rope.freq_base", 10000.0)),
         rms_norm_eps=float(g("attention.layer_norm_rms_epsilon", 1e-5)),
         tie_word_embeddings="output.weight" not in r.tensors,
-        quant=QuantConfig(bits=4, group_size=32, zero_point=True, mode="w_fp"),
+        quant=quant,
     )
 
 
 def _qt_from_gguf(r: GGUFReader, name: str, tp_m: int, tp_k: int):
     from tmac_tpu.ops.qgemm import QuantizedTensor
     info = r.tensors[name]
+    if info["type"] in TERNARY_TYPES:
+        wq, scales, sub, gs, per_tensor = r.ternary_to_quantized(name)
+        if per_tensor and tp_k > 1:
+            # one scale row per K-shard (see convert/bitnet.py)
+            scales = np.repeat(scales, tp_k, 0)
+            sub = np.repeat(sub, tp_k, 0)
+            gs = wq.shape[0] // tp_k
+        return QuantizedTensor.from_quantized(
+            wq, scales, sub, bits=2, group_size=gs,
+            k_shards=tp_k, m_shards=tp_m,
+            scale_dtype=jnp.float32 if per_tensor else jnp.bfloat16)
     if info["type"] == GGML_Q4_0:
         wq, scales, sub = r.q4_0_to_quantized(name)
+        # float32 scales: Q4_0 block scales are fp16 (10 mantissa bits) and
+        # would NOT round-trip through bf16 (7 bits) -- f32 keeps the exact
+        # mapping the module docstring promises; scale memory is 1/8 of the
+        # packed nibbles, so the cost is marginal.
         return QuantizedTensor.from_quantized(
             wq, scales, sub, bits=4, group_size=32,
-            k_shards=tp_k, m_shards=tp_m, scale_dtype=jnp.bfloat16)
+            k_shards=tp_k, m_shards=tp_m, scale_dtype=jnp.float32)
     # fall back: dequantize then requantize at 4 bits (zero_point affine)
     from tmac_tpu.ops.packing import quantize_weights
     w = r.dequantized(name).T  # (K, M)
@@ -297,6 +466,64 @@ def _pack_q4_0(w_mk: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def _pack_tq1_0(w_mk: np.ndarray) -> bytes:
+    """(M, K) float -> TQ1_0 blocks (llama.cpp quantize_row_tq1_0_ref
+    semantics; see GGUFReader._tq1_0_fields for the digit layout)."""
+    M, K = w_mk.shape
+    assert K % 256 == 0
+    blocks = w_mk.reshape(M * K // 256, 256).astype(np.float32)
+    d = np.abs(blocks).max(axis=1)
+    inv = np.where(d == 0, 0.0, 1.0 / np.where(d == 0, 1.0, d))
+    t = (np.clip(np.rint(blocks * inv[:, None]), -1, 1) + 1).astype(np.uint32)
+    out = np.zeros((len(blocks), 54), np.uint8)
+    # qs[0:32]: elements m + 32n, base-3 with t(n=0) most significant
+    q = np.zeros((len(blocks), 32), np.uint32)
+    for n in range(5):
+        q = q * 3 + t[:, 32 * n:32 * (n + 1)]
+    out[:, :32] = (q * 256 + 242) // 243
+    q = np.zeros((len(blocks), 16), np.uint32)
+    for n in range(5):
+        q = q * 3 + t[:, 160 + 16 * n:160 + 16 * (n + 1)]
+    out[:, 32:48] = (q * 256 + 242) // 243
+    q = np.zeros((len(blocks), 4), np.uint32)
+    for n in range(4):
+        q = q * 3 + t[:, 240 + 4 * n:240 + 4 * (n + 1)]
+    out[:, 48:52] = (q * 256 + 80) // 81
+    out[:, 52:54] = d.astype(np.float16)[:, None].view(np.uint8)
+    return out.tobytes()
+
+
+def _pack_tq2_0(w_mk: np.ndarray) -> bytes:
+    """(M, K) float -> TQ2_0 blocks (llama.cpp quantize_row_tq2_0_ref)."""
+    M, K = w_mk.shape
+    assert K % 256 == 0
+    blocks = w_mk.reshape(M * K // 256, 256).astype(np.float32)
+    d = np.abs(blocks).max(axis=1)
+    inv = np.where(d == 0, 0.0, 1.0 / np.where(d == 0, 1.0, d))
+    t = (np.clip(np.rint(blocks * inv[:, None]), -1, 1) + 1).astype(np.uint8)
+    out = np.zeros((len(blocks), 66), np.uint8)
+    for j in (0, 32):
+        q = np.zeros((len(blocks), 32), np.uint8)
+        for n in range(4):
+            q |= t[:, j * 4 + 32 * n:j * 4 + 32 * (n + 1)] << (2 * n)
+        out[:, j:j + 32] = q
+    out[:, 64:66] = d.astype(np.float16)[:, None].view(np.uint8)
+    return out.tobytes()
+
+
+def _pack_i2_s(w_mk: np.ndarray) -> bytes:
+    """(M, K) float -> i2_s bytes (per-tensor absmax scale; layout in
+    GGUFReader._i2_s_fields)."""
+    flat = w_mk.reshape(-1).astype(np.float32)
+    assert flat.size % 4 == 0
+    scale = float(np.abs(flat).max()) or 1.0
+    t = (np.clip(np.rint(flat / scale), -1, 1) + 1).astype(np.uint8)
+    qs = np.zeros((flat.size // 4,), np.uint8)
+    for n in range(4):
+        qs |= t[n::4] << (2 * n)
+    return qs.tobytes() + np.float32(scale).tobytes()
+
+
 def write_gguf(path: str, metadata: Dict[str, Any], tensors: Dict[str, tuple]):
     """Write a gguf v3 file. tensors: name -> (ggml_type, np array in
     logical (rows, cols) = (ne1, ne0) layout; float for Q4_0/F32/F16)."""
@@ -321,6 +548,12 @@ def write_gguf(path: str, metadata: Dict[str, Any], tensors: Dict[str, tuple]):
         arr = np.asarray(arr)
         if ttype == GGML_Q4_0:
             data = _pack_q4_0(arr)
+        elif ttype == GGML_TQ1_0:
+            data = _pack_tq1_0(arr)
+        elif ttype == GGML_TQ2_0:
+            data = _pack_tq2_0(arr)
+        elif ttype == GGML_I2_S:
+            data = _pack_i2_s(arr)
         elif ttype == GGML_F32:
             data = arr.astype(np.float32).tobytes()
         elif ttype == GGML_F16:

@@ -28,16 +28,44 @@ import numpy as np
 
 def parse_gptq(qweight: np.ndarray, scales: np.ndarray, qzeros: np.ndarray) -> Tuple[int, int, int, int]:
     """Infer (K, M, bits, group_size) from packed tensor shapes
-    (cf. reference model_utils.py:95-101)."""
+    (cf. reference model_utils.py:95-101).
+
+    bits=3 included: zeros pack 10 codes/word (32//10 = 3) and qweight rows
+    come in threes (32 codes per 3 words), so K = rows * 32 // bits covers
+    every supported width."""
     bits = 32 // (scales.shape[1] // qzeros.shape[1])
-    K = qweight.shape[0] * (32 // bits)
+    K = qweight.shape[0] * 32 // bits
     M = qweight.shape[1]
     group_size = K // scales.shape[0]
     return K, M, bits, group_size
 
 
 def _unpack_int32_fields(a: np.ndarray, bits: int, axis: int) -> np.ndarray:
-    """Unpack bits-wide fields from int32 along `axis` (field j = bits j*bits..)."""
+    """Unpack bits-wide fields from int32 along `axis` (field j = bits j*bits..).
+
+    bits=3 uses the AutoGPTQ straddle layout (32 codes per 3 words):
+      word0: codes 0..9 at bits 0,3,..,27; code 10 bits[1:0] at 31:30
+      word1: code 10 bit[2] at 0; codes 11..20 at bits 1,4,..,28;
+             code 21 bit[0] at 31
+      word2: code 21 bits[2:1] at 1:0; codes 22..31 at bits 2,5,..,29
+    (AutoGPTQ qlinear pack(), mirrored by quantize_gptq_like below).
+    """
+    if bits == 3:
+        a = np.moveaxis(a, axis, 0)
+        assert a.shape[0] % 3 == 0, a.shape
+        w3 = a.reshape(a.shape[0] // 3, 3, -1)
+        w0, w1, w2 = w3[:, 0], w3[:, 1], w3[:, 2]
+        out = np.empty((w3.shape[0], 32, w3.shape[2]), np.int64)
+        for j in range(10):
+            out[:, j] = (w0 >> (3 * j)) & 7
+        out[:, 10] = ((w0 >> 30) & 3) | ((w1 & 1) << 2)
+        for j in range(10):
+            out[:, 11 + j] = (w1 >> (3 * j + 1)) & 7
+        out[:, 21] = ((w1 >> 31) & 1) | ((w2 & 3) << 1)
+        for j in range(10):
+            out[:, 22 + j] = (w2 >> (3 * j + 2)) & 7
+        out = out.reshape((out.shape[0] * 32,) + a.shape[1:])
+        return np.moveaxis(out, 0, axis)
     n = 32 // bits
     mask = (1 << bits) - 1
     fields = [((a >> (bits * j)) & mask) for j in range(n)]
@@ -64,7 +92,9 @@ def unpack_gptq(
     K, M, bits, group_size = parse_gptq(qweight, scales, qzeros)
 
     from tmac_tpu import native
-    if native.available() and qweight.size >= (1 << 18):
+    if bits != 3 and native.available() and qweight.size >= (1 << 18):
+        # (b3's straddle layout stays on the numpy path; the C++ fast path
+        # handles the bits | 32 cases)
         wq = native.unpack_gptq_qweight(qweight, bits)[:K]
         zq = native.unpack_gptq_qzeros(qzeros, bits, add_one=not gptq_v2)
         zq = zq[:, :M].astype(np.float32)
@@ -99,17 +129,33 @@ def quantize_gptq_like(w_km: np.ndarray, bits: int, group_size: int):
     q = np.clip(np.rint(wg / scales[:, None, :]) + zq[:, None, :], 0, qmax)
     q = q.reshape(K, M).astype(np.int64)
 
-    # GPTQ packs consecutive k into one word: element i*n+j -> word i field j
-    n = 32 // bits
-    qweight = np.zeros((K // n, M), dtype=np.int64)
-    qr = q.reshape(K // n, n, M)
-    for j in range(n):
-        qweight |= qr[:, j, :] << (bits * j)
+    def pack_axis0(codes):  # (32n, X) -> (bits*n, X) int64 words
+        if bits == 3:
+            c = codes.reshape(codes.shape[0] // 32, 32, -1)
+            w = np.zeros((c.shape[0], 3, c.shape[2]), np.int64)
+            for j in range(10):
+                w[:, 0] |= c[:, j] << (3 * j)
+            w[:, 0] |= (c[:, 10] & 3) << 30
+            w[:, 1] |= c[:, 10] >> 2
+            for j in range(10):
+                w[:, 1] |= c[:, 11 + j] << (3 * j + 1)
+            w[:, 1] |= (c[:, 21] & 1) << 31
+            w[:, 2] |= c[:, 21] >> 1
+            for j in range(10):
+                w[:, 2] |= c[:, 22 + j] << (3 * j + 2)
+            return w.reshape((w.shape[0] * 3,) + codes.shape[1:])
+        n = 32 // bits
+        cr = codes.reshape(codes.shape[0] // n, n, -1)
+        w = np.zeros((cr.shape[0], cr.shape[2]), np.int64)
+        for j in range(n):
+            w |= cr[:, j] << (bits * j)
+        return w.reshape((w.shape[0],) + codes.shape[1:])
 
-    qzeros = np.zeros((G, M // n), dtype=np.int64)
-    zr = zq.reshape(G, M // n, n)
-    for j in range(n):
-        qzeros |= zr[:, :, j] << (bits * j)
+    qweight = pack_axis0(q)                      # (K*bits/32, M)
+    # ascontiguousarray: astype(order='K') would keep the moveaxis
+    # F-order, and safetensors serializes the raw buffer ignoring strides
+    qzeros = np.ascontiguousarray(
+        np.moveaxis(pack_axis0(np.moveaxis(zq, 1, 0)), 0, 1))
 
     return (
         qweight.astype(np.uint32).view(np.int32),

@@ -25,14 +25,19 @@ class QuantConfig:
                 per-tensor weight scale (BitNet W1.58A8, reference
                 m_groups=1 + do_scale_final int path)
     group_size: k elements per weight scale group; -1 means per-tensor.
-    act_group_size: activation quant granularity for the LUT spec / A8 path.
+    act_group_size: independent activation quant granularity (the
+      reference's -ags knob, run_pipeline.py:405-419).  0 (default) =
+      activations quantized at the weight group granularity (grouped
+      modes) / per token (per-tensor modes).  A positive value that
+      divides group_size quantizes activations in finer groups on the
+      chunked int8 kernel paths (accuracy knob; costs smaller MXU chunks).
     """
 
     bits: int = 2
     group_size: int = 128
     zero_point: bool = False
     mode: str = "w_fp"
-    act_group_size: int = 64
+    act_group_size: int = 0
 
     def validate(self):
         assert self.bits in (1, 2, 3, 4)

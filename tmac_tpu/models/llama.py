@@ -44,7 +44,8 @@ def quantize_activations_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def apply_qlinear(x: jax.Array, qt: QuantizedTensor, mode: str,
                   bias: Optional[jax.Array] = None, impl: str = "auto",
-                  norm=None, glu: bool = False, residual=None) -> jax.Array:
+                  norm=None, glu: bool = False, residual=None,
+                  act_gs: int = 0) -> jax.Array:
     """x (..., K) @ Wdq (K, M) -> (..., M) in x's float dtype.
 
     norm: optional (rms weight (K,), eps) applied to x first -- folded into
@@ -74,7 +75,7 @@ def apply_qlinear(x: jax.Array, qt: QuantizedTensor, mode: str,
                 out = out + res2.astype(out.dtype)
     elif use_pallas:
         out = qgemm(x2, qt, impl="pallas", out_dtype=jnp.float32, act="fused",
-                    norm=norm, glu=glu, residual=res2)
+                    norm=norm, glu=glu, residual=res2, act_group_size=act_gs)
     else:
         assert not glu
         out = qgemm(x2, qt, impl=impl, out_dtype=jnp.float32, norm=norm,
@@ -302,7 +303,7 @@ def _attention(q, k_all, v_all, li: int, q_positions, kv_len_mask,
     # us/layer.  TMAC_FLASH=0 forces the XLA einsum path.
     import os
     if (T == 1 and impl != "xla" and jax.default_backend() == "tpu"
-            and Dp % 128 == 0
+            and Dp % 128 == 0 and S % 8 == 0
             and os.environ.get("TMAC_FLASH", "1") != "0"):
         from tmac_tpu.ops.pallas.attention_kernel import flash_decode_stacked
         kv_lens = q_positions[:, 0] + 1  # (B,) valid entries incl. current
@@ -382,6 +383,7 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
     """
     B, T = tokens.shape
     mode = cfg.quant.mode
+    ags = cfg.quant.act_group_size
     x = params["embed"][tokens]  # (B, T, H)
     positions = cache.pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B,T)
     S = cache.max_len
@@ -391,7 +393,8 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
     new_k, new_v = cache.k, cache.v
     for li, layer in enumerate(params["layers"]):
         qkv = apply_qlinear(x, layer["wqkv"], mode, None, impl,
-                            norm=(layer["attn_norm"], cfg.rms_norm_eps))
+                            norm=(layer["attn_norm"], cfg.rms_norm_eps),
+                            act_gs=ags)
         qd, kvd = cfg.q_dim, cfg.kv_dim
         q = qkv[..., :qd]
         k = qkv[..., qd:qd + kvd]
@@ -415,7 +418,8 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
         # cross-chip psum follows (it must see the partial sum, not
         # partial + residual per shard)
         res = x if tp_axis is None else None
-        o = apply_qlinear(attn, layer["wo"], mode, None, impl, residual=res)
+        o = apply_qlinear(attn, layer["wo"], mode, None, impl, residual=res,
+                          act_gs=ags)
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)
             x = x + o
@@ -423,7 +427,8 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             x = o
 
         gu = apply_qlinear(x, layer["gate_up"], mode, None, impl,
-                           norm=(layer["mlp_norm"], cfg.rms_norm_eps))
+                           norm=(layer["mlp_norm"], cfg.rms_norm_eps),
+                           act_gs=ags)
         down = layer["down"]
         use_pallas = impl == "pallas" or (
             impl == "auto" and jax.default_backend() == "tpu")
@@ -432,13 +437,13 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
                 and (mode != "w_a8" or down.scales.shape[0] == 1)):
             # silu(g)*u folded into the down kernel's prologue
             d = apply_qlinear(gu, down, mode, None, impl, glu=True,
-                              residual=res)
+                              residual=res, act_gs=ags)
         else:
             ihalf = down.kdim  # local intermediate width
             g, u = gu[..., :ihalf], gu[..., ihalf:]
             d = apply_qlinear(
                 jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u,
-                down, mode, None, impl, residual=res)
+                down, mode, None, impl, residual=res, act_gs=ags)
         if tp_axis is not None:
             d = jax.lax.psum(d, tp_axis)
             x = x + d

@@ -70,11 +70,14 @@ def pack_strided(wq: np.ndarray, bits: int, k_shards: int = 1) -> np.ndarray:
     wq = np.asarray(wq, dtype=np.uint8)
     if bits == 8:
         return wq.copy()  # degenerate: packed == codes
+    # Validate BEFORE the native dispatch: the C++ packer ORs unmasked
+    # shifted bytes, so an out-of-range code would silently corrupt the
+    # adjacent bit-field instead of failing loudly like the numpy path.
+    assert wq.max(initial=0) < (1 << bits), "weight values exceed bit width"
     if wq.size >= _NATIVE_MIN_SIZE:
         nat = _native()
         if nat is not None:
             return nat.pack_strided(wq, bits, k_shards)
-    assert wq.max(initial=0) < (1 << bits), "weight values exceed bit width"
     # (k_shards, Ks, M) -> per-shard strided pack
     ks = K // k_shards
     w = wq.reshape(k_shards, ks, M)

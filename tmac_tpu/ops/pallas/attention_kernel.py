@@ -127,6 +127,11 @@ def _pick_blk(S: int, KV: int, D: int, itemsize: int,
     blk = min(blk, S)
     if S % blk:
         blk = int(np.gcd(blk, S))
+    # Mosaic DMA slices along S must be 8-aligned (sublane tiling); odd
+    # allocations (e.g. S=27) would yield an uncompilable blk
+    assert blk % 8 == 0, (
+        f"cache max_len {S} must be a multiple of 8 for the flash-decode "
+        "kernel (KVCache allocations should round up)")
     return blk
 
 

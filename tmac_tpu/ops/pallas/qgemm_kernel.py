@@ -117,19 +117,27 @@ def _unpack_block_swar_shifted(wp_swar, bits: int, j: int, lshift: int):
 
 def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
                  fused_quant=False, single_dot=False, norm_eps=0.0,
-                 norm_k=0, glu=False, with_residual=False):
+                 norm_k=0, glu=False, with_residual=False,
+                 dequant_dot=False, ags=0):
     p = 8 // bits if bits != 3 else 4
     kb = K // p  # unpacked k-rows per field block
-    chunk = min(gs, kb)
+    # ags: independent activation-group size (reference run_pipeline.py
+    # -ags knob); 0 = act groups coincide with weight scale groups.  Chunks
+    # must respect BOTH granularities so each chunk has one weight scale
+    # and one act scale.
+    chunk = min(gs, kb) if not ags else min(gs, ags, kb)
     if bits == 3:
         # chunks must also fit inside one 1-bit high-plane block (K//8 rows)
         chunk = min(chunk, K // 8)
     assert kb % chunk == 0 and (chunk == gs or gs % kb == 0), (
         f"group_size {gs} incompatible with K {K} and {p} fields/byte"
     )
+    if ags:
+        assert gs % chunk == 0 and ags % chunk == 0, (gs, ags, chunk)
     nchunks = kb // chunk
 
     G = K // gs
+    Ga = K // ags if ags else G  # activation scale groups
 
     def kernel(x_ref, *rest):
         xscale = None
@@ -144,7 +152,11 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
             xsum_ref = None
             if norm_eps:
                 norm_ref, *rest = rest
-            *rest, xq_s, xs_s, xsum_s = rest
+            if dequant_dot:
+                *rest, xq_s = rest  # bf16 activation scratch, no quant state
+                xs_s = xsum_s = None
+            else:
+                *rest, xq_s, xs_s, xsum_s = rest
 
             @pl.when(pl.program_id(0) == 0)
             def _():
@@ -165,25 +177,40 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
                         * (1.0 / norm_k)
                     xf = xf * jax.lax.rsqrt(var + norm_eps)
                     xf = xf * norm_ref[:].astype(jnp.float32)
+                if dequant_dot:
+                    # large-N grouped path: activations stay float (bf16 on
+                    # the MXU); only the glu/norm folds run here
+                    xq_s[:] = xf.astype(jnp.bfloat16)
+                    return
                 if G == 1:
                     amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)  # (N,1)
                     sc = jnp.maximum(amax, 1e-20) / 127.0
                     xqf = jnp.clip(jnp.rint(xf / sc), -127, 127)
                     xsum = jnp.sum(xqf, axis=1, keepdims=True) * sc
                 else:
-                    xg = xf.reshape(N, G, gs)
+                    # quantize per ACT group (Ga >= G when an independent
+                    # act_group_size is set); the zero-offset fold needs
+                    # per-WEIGHT-group dequantized sums
+                    asz = K // Ga
+                    xg = xf.reshape(N, Ga, asz)
                     amax = jnp.max(jnp.abs(xg), axis=2, keepdims=True)
                     sc_g = jnp.maximum(amax, 1e-20) / 127.0
                     xqf = jnp.clip(jnp.rint(xg / sc_g), -127, 127).reshape(N, K)
-                    sc = sc_g[..., 0]                                 # (N, G)
-                    xsum = jnp.sum(xqf.reshape(N, G, gs), axis=2) * sc
+                    sc = sc_g[..., 0]                                 # (N, Ga)
+                    xsum_a = jnp.sum(
+                        xqf.reshape(N, Ga, asz), axis=2) * sc
+                    # Ga >= G (finer act groups, enforced by the caller):
+                    # aggregate to per-weight-group sums for the zero fold
+                    xsum = (xsum_a.reshape(N, G, Ga // G).sum(-1)
+                            if Ga != G else xsum_a)
                 xq_s[:] = xqf.astype(jnp.int8)
                 xs_s[:] = sc
                 xsum_s[:] = xsum
 
             x = xq_s[:]
-            xscale = xs_s[:]
-            xsum_f = xsum_s[:]
+            if not dequant_dot:
+                xscale = xs_s[:]
+                xsum_f = xsum_s[:]
         else:
             xsum_ref, *rest = rest
         if grouped_int:
@@ -192,7 +219,7 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
             wp_ref, *rest = rest
             xs_ref = None
         w_s = None
-        if single_dot:
+        if single_dot or dequant_dot:
             *rest2, w_s = rest
             rest = rest2
         res_ref = None
@@ -243,8 +270,10 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
             # 87.2 us vs a single XLA int8 dot 49.5 us at 256x8640x3200).
             for j in range(p):
                 v = unpack(wp32, bits, j)
+                # interpret mode (swar=False) yields int32 values even for
+                # bits=8; astype int8 wraps two's-complement codes correctly
                 w_s[j * kb:(j + 1) * kb, :] = (
-                    v if swar or bits == 8 else v.astype(jnp.int8))
+                    v if swar else v.astype(jnp.int8))
             acc = jax.lax.dot_general(
                 x, w_s[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -264,32 +293,65 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
             _finish(acc)
             return
 
+        def _chunk_v(j, c, wj):
+            """Unpacked weight chunk (chunk, bm) for field j, chunk c."""
+            k0 = j * kb + c * chunk  # global k of this chunk
+            if bits == 3:
+                # combine the 1-bit high plane: hi block j' = k0 // (K//8)
+                kb_hi = K // 8
+                jh = k0 // kb_hi
+                rh = k0 % kb_hi
+                if swar:
+                    # i8 vector add is not legalizable; combine lo+4*hi
+                    # in the i32 SWAR domain, one bitcast at the end
+                    m2 = int.from_bytes(b"\x03" * 4, "little")
+                    m1 = int.from_bytes(b"\x01" * 4, "little")
+                    l32 = wp32[c * chunk // 4:(c + 1) * chunk // 4, :]
+                    h32 = wph32[rh // 4:rh // 4 + chunk // 4, :]
+                    lo = (l32 >> (2 * j)) & m2 if j else l32 & m2
+                    hi = ((h32 >> jh) & m1) << 2 if jh else (h32 & m1) << 2
+                    return pltpu.bitcast(lo + hi, jnp.int8)
+                v = wj[c * chunk:(c + 1) * chunk, :]
+                hi = _unpack_block(wph32, 1, jh)
+                return v + (hi[rh:rh + chunk, :] << 2)
+            return wj[c * chunk:(c + 1) * chunk, :]
+
+        if dequant_dot:
+            # Grouped-scale large-N path (the reference's prefill claim,
+            # README.md:70-73): fold scales AND zero offsets into a bf16
+            # dequantized VMEM scratch (w_s[k,:] = s[g]*wq - sub[g]), then
+            # ONE bf16 MXU dot over the whole K.  Per-group int8 dots can't
+            # merge across scale groups; folding into bf16 weights recovers
+            # a single full-depth dot (and drops the xsum zero-point
+            # correction entirely -- sub is inside w_s).  VPU dequant cost
+            # is per-weight but N-independent; the dot runs at the bf16 MXU
+            # rate, vs G fragmented depth-gs int8 dots + G f32 VPU scale
+            # passes on the chunk-loop path.
+            for j in range(p):
+                wj = None if (bits == 3 and swar) else unpack(
+                    wp32, 2 if bits == 3 else bits, j)
+                for c in range(nchunks):
+                    k0 = j * kb + c * chunk
+                    g = k0 // gs
+                    wf = _chunk_v(j, c, wj).astype(jnp.float32)
+                    sc = scales_ref[g, :].astype(jnp.float32)[None, :]
+                    sb = sub_ref[g, :].astype(jnp.float32)[None, :]
+                    w_s[k0:k0 + chunk, :] = (wf * sc - sb).astype(jnp.bfloat16)
+            acc = jax.lax.dot_general(
+                x.astype(jnp.bfloat16), w_s[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            _finish(acc)
+            return
+
         for j in range(p):
             wj = None if (bits == 3 and swar) else unpack(wp32, 2 if bits == 3 else bits, j)
             for c in range(nchunks):
                 k0 = j * kb + c * chunk  # global k of this chunk
-                if bits == 3:
-                    # combine the 1-bit high plane: hi block j' = k0 // (K//8)
-                    kb_hi = K // 8
-                    jh = k0 // kb_hi
-                    rh = k0 % kb_hi
-                    if swar:
-                        # i8 vector add is not legalizable; combine lo+4*hi
-                        # in the i32 SWAR domain, one bitcast at the end
-                        m2 = int.from_bytes(b"\x03" * 4, "little")
-                        m1 = int.from_bytes(b"\x01" * 4, "little")
-                        l32 = wp32[c * chunk // 4:(c + 1) * chunk // 4, :]
-                        h32 = wph32[rh // 4:rh // 4 + chunk // 4, :]
-                        lo = (l32 >> (2 * j)) & m2 if j else l32 & m2
-                        hi = ((h32 >> jh) & m1) << 2 if jh else (h32 & m1) << 2
-                        v = pltpu.bitcast(lo + hi, jnp.int8)
-                    else:
-                        v = wj[c * chunk:(c + 1) * chunk, :]
-                        hi = _unpack_block(wph32, 1, jh)
-                        v = v + (hi[rh:rh + chunk, :] << 2)
-                else:
-                    v = wj[c * chunk:(c + 1) * chunk, :]
-                g = k0 // gs
+                v = _chunk_v(j, c, wj)
+                g = k0 // gs               # weight scale group
+                ga = k0 // (K // Ga)       # activation scale group
                 xb = x[:, k0:k0 + chunk]
                 if int_acc:
                     part = jax.lax.dot_general(
@@ -308,7 +370,7 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
                         preferred_element_type=jnp.int32,
                     ).astype(jnp.float32)
                     acc = acc + part * (
-                        xs_all[:, g:g + 1].astype(jnp.float32)
+                        xs_all[:, ga:ga + 1].astype(jnp.float32)
                         * scales_ref[g, :].astype(jnp.float32)[None, :])
                 else:
                     part = jax.lax.dot_general(
@@ -361,12 +423,13 @@ def _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
 @functools.partial(
     jax.jit,
     static_argnames=("qt_meta", "out_dtype", "block_m", "interpret",
-                     "norm_meta", "glu"),
+                     "norm_meta", "glu", "dispatch"),
 )
 def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
                        qt_meta, out_dtype, block_m, interpret,
-                       norm_w=None, norm_meta=None, glu=False, residual=None):
-    bits, gs, K, M = qt_meta
+                       norm_w=None, norm_meta=None, glu=False, residual=None,
+                       dispatch=None):
+    bits, gs, K, M, ags = (qt_meta + (0,))[:5]
     N = x.shape[0]
     KP, Mp = packed.shape
     G = scales.shape[0]
@@ -374,10 +437,27 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
     int_acc = (fused and G == 1) or (
         (x.dtype == jnp.int8) and G == 1 and xscales is None)
     grouped_int = xscales is not None
+    # big-N per-tensor shapes: unpack to int8 scratch + one int8 dot
+    single_dot = N >= 64 and G == 1 and bits in (1, 2, 4, 8) and int_acc
+    # big-N grouped shapes: dequantize (scales AND zero offsets) into bf16
+    # scratch + one bf16 dot (see kernel)
+    dequant_dot = (N >= 64 and G > 1 and not grouped_int and not int_acc
+                   and (fused or x.dtype != jnp.int8))
+    if dequant_dot and fused and dispatch == "chunk":
+        # fused grouped large-N chunk-vs-dequant choice: resolved by the
+        # caller (qgemm_pallas) OUTSIDE jit so the decision is part of the
+        # jit cache key -- a table lookup here would be frozen into the
+        # first compilation
+        dequant_dot = False
     if not block_m:
-        # tuned table first (the kcfg analog), static heuristic otherwise
+        # tuned table first (the kcfg analog), static heuristic otherwise.
+        # fused G>1 chunk shares 'grouped' with the external-int8 path --
+        # same chunked-dot structure, same block_m trade-offs.
         from tmac_tpu.ops.pallas import tune_table
-        path = "int" if int_acc else ("grouped" if grouped_int else "native")
+        path = ("int" if int_acc else
+                ("dequant" if dequant_dot else
+                 ("grouped" if grouped_int or (fused and G > 1) else
+                  "native")))
         block_m = tune_table.lookup_block_m(bits, K, Mp, N, gs, path)
         if block_m and (Mp % block_m or block_m % 128):
             block_m = 0
@@ -386,30 +466,45 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
     # blocks are double-buffered per grid step
     fixed = 2 * N * x.shape[1] * x.dtype.itemsize
     if fused:
-        fixed += N * K + 2 * N * G * 4
+        fixed += (2 * N * K) if dequant_dot else (N * K + 2 * N * G * 4)
     out_itemsize = jnp.dtype(out_dtype).itemsize
     per_bm = 2 * (KP + N * out_itemsize + 2 * G * 4)
     if bits == 3 and packed_hi is not None:
         per_bm += 2 * packed_hi.shape[0]
-    if N >= 64 and G == 1 and bits in (1, 2, 4, 8) and int_acc:
-        per_bm += K  # int8 unpack scratch (single-dot path)
+    if single_dot:
+        per_bm += K  # int8 unpack scratch
+    elif dequant_dot:
+        per_bm += 2 * K  # bf16 dequant scratch
     avail = (13 << 20) - fixed
     bm = _pick_block_m(Mp, KP, block_m, per_bm, max(avail, 1))
     grid = (Mp // bm,)
+    # Large-N only: headroom x2 + 24 MB floor (Mosaic's epilogue
+    # temporaries aren't itemized and a too-tight limit is a hard compile
+    # error -- grouped N=256 chunk path needed 17.6 MB against a 16 MB
+    # floor).  Decode (small N) keeps the tighter limit: raising it
+    # REGRESSED decode 554 -> 425 tok/s (vmem_limit steers Mosaic's
+    # scheduling, not just a cap).
     est_vmem = fixed + per_bm * bm + (1 << 20)
-    vmem_limit = int(min(100 << 20, max(16 << 20, est_vmem * 3 // 2)))
+    if N >= 64:
+        vmem_limit = int(min(100 << 20, max(24 << 20, est_vmem * 2)))
+    else:
+        vmem_limit = int(min(100 << 20, max(16 << 20, est_vmem * 3 // 2)))
 
     # SWAR unpack needs 4-row-aligned packed tiles and compiled (Mosaic)
     # bitcast semantics; interpret mode uses the widening fallback
     swar = (not interpret) and KP % 4 == 0 and (
         bits != 3 or packed_hi.shape[0] % 4 == 0)
-    # big-N per-tensor shapes: unpack to scratch + one dot (see kernel)
-    single_dot = N >= 64 and G == 1 and bits in (1, 2, 4, 8) and int_acc
     norm_eps, norm_k = norm_meta if norm_meta else (0.0, 0)
+    # independent act-group size applies only to the chunked int8 paths
+    # (dequant_dot keeps float acts; per-tensor paths are per-token)
+    ags_eff = ags if (G > 1 and not dequant_dot and not int_acc
+                      and ags and ags != gs) else 0
+    Ga = K // ags_eff if ags_eff else G
     kernel = _make_kernel(N, K, bits, gs, int_acc, out_dtype, swar, grouped_int,
                           fused_quant=fused, single_dot=single_dot,
                           norm_eps=norm_eps, norm_k=norm_k, glu=glu,
-                          with_residual=residual is not None)
+                          with_residual=residual is not None,
+                          dequant_dot=dequant_dot, ags=ags_eff)
 
     x_cols = 2 * K if glu else K
     assert x.shape[1] == x_cols, (x.shape, K, glu)
@@ -427,7 +522,8 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
                                      memory_space=pltpu.VMEM))                 # xsum
         args.append(xsum)
     if grouped_int:
-        in_specs.append(pl.BlockSpec((N, G), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((N, Ga), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
         args.append(xscales)
     in_specs.append(pl.BlockSpec((KP, bm), lambda i: (0, i), memory_space=pltpu.VMEM))
     args.append(packed)
@@ -454,14 +550,19 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
 
     scratch = []
     if single_dot:
-        # FIRST so the fused path's trailing-3 unpack stays stable
+        # FIRST so the fused path's trailing unpack stays stable
         scratch.append(pltpu.VMEM((K, bm), jnp.int8))  # unpacked weights
+    elif dequant_dot:
+        scratch.append(pltpu.VMEM((K, bm), jnp.bfloat16))  # dequantized block
     if fused:
-        scratch += [
-            pltpu.VMEM((N, K), jnp.int8),      # quantized activations
-            pltpu.VMEM((N, G), jnp.float32),   # per-group scales
-            pltpu.VMEM((N, G), jnp.float32),   # per-group sums (dequantized)
-        ]
+        if dequant_dot:
+            scratch.append(pltpu.VMEM((N, K), jnp.bfloat16))  # glu/norm acts
+        else:
+            scratch += [
+                pltpu.VMEM((N, K), jnp.int8),      # quantized activations
+                pltpu.VMEM((N, Ga), jnp.float32),  # per-ACT-group scales
+                pltpu.VMEM((N, G), jnp.float32),   # per-WEIGHT-group sums
+            ]
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -479,7 +580,8 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
 def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
                  block_m: int = 0, interpret: bool | None = None,
                  act: str = "auto", norm=None, glu: bool = False,
-                 residual=None) -> jax.Array:
+                 residual=None, dispatch: str | None = None,
+                 act_group_size: int = 0) -> jax.Array:
     """x (N, K) bf16/f32/int8 @ packed Wdq -> (N, M).
 
     act: activation handling for float x --
@@ -490,9 +592,14 @@ def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
       "fused"  the quantization happens INSIDE the kernel (per-(token,
                weight-group) absmax int8; exact int32 accumulation when
                G == 1) -- no XLA prologue at all; the preprocessor/GEMM
-               fusion of SURVEY.md 7.2 step 3
+               fusion of SURVEY.md 7.2 step 3.  At large N the grouped
+               chunk variant runs its prologue in XLA instead (see below).
       "native" keep x's dtype on the MXU (exact w.r.t. the dequant model)
-      "auto"   "int8"
+      "auto"   "int8"; large-N grouped shapes may stay float and take the
+               bf16 dequant-dot path (tuned/heuristic dispatch)
+    dispatch: force the large-N grouped kernel path ("chunk"/"dequant");
+         None = tuned table, then the N >= 3*gs VPU-cost heuristic.
+    act_group_size: finer act-quant granularity (must divide group_size).
     With int8 x and per-tensor scales (BitNet) the accumulation is exact
     int32 on the MXU.  k_shards > 1 tensors must be called under shard_map
     (see tmac_tpu/parallel) so the kernel sees its local K chunk.
@@ -519,44 +626,102 @@ def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
     out_dtype = out_dtype or (jnp.float32 if x.dtype == jnp.int8 else x.dtype)
     G = qt.scales.shape[0]
     gs = qt.group_size
+    # independent act-group size (reference -ags knob): only FINER than the
+    # weight groups is meaningful here (ags | gs); otherwise ignored
+    ags = act_group_size if (act_group_size and G > 1
+                             and 0 < act_group_size < gs
+                             and gs % act_group_size == 0) else 0
+    if residual is not None:
+        assert qt.mdim_padded == qt.mdim and qt.m_segments is None, \
+            "residual fold needs an unpadded, unfused M"
 
-    xscales = None
     if act == "fused":
         assert x.dtype != jnp.int8, "fused quantization needs float x"
-        norm_w, norm_meta = None, None
-        if norm is not None:
-            # rms_norm folded into the kernel prologue: norm = (weight (K,),
-            # eps).  Weight padded like x; variance divides by logical K.
-            w_n, eps = norm
-            norm_w = pad_x_for(w_n.reshape(1, K), qt)
-            norm_meta = (float(eps), K)
-        if residual is not None:
-            assert qt.mdim_padded == qt.mdim and qt.m_segments is None, \
-                "residual fold needs an unpadded, unfused M"
-        out = _qgemm_pallas_call(
-            x.astype(jnp.bfloat16), None, None, qt.packed, qt.packed_hi,
-            qt.scales, qt.sub, (qt.bits, gs, Kp, qt.mdim), out_dtype,
-            block_m, interpret, norm_w=norm_w, norm_meta=norm_meta, glu=glu,
-            residual=residual)
-        return qt.slice_m(out)
+        if dispatch is None and N >= 64 and G > 1:
+            # chunk (per-group int8 dots) vs the bf16 dequant-dot path is
+            # shape-dependent: tuned table first, then the VPU-cost
+            # crossover heuristic (chunk's extra VPU work ~ N*M*G fma vs
+            # dequant's ~ 3*K*M -> chunk cheaper when N < 3*gs).  Resolved
+            # here, OUTSIDE jit, so the decision keys the jit cache.
+            from tmac_tpu.ops.pallas import tune_table
+            d = tune_table.lookup_dispatch(
+                qt.bits, Kp, qt.mdim_padded, N, gs, "fused")
+            dispatch = d or ("dequant" if N >= 3 * gs else "chunk")
+        if dispatch == "chunk" and N >= 64 and G > 1:
+            # Large-N fused-chunk: the IN-KERNEL prologue (act quant over
+            # (N, G, gs) at N >= 64) makes Mosaic compilation pathological
+            # (> 5 min measured at N=256, K=1024 on v5e, vs seconds for
+            # every other variant).  Run the glu/norm prologue in XLA and
+            # fall through to the external-int8 chunk kernel -- same math,
+            # fast compile; XLA fuses the prologue into one pass.
+            xf = x.astype(jnp.float32)
+            if glu:
+                g_half = xf[:, :K]
+                xf = g_half * jax.nn.sigmoid(g_half) * xf[:, K:]
+                xf = pad_x_for(xf, qt)
+                glu = False
+            if norm is not None:
+                # variance over the LOGICAL K (x is zero-padded to Kp)
+                w_n, eps = norm
+                var = jnp.sum(jnp.square(xf), axis=1, keepdims=True) \
+                    * (1.0 / K)
+                xf = xf * jax.lax.rsqrt(var + float(eps))
+                xf = xf * pad_x_for(w_n.reshape(1, K).astype(jnp.float32), qt)
+                norm = None
+            x = xf
+            act = "int8"
+        else:
+            norm_w, norm_meta = None, None
+            if norm is not None:
+                # rms_norm folded into the kernel prologue: norm = (weight
+                # (K,), eps).  Weight padded like x; variance divides by
+                # the logical K.
+                w_n, eps = norm
+                norm_w = pad_x_for(w_n.reshape(1, K), qt)
+                norm_meta = (float(eps), K)
+            out = _qgemm_pallas_call(
+                x.astype(jnp.bfloat16), None, None, qt.packed, qt.packed_hi,
+                qt.scales, qt.sub, (qt.bits, gs, Kp, qt.mdim, ags),
+                out_dtype, block_m, interpret, norm_w=norm_w,
+                norm_meta=norm_meta, glu=glu, residual=residual,
+                dispatch=dispatch)
+            return qt.slice_m(out)
+
     assert norm is None, "norm folding requires act='fused'"
     assert not glu, "glu folding requires act='fused'"
-    assert residual is None, "residual folding requires act='fused'"
-    if x.dtype != jnp.int8 and act in ("auto", "int8"):
-        # per-weight-group activation quantization (lut_ctor analog)
-        xg = x.reshape(N, G, gs).astype(jnp.float32)
-        amax = jnp.max(jnp.abs(xg), axis=-1)  # (N, G)
+    xscales = None
+    quantize = x.dtype != jnp.int8 and act in ("auto", "int8")
+    if quantize and act == "auto" and N >= 64 and G > 1:
+        # same dispatch decision for externally-driven float activations
+        from tmac_tpu.ops.pallas import tune_table
+        d = dispatch or tune_table.lookup_dispatch(
+            qt.bits, Kp, qt.mdim_padded, N, gs, "float")
+        if d == "dequant" or (d is None and N >= 3 * gs):
+            quantize = False  # stay float -> kernel dequant_dot path
+    if quantize:
+        # per-act-group activation quantization (lut_ctor analog; act
+        # groups == weight groups unless act_group_size is set).
+        # Explicit act='int8' always quantizes.
+        asz = ags or gs
+        Ga = Kp // asz
+        xg = x.reshape(N, Ga, asz).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xg), axis=-1)  # (N, Ga)
         xscales = jnp.maximum(amax, 1e-20) / 127.0
         xq = jnp.clip(jnp.rint(xg / xscales[..., None]), -127, 127).astype(jnp.int8)
-        xsum = (jnp.sum(xq.astype(jnp.int32), -1).astype(jnp.float32) * xscales)
+        # zero fold needs per-WEIGHT-group dequantized sums
+        xsum_a = (jnp.sum(xq.astype(jnp.int32), -1).astype(jnp.float32)
+                  * xscales)
+        xsum = (xsum_a.reshape(N, G, Ga // G).sum(-1) if Ga != G else xsum_a)
         x = xq.reshape(N, Kp)
     else:
+        ags = 0  # float acts: no act quantization granularity in play
         xsum = jnp.sum(
             x.reshape(N, G, gs).astype(jnp.float32 if x.dtype != jnp.int8 else jnp.int32),
             axis=-1,
         ).astype(jnp.float32)
     out = _qgemm_pallas_call(
         x, xsum, xscales, qt.packed, qt.packed_hi, qt.scales, qt.sub,
-        (qt.bits, gs, Kp, qt.mdim), out_dtype, block_m, interpret,
+        (qt.bits, gs, Kp, qt.mdim, ags), out_dtype, block_m, interpret,
+        residual=residual, dispatch=dispatch,
     )
     return qt.slice_m(out)

@@ -65,10 +65,31 @@ def lookup_block_m(bits: int, K: int, Mp: int, N: int, gs: int,
     return int(e["block_m"]) if e else 0
 
 
+def lookup_dispatch(bits: int, K: int, Mp: int, N: int, gs: int,
+                    mode: str):
+    """Measured kernel-path choice for large-N grouped shapes, or None.
+
+    mode: 'float' (external activations) or 'fused' (in-kernel prologue).
+    Returns 'chunk' (per-group int8 dots) or 'dequant' (bf16 dequant
+    scratch + one dot) -- the two paths trade MXU rate against VPU work
+    and which one wins is shape-dependent (measured on v5e: chunk wins
+    256x4096x4096 b4 at 33 vs 95 us, dequant wins 256x4096x11008 at 123
+    vs 161 us)."""
+    t = _load().get(_device(), {})
+    e = t.get(key(bits, K, Mp, N, gs, f"dispatch-{mode}"))
+    return e.get("path") if e else None
+
+
+def record_dispatch(bits: int, K: int, Mp: int, N: int, gs: int, mode: str,
+                    path: str, us: float):
+    record(bits, K, Mp, N, gs, f"dispatch-{mode}", 0, us, kernel_path=path)
+
+
 def record(bits: int, K: int, Mp: int, N: int, gs: int, path: str,
-           block_m: int, us: float):
+           block_m: int, us: float, kernel_path: str = None):
     """Write one tuning result through to the table file."""
     global _table
+    path_choice = kernel_path
     with _lock:
         p = table_path()
         try:
@@ -77,11 +98,19 @@ def record(bits: int, K: int, Mp: int, N: int, gs: int, path: str,
         except (OSError, json.JSONDecodeError):
             t = {}
         dev = t.setdefault(_device(), {})
-        dev[key(bits, K, Mp, N, gs, path)] = {"block_m": block_m,
-                                              "us": round(us, 2)}
+        entry = {"block_m": block_m, "us": round(us, 2)}
+        if path_choice:
+            entry["path"] = path_choice
+        dev[key(bits, K, Mp, N, gs, path)] = entry
         os.makedirs(os.path.dirname(p), exist_ok=True)
-        with open(p, "w") as f:
+        # Atomic replace: a crash mid-write must not leave a truncated file
+        # (which _load would silently treat as an empty table), and
+        # concurrent writers on a shared filesystem each land a complete
+        # snapshot instead of interleaved bytes.
+        tmp = f"{p}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(t, f, indent=1, sort_keys=True)
+        os.replace(tmp, p)
         _table = t
 
 

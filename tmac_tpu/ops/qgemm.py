@@ -401,7 +401,8 @@ def dequant_baseline_matmul(x: jax.Array, w_int8: jax.Array, scales: jax.Array,
 
 def qgemm(x: jax.Array, qt: QuantizedTensor, impl: str = "auto",
           out_dtype=None, block_m: int = 0, act: str = "auto",
-          norm=None, glu: bool = False, residual=None) -> jax.Array:
+          norm=None, glu: bool = False, residual=None,
+          act_group_size: int = 0) -> jax.Array:
     """Quantized matmul x (N, K) @ Wdq (K, M) -> (N, M).
 
     impl: "auto" (pallas on TPU, xla elsewhere), "pallas", "xla".
@@ -409,6 +410,9 @@ def qgemm(x: jax.Array, qt: QuantizedTensor, impl: str = "auto",
          by default -- the int8-LUT analog; "native" for exact).
     norm: optional (weight (K,), eps) rms_norm folded into the kernel
           prologue (pallas act='fused' only).
+    act_group_size: finer activation quantization granularity for the
+         pallas chunked int8 paths (see models/config.QuantConfig); the
+         xla impl keeps float activations, so it has no effect there.
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -430,5 +434,6 @@ def qgemm(x: jax.Array, qt: QuantizedTensor, impl: str = "auto",
     if impl == "pallas":
         from tmac_tpu.ops.pallas.qgemm_kernel import qgemm_pallas
         return qgemm_pallas(x, qt, out_dtype=out_dtype, block_m=block_m,
-                            act=act, norm=norm, glu=glu, residual=residual)
+                            act=act, norm=norm, glu=glu, residual=residual,
+                            act_group_size=act_group_size)
     raise ValueError(f"unknown impl {impl}")

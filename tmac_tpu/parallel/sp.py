@@ -31,24 +31,79 @@ from tmac_tpu.models.llama import (KVCache, QuantizedTensor, apply_qlinear,
 from tmac_tpu.parallel.tp import REP, shard_map
 
 
+def _chunked_causal_attention(q, k_buf, v_buf, q_positions, kv_len, D,
+                              chunk: int):
+    """Online-softmax attention of q (B, Tl, KV, rep, D) against the cache
+    buffers k_buf/v_buf (B, KV, S, Dp), reading only ceil(kv_len/chunk)
+    chunks -- score memory is O(Tl * chunk) instead of O(Tl * T), and
+    compute is bounded by the REAL kv length (a traced value), not the
+    allocation.  Causal: kv index s visible to query t iff s <= pos(t).
+    q_positions: (B, Tl) global positions.  Returns (B, Tl, KV*rep*D) f32.
+    """
+    B, Tl, KV, rep, _ = q.shape
+    S = k_buf.shape[2]
+    chunk = min(chunk, S)
+    while S % chunk:  # clamped dynamic_slice must stay index-aligned
+        chunk //= 2
+    scale = 1.0 / np.sqrt(D)
+    # CPU XLA can't take bf16 x bf16 -> f32 dots (cf. models/llama.py)
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    qf = q.astype(dt)
+
+    nchunks = (kv_len + chunk - 1) // chunk  # traced -> while_loop
+
+    def body(c, carry):
+        m, l, acc = carry
+        c0 = c * chunk
+        ks = jax.lax.dynamic_slice(
+            k_buf, (0, 0, c0, 0), (B, KV, chunk, k_buf.shape[3]))[..., :D]
+        vs = jax.lax.dynamic_slice(
+            v_buf, (0, 0, c0, 0), (B, KV, chunk, v_buf.shape[3]))[..., :D]
+        s = jnp.einsum("btkrd,bksd->btkrs", qf, ks.astype(dt),
+                       preferred_element_type=jnp.float32) * scale
+        kv_idx = c0 + jnp.arange(chunk)                     # (chunk,)
+        ok = (kv_idx[None, None, :] <= q_positions[:, :, None]) \
+            & (kv_idx < kv_len)[None, None, :]              # (B,Tl,chunk)
+        s = jnp.where(ok[:, :, None, None, :], s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        # exp(-inf - -inf) guards: rows with no visible kv yet keep m=-inf
+        corr = jnp.exp(jnp.where(jnp.isfinite(m), m - m_new, -jnp.inf))
+        p = jnp.exp(jnp.where(jnp.isfinite(s), s - m_new[..., None],
+                              -jnp.inf))
+        p = jnp.where(jnp.isfinite(p), p, 0.0)
+        corr = jnp.where(jnp.isfinite(corr), corr, 0.0)
+        l = l * corr + jnp.sum(p, axis=-1)
+        pv = jnp.einsum("btkrs,bksd->btkrd", p.astype(dt), vs.astype(dt),
+                        preferred_element_type=jnp.float32)
+        acc = acc * corr[..., None] + pv
+        return m_new, l, acc
+
+    m0 = jnp.full((B, Tl, KV, rep), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((B, Tl, KV, rep), jnp.float32)
+    a0 = jnp.zeros((B, Tl, KV, rep, D), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nchunks, body, (m0, l0, a0))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.reshape(B, Tl, KV * rep * D)
+
+
 def _sp_forward(params, cfg: ModelConfig, tokens, cache: KVCache,
-                impl: str, axis: str):
-    """Runs inside shard_map: tokens (B, Tl) is the local chunk."""
+                impl: str, axis: str, start, attn_chunk: int = 512):
+    """Runs inside shard_map: tokens (B, Tl) is the local chunk of a
+    global T = Tl*sp token span beginning at cache position `start`
+    (traced scalar; 0 = fresh prefill).  With start > 0 the attention also
+    covers the already-cached prefix, so SP composes with chunked prefill.
+    """
     B, Tl = tokens.shape
     sp = jax.lax.psum(1, axis)
     idx = jax.lax.axis_index(axis)
     T = Tl * sp
-    offset = idx * Tl
+    offset = start + idx * Tl
     mode = cfg.quant.mode
 
     x = params["embed"][tokens]  # (B, Tl, H)
     positions = (offset + jnp.arange(Tl, dtype=jnp.int32))[None, :]
     positions = jnp.broadcast_to(positions, (B, Tl))
     rope_cs = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
-    # causal mask by global position: kv s visible to local query t iff
-    # s <= offset + t
-    s_idx = jnp.arange(T)[None, None, :]                       # (1,1,T)
-    valid = s_idx <= positions[:, :, None]                     # (B,Tl,T)
 
     new_k, new_v = cache.k, cache.v
     Dp = new_k.shape[-1]
@@ -76,7 +131,7 @@ def _sp_forward(params, cfg: ModelConfig, tokens, cache: KVCache,
         kg = jnp.swapaxes(kg, 1, 2)  # (B, KV, T, D)
         vg = jnp.swapaxes(vg, 1, 2)
 
-        # write the gathered (replicated) K/V into the cache at [0, T)
+        # write the gathered (replicated) K/V into the cache at [start, start+T)
         if Dp != cfg.head_dim:
             pad = Dp - cfg.head_dim
             kg_w = jnp.pad(kg, ((0, 0), (0, 0), (0, 0), (0, pad)))
@@ -84,20 +139,20 @@ def _sp_forward(params, cfg: ModelConfig, tokens, cache: KVCache,
         else:
             kg_w, vg_w = kg, vg
         new_k = jax.lax.dynamic_update_slice(
-            new_k, kg_w.astype(new_k.dtype)[None], (li, 0, 0, 0, 0))
+            new_k, kg_w.astype(new_k.dtype)[None], (li, 0, 0, start, 0))
         new_v = jax.lax.dynamic_update_slice(
-            new_v, vg_w.astype(new_v.dtype)[None], (li, 0, 0, 0, 0))
+            new_v, vg_w.astype(new_v.dtype)[None], (li, 0, 0, start, 0))
 
-        # local attention: q (B,Tl,H,D) vs global kg/vg (B,KV,T,D)
+        # chunked online-softmax attention against the UPDATED cache
+        # (covers the cached prefix [0, start) AND the gathered new span);
+        # each shard reads only up to its own last query position
         KV = cfg.num_kv_heads
         rep = cfg.num_heads // KV
-        qr = q.reshape(B, Tl, KV, rep, cfg.head_dim).astype(jnp.float32)
-        scores = jnp.einsum("btkrd,bksd->btkrs", qr, kg.astype(jnp.float32))
-        scores = scores / np.sqrt(cfg.head_dim)
-        scores = jnp.where(valid[:, :, None, None, :], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.einsum("btkrs,bksd->btkrd", probs, vg.astype(jnp.float32))
-        attn = attn.reshape(B, Tl, cfg.q_dim).astype(x.dtype)
+        qr = q.reshape(B, Tl, KV, rep, cfg.head_dim)
+        attn = _chunked_causal_attention(
+            qr, new_k[li], new_v[li], positions,
+            kv_len=offset + Tl, D=cfg.head_dim, chunk=attn_chunk)
+        attn = attn.astype(x.dtype)
 
         # residual folded like models/llama.forward (no psum here: weights
         # are replicated under sp)
@@ -131,17 +186,26 @@ def _sp_forward(params, cfg: ModelConfig, tokens, cache: KVCache,
     else:
         logits = jnp.einsum("bth,hv->btv", x, head,
                             preferred_element_type=jnp.float32)
-    pos = jnp.full((B,), T, jnp.int32)
+    pos = jnp.full((B,), start + T, jnp.int32)
     return logits, KVCache(k=new_k, v=new_v, pos=pos)
 
 
-def make_sp_prefill(cfg: ModelConfig, mesh: Mesh, impl: str = "auto"):
-    """Build prefill_fn(params, tokens (B, T), cache) -> (last logits, cache)
-    sharded over mesh axis 'sp'. T % sp == 0; cache.pos must be 0."""
+def make_sp_prefill(cfg: ModelConfig, mesh: Mesh, impl: str = "auto",
+                    attn_chunk: int = 512):
+    """Build prefill_fn(params, tokens (B, T), cache, start=0) ->
+    (last logits, cache), sharded over mesh axis 'sp'.  T % sp == 0.
+
+    start (int32 scalar) is the cache position the span begins at: 0 for a
+    fresh prompt, or the running offset when composing with chunked
+    prefill (attention then covers the cached prefix too).  Score memory
+    is bounded by `attn_chunk` (online softmax), so long contexts don't
+    materialize O(T^2) f32 scores.
+    """
     sp = mesh.shape["sp"]
 
-    def _pf(params, tokens, cache):
-        logits, cache = _sp_forward(params, cfg, tokens, cache, impl, "sp")
+    def _pf(params, tokens, cache, start):
+        logits, cache = _sp_forward(params, cfg, tokens, cache, impl, "sp",
+                                    start, attn_chunk=attn_chunk)
         # the global last position lives on the last shard; psum-broadcast
         # its final-row logits so the output is replicated
         i = jax.lax.axis_index("sp")
@@ -151,17 +215,31 @@ def make_sp_prefill(cfg: ModelConfig, mesh: Mesh, impl: str = "auto"):
 
     sm = shard_map(
         _pf, mesh,
-        in_specs=(REP, P(None, "sp"), REP),
+        in_specs=(REP, P(None, "sp"), REP, REP),
         out_specs=(REP, REP),
     )
     jitted = jax.jit(sm, donate_argnums=(2,))
 
-    def prefill_fn(params, tokens, cache):
+    def prefill_fn(params, tokens, cache, start=0):
         B, T = tokens.shape
         assert T % sp == 0, f"prompt length {T} must divide sp={sp}"
-        return jitted(params, tokens, cache)
+        return jitted(params, tokens, cache, jnp.int32(start))
 
     return prefill_fn
+
+
+def sp_prefill_chunked(prefill_fn, params, tokens, cache, chunk: int):
+    """Compose SP with chunked prefill: run `tokens` (B, T) through
+    prefill_fn in spans of `chunk` tokens (each span sharded over sp),
+    bounding activation memory like the engine's prefill_chunk.  Returns
+    (last logits, cache).  T % chunk == 0 and chunk % sp == 0."""
+    B, T = tokens.shape
+    assert T % chunk == 0, (T, chunk)
+    last = None
+    for off in range(0, T, chunk):
+        last, cache = prefill_fn(params, tokens[:, off:off + chunk], cache,
+                                 start=off)
+    return last, cache
 
 
 def make_sp_mesh(sp: int, devices=None) -> Mesh:

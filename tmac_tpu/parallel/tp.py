@@ -156,13 +156,19 @@ def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
                     sampler: SamplerConfig = SamplerConfig(),
                     impl: str = "auto"):
     """(prefill_fn, decode_fn) for runtime/engine.InferenceEngine over a
-    TENSOR-PARALLEL mesh (tp axis only; batch slots are replicated --
-    data-parallel serving = one engine replica per dp group).
+    dp x tp mesh.
+
+    tp shards every layer Megatron-style; dp > 1 shards the BATCH SLOTS:
+    each dp group owns max_batch/dp contiguous slots of the KV cache and
+    decodes them locally (no cross-group traffic in decode).  Slot prefill
+    is addressed globally -- every group runs the (cheap, off-critical-
+    path) prefill but only the owning group commits the cache update; the
+    resulting logits are broadcast with one psum over 'dp'.
 
     Usage:
-        mesh = make_mesh(tp=4)
+        mesh = make_mesh(tp=2, dp=2)
         sparams = shard_params(params, mesh)
-        cache = shard_cache(KVCache.create(cfg, B, S), mesh)
+        cache = shard_cache(KVCache.create(cfg, B, S), mesh)  # B % dp == 0
         eng = InferenceEngine(cfg, sparams, max_batch=B, max_len=S,
                               step_fns=make_engine_fns(cfg, mesh),
                               cache=cache)
@@ -170,12 +176,10 @@ def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
     from tmac_tpu.runtime.engine import _decode_chunk_body, _prefill_slot_body
 
     tp = mesh.shape["tp"]
-    assert mesh.shape.get("dp", 1) == 1, (
-        "engine runs tp-only meshes; replicate engines across dp groups")
+    dp = mesh.shape.get("dp", 1)
     check_cfg(cfg, tp)
     lcfg = local_cfg(cfg, tp)
-    cspecs = KVCache(k=P(None, None, "tp", None, None),
-                     v=P(None, None, "tp", None, None), pos=REP)
+    cspecs = cache_specs()
 
     def _fwd(params):
         return lambda t, c, active=None: forward(
@@ -184,8 +188,24 @@ def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
 
     def _prefill(params, tokens, true_len, cache, slot, start_pos):
         params = _localize_params(params, tp)
-        return _prefill_slot_body(_fwd(params), tokens, true_len, cache, slot,
-                                  start_pos)
+        if dp == 1:
+            return _prefill_slot_body(_fwd(params), tokens, true_len, cache,
+                                      slot, start_pos)
+        bl = cache.k.shape[1]  # local slots per dp group
+        grp = jax.lax.axis_index("dp")
+        ls = slot - grp * bl
+        owner = (ls >= 0) & (ls < bl)
+        last, newc = _prefill_slot_body(
+            _fwd(params), tokens, true_len, cache,
+            jnp.clip(ls, 0, bl - 1), start_pos)
+        cache = KVCache(
+            k=jnp.where(owner, newc.k, cache.k),
+            v=jnp.where(owner, newc.v, cache.v),
+            pos=jnp.where(owner, newc.pos, cache.pos),
+        )
+        # broadcast the owner's last-token logits to every group
+        last = jax.lax.psum(jnp.where(owner, last, 0.0), "dp")
+        return last, cache
 
     def _decode(params, last, cache, keys, active):
         params = _localize_params(params, tp)
@@ -195,6 +215,7 @@ def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
     # shard_maps built lazily on first call (param_specs needs the pytree)
     _prefill_sm = None
     _decode_sm = None
+    B_SPEC = P("dp") if dp > 1 else REP
 
     def prefill_fn(params, tokens, true_len, cache, slot, start_pos):
         nonlocal _prefill_sm
@@ -212,8 +233,9 @@ def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
             pspecs = param_specs(params)
             _decode_sm = jax.jit(shard_map(
                 _decode, mesh,
-                in_specs=(pspecs, REP, cspecs, REP, REP),
-                out_specs=(REP, cspecs)), donate_argnums=(2,))
+                in_specs=(pspecs, B_SPEC, cspecs, REP, B_SPEC),
+                out_specs=(P("dp", None) if dp > 1 else REP, cspecs)),
+                donate_argnums=(2,))
         return _decode_sm(params, last, cache, keys, active)
 
     return prefill_fn, decode_fn

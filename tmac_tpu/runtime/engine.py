@@ -49,9 +49,18 @@ class Request:
     output: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
     prompt_len: int = 0
+    # incremental-prefill state (requests occupy a slot while prefilling;
+    # decode of other slots proceeds between their chunks)
+    prefill_off: int = 0
+    last_logits: object = None
+    prefill_t0: float = 0.0
 
     def __post_init__(self):
         self.prompt_len = len(self.prompt)
+
+    @property
+    def prefilling(self) -> bool:
+        return self.prefill_off < self.prompt_len
 
 
 def _prefill_slot_body(forward_fn, tokens, true_len, cache: KVCache, slot,
@@ -149,7 +158,7 @@ class InferenceEngine:
                  prefill_buckets: Optional[List[int]] = None, seed: int = 0,
                  stream_cb: Optional[Callable[[int, List[int]], None]] = None,
                  step_fns=None, cache: Optional[KVCache] = None,
-                 prefill_chunk: int = 256):
+                 prefill_chunk: int = 256, prefill_budget: int = 1):
         """step_fns: optional (prefill_fn, decode_fn) pair replacing the
         single-chip jitted steps -- e.g. parallel/tp.make_engine_fns for a
         tensor-parallel mesh (pass pre-sharded params and a sharded cache):
@@ -165,6 +174,8 @@ class InferenceEngine:
         self.params = params
         self._step_fns = step_fns
         self.prefill_chunk = prefill_chunk
+        self.prefill_budget = prefill_budget
+        self._pf_rr = 0
         self.B = max_batch
         self.S = max_len
         self.sampler = sampler
@@ -227,41 +238,46 @@ class InferenceEngine:
         raise ValueError(f"prompt length {n} exceeds max bucket {self.buckets[-1]}")
 
     def _admit(self):
+        """Assign waiting requests to free slots (no prefill work here --
+        prefill advances chunk-by-chunk in step(), interleaved with decode,
+        so a long admission cannot stall running slots)."""
         for slot in range(self.B):
             if not self.waiting:
                 return
             if self.slots[slot] is not None:
                 continue
             req = self.waiting.popleft()
-            t0 = time.perf_counter()
-            # prefill in chunks of <= prefill_chunk tokens
-            off = 0
-            last = None
-            while off < req.prompt_len:
-                n = min(self.prefill_chunk, req.prompt_len - off)
-                bucket = self._bucket(n)
-                toks = np.zeros((1, bucket), np.int32)
-                toks[0, :n] = req.prompt[off:off + n]
-                if self._step_fns is not None:
-                    last, self.cache = self._step_fns[0](
-                        self.params, jnp.asarray(toks), jnp.int32(n),
-                        self.cache, jnp.int32(slot), jnp.int32(off))
-                else:
-                    last, self.cache = _prefill_slot(
-                        self.params, self.cfg, jnp.asarray(toks),
-                        jnp.int32(n), self.cache, jnp.int32(slot),
-                        jnp.int32(off), impl=self.impl, bucket=bucket)
-                off += n
-            first = sample(last[None], self._next_key(), self.sampler)
-            first = int(first[0])
+            req.prefill_t0 = time.perf_counter()
+            self.slots[slot] = req
+
+    def _prefill_one_chunk(self, slot: int, req: Request):
+        """Advance one prefill chunk for the request in `slot`."""
+        off = req.prefill_off
+        n = min(self.prefill_chunk, req.prompt_len - off)
+        bucket = self._bucket(n)
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :n] = req.prompt[off:off + n]
+        if self._step_fns is not None:
+            last, self.cache = self._step_fns[0](
+                self.params, jnp.asarray(toks), jnp.int32(n),
+                self.cache, jnp.int32(slot), jnp.int32(off))
+        else:
+            last, self.cache = _prefill_slot(
+                self.params, self.cfg, jnp.asarray(toks),
+                jnp.int32(n), self.cache, jnp.int32(slot),
+                jnp.int32(off), impl=self.impl, bucket=bucket)
+        req.prefill_off = off + n
+        req.last_logits = last
+        if not req.prefilling:  # prompt fully ingested -> first token
+            first = int(sample(last[None], self._next_key(), self.sampler)[0])
+            req.last_logits = None
             req.output.append(first)
             self.stats["prefills"] += 1
             self.stats["prefill_tokens"] += req.prompt_len
-            self.stats["prefill_s"] += time.perf_counter() - t0
+            self.stats["prefill_s"] += time.perf_counter() - req.prefill_t0
             if self._finished_after_append(req):
-                self._finish(slot=None, req=req)
-                continue
-            self.slots[slot] = req
+                self._finish(slot=slot, req=req)
+                return
             self.last_tokens[slot] = first
 
     def _finished_after_append(self, req: Request) -> bool:
@@ -282,10 +298,42 @@ class InferenceEngine:
         if slot is not None:
             self.slots[slot] = None
 
+    def cancel(self, uid: int) -> bool:
+        """Abort a request: drop it from the wait queue or free its slot.
+        Already-finished requests are discarded from `finished`.  Returns
+        True if the uid was found.  No stream_cb is invoked."""
+        for i, r in enumerate(self.waiting):
+            if r.uid == uid:
+                del self.waiting[i]
+                return True
+        for slot, r in enumerate(self.slots):
+            if r is not None and r.uid == uid:
+                self.slots[slot] = None
+                return True
+        return self.finished.pop(uid, None) is not None
+
     def step(self):
-        """One scheduling tick: admit waiting requests, then decode a chunk."""
+        """One scheduling tick: admit waiting requests to slots, advance at
+        most `prefill_budget` prefill chunks, then decode a chunk for every
+        slot in the decode phase.  Interleaving prefill with decode bounds
+        the stall a long admission imposes on running slots to one prefill
+        chunk per decode chunk (the reference has no scheduler at all --
+        llama.cpp runs one request start-to-finish)."""
         self._admit()
-        active_np = np.array([r is not None for r in self.slots])
+        # advance prefills, round-robin across prefilling slots
+        budget = self.prefill_budget
+        order = [(self._pf_rr + i) % self.B for i in range(self.B)]
+        for slot in order:
+            if budget == 0:
+                break
+            req = self.slots[slot]
+            if req is not None and req.prefilling:
+                self._prefill_one_chunk(slot, req)
+                self._pf_rr = (slot + 1) % self.B
+                budget -= 1
+        active_np = np.array([
+            r is not None and not r.prefilling and len(r.output) > 0
+            for r in self.slots], dtype=bool)
         if not active_np.any():
             return
         t0 = time.perf_counter()
@@ -303,8 +351,8 @@ class InferenceEngine:
         self.stats["chunks"] += 1
         self.stats["decode_s"] += time.perf_counter() - t0
         for slot, req in enumerate(self.slots):
-            if req is None:
-                continue
+            if req is None or not active_np[slot]:
+                continue  # empty, still prefilling, or no first token yet
             for t in toks[slot]:
                 req.output.append(int(t))
                 self.stats["decode_tokens"] += 1

@@ -83,7 +83,9 @@ def generate(params, cfg: ModelConfig, prompt_tokens, max_new_tokens: int,
     if pt.max(initial=0) >= cfg.vocab_size or pt.min(initial=0) < 0:
         raise ValueError(f"prompt token ids out of range [0, {cfg.vocab_size})")
     B, T = prompt_tokens.shape
-    max_len = max_len or (T + max_new_tokens)
+    # round the cache length to a sublane multiple: the flash-decode
+    # kernel's pos-bounded DMA blocks must be 8-aligned (Mosaic tiling)
+    max_len = -(-(max_len or (T + max_new_tokens)) // 64) * 64
     cache = KVCache.create(cfg, B, max_len)
     logits, cache = prefill(params, cfg, jnp.asarray(prompt_tokens), cache, impl)
     key = jax.random.PRNGKey(seed)

@@ -66,6 +66,13 @@ class ServingEngine:
                                      eos_id=eos_id)
             self._events[uid] = ev
         if not ev.wait(timeout):
+            # Clean up fully: free the engine slot (or wait-queue entry) and
+            # drop the event/result entries so abandoned requests don't
+            # accumulate or keep occupying batch capacity.
+            with self._lock:
+                self._events.pop(uid, None)
+                self._results.pop(uid, None)
+                self.engine.cancel(uid)
             raise TimeoutError(f"request {uid} timed out after {timeout}s")
         return uid, self._results.pop(uid)
 

@@ -34,19 +34,35 @@ def candidates(Mp: int, KP: int, max_bytes: int = 6 << 20):
 
 
 def tune_shape(bits: int, K: int, M: int, N: int, mode: str, gs: int,
-               iters: int = 200, overhead: float = None, log=print) -> dict:
+               iters: int = 200, overhead: float = None, log=print,
+               act: str = "fused") -> dict:
+    """Sweep block_m (and, for large-N grouped shapes, the chunk-vs-dequant
+    kernel path) on-device; record winners in the tune table.
+
+    act: which activation handling to tune for -- 'fused' matches the
+    model's production calls (models/llama.py apply_qlinear).
+    """
     rng = np.random.default_rng(0)
     if mode == "w_a8":
         wq = rng.integers(1, 4, (K, M)).astype(np.uint8)
         sc = np.full((1, M), 0.02, np.float32)
         qt = QuantizedTensor.from_quantized(wq, sc, 2 * sc, 2, K)
-        x0 = jnp.asarray(rng.integers(-127, 128, (N, K)), dtype=jnp.int8)
+        if act == "fused":
+            x0 = jnp.asarray(rng.standard_normal((N, K)), dtype=jnp.bfloat16)
+        else:
+            x0 = jnp.asarray(rng.integers(-127, 128, (N, K)), dtype=jnp.int8)
+            act = "auto"
         path, bits_eff, gs_eff = "int", 2, qt.group_size
+        dispatches = [None]
     else:
         w = (rng.standard_normal((K, M)) / np.sqrt(K)).astype(np.float32)
-        qt = QuantizedTensor.from_float(w, bits, gs, zero_point=True)
+        qt = QuantizedTensor.from_float(w, bits, gs, zero_point=True,
+                                        scale_dtype=jnp.bfloat16)
         x0 = jnp.asarray(rng.standard_normal((N, K)), dtype=jnp.bfloat16)
+        G = qt.scales.shape[0]
         path, bits_eff, gs_eff = "grouped", bits, gs
+        # large-N grouped: the kernel-path choice is part of the search
+        dispatches = ["chunk", "dequant"] if (N >= 64 and G > 1) else [None]
 
     def fb(o):
         reps = -(-K // o.shape[1])
@@ -57,24 +73,39 @@ def tune_shape(bits: int, K: int, M: int, N: int, mode: str, gs: int,
 
     KP = qt.packed.shape[0]
     Mp = qt.mdim_padded
-    best_bm, best_t = 0, float("inf")
-    for bm in candidates(Mp, KP):
-        try:
-            t = bench_chained(
-                lambda x: (lambda o: (o, fb(o)))(
-                    qgemm_pallas(x, qt, out_dtype=jnp.float32, block_m=bm)),
-                x0, iters=iters, overhead=overhead)
-        except Exception as e:  # noqa: BLE001 -- a candidate may not compile
-            log(f"  bm={bm}: failed ({type(e).__name__})")
-            continue
-        log(f"  bm={bm}: {t*1e6:.1f} us")
-        if t < best_t:
-            best_bm, best_t = bm, t
-    assert best_bm, "no candidate compiled"
-    tune_table.record(bits_eff, qt.kdim_padded, Mp, N, gs_eff, path,
-                      best_bm, best_t * 1e6)
+    best = {}  # dispatch -> (bm, t)
+    for disp in dispatches:
+        best_bm, best_t = 0, float("inf")
+        for bm in candidates(Mp, KP):
+            try:
+                t = bench_chained(
+                    lambda x, bm=bm, disp=disp: (lambda o: (o, fb(o)))(
+                        qgemm_pallas(x, qt, out_dtype=jnp.float32,
+                                     block_m=bm, act=act, dispatch=disp)),
+                    x0, iters=iters, overhead=overhead)
+            except Exception as e:  # noqa: BLE001 -- may not compile
+                log(f"  {disp or '-'} bm={bm}: failed ({type(e).__name__})")
+                continue
+            log(f"  {disp or '-'} bm={bm}: {t*1e6:.1f} us")
+            if t < best_t:
+                best_bm, best_t = bm, t
+        if best_bm:
+            best[disp] = (best_bm, best_t)
+    assert best, "no candidate compiled"
+    win_disp = min(best, key=lambda d: best[d][1])
+    best_bm, best_t = best[win_disp]
+    # block_m per path variant + the dispatch winner
+    for disp, (bm, t) in best.items():
+        p = path if disp is None else ("dequant" if disp == "dequant"
+                                       else "grouped")
+        tune_table.record(bits_eff, qt.kdim_padded, Mp, N, gs_eff, p, bm,
+                          t * 1e6)
+    if len(best) > 1:
+        mode_key = "fused" if act == "fused" else "float"
+        tune_table.record_dispatch(bits_eff, qt.kdim_padded, Mp, N, gs_eff,
+                                   mode_key, win_disp, best_t * 1e6)
     return {"bits": bits_eff, "K": K, "M": M, "N": N, "block_m": best_bm,
-            "us": round(best_t * 1e6, 2)}
+            "dispatch": win_disp, "us": round(best_t * 1e6, 2)}
 
 
 # per-model fused decode shapes (K, M) -- matches models/llama.py layers
