@@ -118,3 +118,33 @@ def test_fast_aggregation_correction_reference_semantics():
     s3, b3 = fast_aggregation_correction(s, b, act_k=8, bits=2)
     np.testing.assert_allclose(np.asarray(s3), [[16.0]])
     np.testing.assert_allclose(np.asarray(b3), [[10.0]])
+
+
+@pytest.mark.parametrize("bits", [2, 4])
+def test_fast_aggregation_accuracy_delta(bits):
+    """Quantified -fa accuracy trade-off (reference README.md:50 claims
+    +10-20% CPU speed for 'nonnegligible error'): the halving-add tree with
+    the closed-form correction must stay within ~20x of the exact path's
+    NMSE but measurably worse -- the documented reason -fa defaults OFF
+    here (TPU int32 MXU accumulation is free, so -fa has no speed upside)."""
+    rng = np.random.default_rng(77 + bits)
+    N, K, M, gs = 4, 512, 128, 64
+    ags = gs  # aligned groups; gpa = 16 tables -> correction term active
+    w = rng.standard_normal((K, M)).astype(np.float32)
+    x = rng.standard_normal((N, K)).astype(np.float32)
+    wq, scales, sub = packing.quantize_weights(w, bits, gs, True)
+    oracle = x @ packing.dequantize(wq, scales, sub, gs)
+
+    qlut, lut_scales, lut_biases = lut.lut_ctor(jnp.asarray(x), ags)
+    idx = packing.group_indices(wq, bits)
+    args = (qlut, lut_scales, lut_biases, idx,
+            jnp.asarray(scales), jnp.asarray(sub))
+    kw = dict(bits=bits, group_size=gs, act_group_size=ags)
+    exact = np.asarray(lut.lut_gemm_spec(*args, **kw))
+    fa = np.asarray(lut.lut_gemm_spec(*args, fast_aggregation=True, **kw))
+    e_exact = nmse(oracle, exact)
+    e_fa = nmse(oracle, fa)
+    # exact path obeys the reference gate; fa degrades but bounded
+    assert e_exact <= NMSE_GATE
+    assert e_fa > e_exact, "fa should be measurably lossier"
+    assert e_fa < 50 * NMSE_GATE, f"fa error out of envelope: {e_fa}"

@@ -106,8 +106,16 @@ def lut_gemm_spec(
     act_group_size: int,
     g: int = 4,
     out_dtype=jnp.float32,
+    fast_aggregation: bool = False,
 ) -> jax.Array:
     """Reference LUT-GEMM: gather + accumulate + alpha recombination.
+
+    fast_aggregation=True models the reference's -fa mode (README.md:50,
+    tbl.cc:86-141,367-376): the int8-domain sum over the ags/g tables of
+    each act group is replaced by a rounding-halving-add tree (~sum/ActK
+    with a positive rounding bias), compensated by lut_scale *= ActK and
+    the closed-form bias shift (fast_aggregation_correction).  Requires
+    act_group_size == group_size and a power-of-2 table count per group.
 
     qlut:       (N, K//g, 2^g) int8       quantized LUTs
     lut_scales: (N, K//ags)                per-act-group LUT scales
@@ -141,12 +149,29 @@ def lut_gemm_spec(
     nag = K // act_group_size
     gpw = group_size // g  # tables per weight group
 
+    if fast_aggregation:
+        assert act_group_size == group_size, \
+            "fa spec models aligned act/weight groups"
+        assert gpa & (gpa - 1) == 0, "fa needs power-of-2 tables per group"
+        fa_scales, fa_biases = fast_aggregation_correction(
+            lut_scales, lut_biases, gpa, bits)
+
     acc = jnp.zeros((N, M), dtype=jnp.float32)
     for b in range(bits):
         # (N, K//g, M)
         vals = jnp.take_along_axis(
             qlut, idx[b][None].repeat(N, axis=0), axis=-1
         ).astype(jnp.float32)
+        if fast_aggregation:
+            # int8-domain halving-add tree over each act group's tables
+            # (the lossy part of -fa), then the ActK-corrected scale
+            agg = halving_add_tree(
+                vals.reshape(N, nag, gpa, M).astype(jnp.int32), axis=2)
+            vs = agg.astype(jnp.float32) \
+                * fa_scales[..., None].astype(jnp.float32)        # (N,nag,M)
+            vs = vs * scales.astype(jnp.float32)[None, :, :]      # gs == ags
+            acc = acc + alphas[b] * jnp.sum(vs, axis=1)
+            continue
         # dequantize tables: per act group scale
         vs = vals.reshape(N, nag, gpa, M) * lut_scales[..., None, None].astype(jnp.float32)
         vs = vs.reshape(N, K // g, M)
@@ -172,6 +197,15 @@ def lut_gemm_spec(
         # so disallow (reference also requires ags to divide group_size).
         raise NotImplementedError("act_group_size must divide group_size")
     acc = acc + jnp.einsum("na,am->nm", -lut_biases.astype(jnp.float32), const_ag)
+    if fast_aggregation:
+        # the closed-form -fa bias shift lands where lut_bias is applied in
+        # the kernel (once per bits-block at alphas[0] weight,
+        # intrins/tbl.py:74-75); it is zero for ActK <= 8 (integer
+        # log2(ActK)//4 in the reference formula)
+        delta = (fa_biases - lut_biases).astype(jnp.float32)  # (N, nag)
+        # weight-scaled like every lut_bias application (ags == gs here)
+        acc = acc + alphas[0] * jnp.einsum(
+            "na,am->nm", delta, scales.astype(jnp.float32))
     return acc.astype(out_dtype)
 
 

@@ -126,9 +126,12 @@ def main(argv=None):
     ap.add_argument("--mode", default=None, choices=[None, "w_fp", "w_a8"])
     ap.add_argument("--n", type=int, nargs="+", default=[1])
     ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--bits", type=int, default=None,
+                    help="override the preset's weight bits (e.g. tune the "
+                         "llama-2-7b W4 variant)")
     args = ap.parse_args(argv)
 
-    cfg = get_preset(args.preset)
+    cfg = get_preset(args.preset, bits=args.bits)
     mode = args.mode or cfg.quant.mode
     overhead = null_roundtrip()
     print(f"null {overhead*1e3:.1f} ms -> {tune_table.table_path()}",

@@ -269,15 +269,15 @@ def main():
     p.set_defaults(fn=cmd_ppl)
 
     pr = sub.add_parser("profile", help="kernel profiler (pass-through args)")
-    pr.add_argument("rest", nargs="*")
+    pr.add_argument("rest", nargs=argparse.REMAINDER)
     pr.set_defaults(fn=cmd_profile)
 
     at = sub.add_parser("autotune", help="block-size autotuner (kcfg analog)")
-    at.add_argument("rest", nargs="*")
+    at.add_argument("rest", nargs=argparse.REMAINDER)
     at.set_defaults(fn=cmd_autotune)
 
     mb = sub.add_parser("microbench", help="hardware probes (blackbox analog)")
-    mb.add_argument("rest", nargs="*")
+    mb.add_argument("rest", nargs=argparse.REMAINDER)
     mb.set_defaults(fn=lambda a: __import__(
         "tmac_tpu.tools.microbench", fromlist=["main"]).main(a.rest))
 
