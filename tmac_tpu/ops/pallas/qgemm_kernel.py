@@ -647,13 +647,14 @@ def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
             d = tune_table.lookup_dispatch(
                 qt.bits, Kp, qt.mdim_padded, N, gs, "fused")
             dispatch = d or ("dequant" if N >= 3 * gs else "chunk")
-        if dispatch == "chunk" and N >= 64 and G > 1:
-            # Large-N fused-chunk: the IN-KERNEL prologue (act quant over
-            # (N, G, gs) at N >= 64) makes Mosaic compilation pathological
-            # (> 5 min measured at N=256, K=1024 on v5e, vs seconds for
-            # every other variant).  Run the glu/norm prologue in XLA and
-            # fall through to the external-int8 chunk kernel -- same math,
-            # fast compile; XLA fuses the prologue into one pass.
+        if N >= 64 and (G == 1 or dispatch == "chunk"):
+            # Large-N fused variants with an IN-KERNEL quantization
+            # prologue make Mosaic compilation pathological (> 5-7 min
+            # measured at N=256 on v5e for BOTH the grouped chunk and the
+            # per-tensor single-dot forms, vs seconds for everything
+            # else).  Run the glu/norm prologue in XLA and fall through to
+            # the external-int8 kernels -- same math, fast compile; XLA
+            # fuses the prologue into one pass.
             xf = x.astype(jnp.float32)
             if glu:
                 g_half = xf[:, :K]
@@ -668,6 +669,23 @@ def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
                 xf = xf * jax.lax.rsqrt(var + float(eps))
                 xf = xf * pad_x_for(w_n.reshape(1, K).astype(jnp.float32), qt)
                 norm = None
+            if G == 1:
+                # per-tensor: per-token absmax int8 -> exact-int32
+                # single-dot kernel; act scale and residual applied in the
+                # XLA epilogue (identical numerics to the fused form)
+                amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+                xs = jnp.maximum(amax, 1e-20) / 127.0
+                xq = jnp.clip(jnp.rint(xf / xs), -127, 127).astype(jnp.int8)
+                xsum = jnp.sum(xq.astype(jnp.int32), axis=1,
+                               keepdims=True).astype(jnp.float32)
+                out = _qgemm_pallas_call(
+                    xq, xsum, None, qt.packed, qt.packed_hi, qt.scales,
+                    qt.sub, (qt.bits, gs, Kp, qt.mdim, 0), jnp.float32,
+                    block_m, interpret, dispatch=dispatch)
+                out = qt.slice_m(out) * xs
+                if residual is not None:
+                    out = out + residual.astype(out.dtype)
+                return out.astype(out_dtype)
             x = xf
             act = "int8"
         else:

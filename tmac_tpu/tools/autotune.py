@@ -23,13 +23,21 @@ from tmac_tpu.ops.qgemm import QuantizedTensor
 from tmac_tpu.tools.timing import bench_chained, null_roundtrip
 
 
-def candidates(Mp: int, KP: int, max_bytes: int = 6 << 20):
-    """Legal block_m values: 128-multiples dividing Mp, block <= max_bytes."""
+def candidates(Mp: int, KP: int, max_bytes: int = 6 << 20,
+               limit: int = 4):
+    """Legal block_m values: 128-multiples dividing Mp, block <= max_bytes.
+
+    Capped at `limit` evenly-spaced candidates: every candidate is a
+    separate Mosaic compile (minutes each for the large-N variants through
+    the remote tunnel), so an exhaustive sweep is not worth its cost."""
     out = []
     for d in range(1, Mp // 128 + 1):
         bm = 128 * d
         if Mp % bm == 0 and KP * bm <= max_bytes:
             out.append(bm)
+    if len(out) > limit:
+        idx = np.linspace(0, len(out) - 1, limit).round().astype(int)
+        out = [out[i] for i in sorted(set(idx))]
     return out or [128]
 
 

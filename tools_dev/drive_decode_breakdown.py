@@ -1,0 +1,129 @@
+"""Itemize the bitnet-3b decode step cost on v5e (VERDICT #2).
+
+Components timed with the chained protocol; run from /root/repo when the
+chip is free.
+"""
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tmac_tpu.models.config import get_preset
+from tmac_tpu.models.llama import KVCache, forward, init_params
+from tmac_tpu.ops.qgemm import qgemm
+from tmac_tpu.tools.timing import bench_chained, null_roundtrip
+
+cfg = get_preset("bitnet-3b")
+params = init_params(cfg, seed=0)
+ov = null_roundtrip()
+print(f"null {ov*1e3:.1f} ms", flush=True)
+
+H = cfg.hidden_size
+layer0 = params["layers"][0]
+
+# 1) one fused qkv linear (per-tensor fused path), chained
+x0 = jnp.asarray(np.random.default_rng(0).standard_normal((1, H)), jnp.bfloat16)
+
+
+def t_linears(x):
+    # one full layer's 4 linears with the production folds, glue-free
+    qkv = qgemm(x, layer0["wqkv"], impl="pallas", act="fused",
+                out_dtype=jnp.float32,
+                norm=(layer0["attn_norm"], cfg.rms_norm_eps))
+    attn_in = qkv[:, :H].astype(jnp.bfloat16)
+    o = qgemm(attn_in, layer0["wo"], impl="pallas", act="fused",
+              out_dtype=jnp.float32, residual=x.astype(jnp.float32))
+    xo = o.astype(jnp.bfloat16)
+    gu = qgemm(xo, layer0["gate_up"], impl="pallas", act="fused",
+               out_dtype=jnp.float32,
+               norm=(layer0["mlp_norm"], cfg.rms_norm_eps))
+    d = qgemm(gu.astype(jnp.bfloat16), layer0["down"], impl="pallas",
+              act="fused", out_dtype=jnp.float32, glu=True,
+              residual=xo.astype(jnp.float32))
+    return d, d[:, :H].astype(x.dtype)
+
+
+t = bench_chained(t_linears, x0, iters=50, reps=3, overhead=ov)
+print(f"4 linears (1 layer, fused folds): {t*1e6:.1f} us -> x26 = "
+      f"{t*26*1e3:.3f} ms", flush=True)
+
+# 2) flash attention per layer
+from tmac_tpu.ops.pallas.attention_kernel import flash_decode_stacked
+S = 256
+cache = KVCache.create(cfg, 1, S)
+KV, D = cfg.num_kv_heads, cfg.head_dim
+rep = cfg.num_heads // KV
+q0 = jnp.asarray(np.random.default_rng(1).standard_normal((1, KV, rep, D)),
+                 jnp.bfloat16)
+lens = jnp.asarray([200], jnp.int32)
+
+
+def t_flash(q):
+    o = flash_decode_stacked(q, cache.k, cache.v, lens, jnp.int32(3),
+                             scale=0.1)
+    return o, o.astype(q.dtype)
+
+
+t = bench_chained(t_flash, q0, iters=100, reps=3, overhead=ov)
+print(f"flash decode (1 layer, S=256): {t*1e6:.1f} us -> x26 = "
+      f"{t*26*1e3:.3f} ms", flush=True)
+
+# 3) head path: final norm + per-token quant + XLA int8 dot
+head = params["lm_head"]
+
+
+def t_head(x):
+    from tmac_tpu.models.llama import quantize_activations_int8, rms_norm
+    xn = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    xq, xs = quantize_activations_int8(xn)
+    logits = qgemm(xq, head, impl="xla", out_dtype=jnp.float32) * xs
+    return logits, logits[:, :H].astype(x.dtype)
+
+
+t = bench_chained(t_head, x0, iters=50, reps=3, overhead=ov)
+print(f"head (norm+quant+int8 dot): {t*1e6:.1f} us", flush=True)
+
+# 4) full decode step (forward + greedy sample)
+from tmac_tpu.runtime.sampling import SamplerConfig, sample
+
+cache_full = KVCache.create(cfg, 1, S)
+key = jax.random.PRNGKey(0)
+
+
+def t_step(tok_cache):
+    tok, cache = tok_cache
+    logits, cache = forward(params, cfg, tok[:, None], cache)
+    nxt = sample(logits[:, -1, :], key, SamplerConfig())
+    return (nxt, cache), (nxt, cache)
+
+
+# chained full steps need custom loop (cache carry)
+import time
+
+
+@jax.jit
+def loop_steps(tok, cache):
+    def body(i, carry):
+        tok, cache = carry
+        logits, cache = forward(params, cfg, tok[:, None], cache)
+        nxt = sample(logits[:, -1, :], jax.random.PRNGKey(0), SamplerConfig())
+        return (nxt, cache)
+    tok, cache = jax.lax.fori_loop(0, 32, body, (tok, cache))
+    return tok, cache
+
+
+tok0 = jnp.asarray([5], jnp.int32)
+o = loop_steps(tok0, cache_full)
+print("compiled full step loop", flush=True)
+best = float("inf")
+for _ in range(3):
+    cache_r = KVCache.create(cfg, 1, S)
+    t0 = time.perf_counter()
+    tok, cr = loop_steps(tok0, cache_r)
+    int(tok[0])
+    best = min(best, time.perf_counter() - t0)
+print(f"full step: {(best-ov)/32*1e3:.3f} ms/token "
+      f"({32/(best-ov):.1f} tok/s)", flush=True)
