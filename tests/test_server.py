@@ -79,3 +79,28 @@ def test_bad_request(server):
 
 
 import urllib.error  # noqa: E402
+
+
+def test_bench_serve_mixed_arrivals(server):
+    """Mixed-arrival bench harness: all requests finish, stats sane, and
+    TTFT stays bounded while other requests decode (the interleaved
+    scheduler's aggregate-throughput story)."""
+    import numpy as np
+    from tmac_tpu.models.config import get_preset
+    from tmac_tpu.models.llama import init_params
+    from tmac_tpu.runtime.bench_serve import run_serve_bench
+    from tmac_tpu.runtime.engine import InferenceEngine
+
+    cfg, params, _ = server
+    eng = InferenceEngine(cfg, params, max_batch=4, max_len=64,
+                          impl="xla", decode_chunk=2, prefill_chunk=16)
+    rng = np.random.default_rng(1)
+    prompts = [[int(t) for t in rng.integers(1, cfg.vocab_size, n)]
+               for n in (3, 20, 7, 30, 5, 12)]
+    r = run_serve_bench(eng, prompts, max_new=6, arrival_rate=50.0)
+    assert r["requests"] == 6
+    assert r["decode_tokens"] > 0 and r["aggregate_tok_s"] > 0
+    assert r["ttft_p95_s"] <= r["latency_p95_s"]
+    assert len(eng.finished) == 6
+    for req in eng.finished.values():
+        assert len(req.output) == 6

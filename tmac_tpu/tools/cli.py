@@ -176,6 +176,36 @@ def cmd_autotune(args):
     autotune.main(args.rest)
 
 
+def cmd_bench_serve(args):
+    """Mixed-arrival continuous-batching bench -> JSON on stdout."""
+    import numpy as np
+    from tmac_tpu.models.config import get_preset
+    from tmac_tpu.models.llama import init_params
+    from tmac_tpu.runtime.bench_serve import run_serve_bench
+    from tmac_tpu.runtime.engine import InferenceEngine
+
+    if args.ckpt:
+        cfg, params = _load(args)
+    else:
+        cfg = get_preset(args.model, bits=args.bits)
+        params = init_params(cfg, seed=0)
+    eng = InferenceEngine(cfg, params, max_batch=args.max_batch,
+                          max_len=args.max_len,
+                          decode_chunk=args.decode_chunk)
+    rng = np.random.default_rng(0)
+    prompts = [[int(t) for t in rng.integers(1, cfg.vocab_size,
+                                             args.prompt_len)]
+               for _ in range(args.requests)]
+    # warm the compiled programs so arrival timing isn't compile-skewed
+    warm = eng.submit(prompts[0], max_new_tokens=2)
+    eng.run()
+    eng.finished.clear()
+    for k in eng.stats:
+        eng.stats[k] = 0 if not isinstance(eng.stats[k], float) else 0.0
+    r = run_serve_bench(eng, prompts, args.max_new, args.rate)
+    print(json.dumps(r))
+
+
 def cmd_trace(args):
     """Capture a jax.profiler device trace of a decode run (view with
     tensorboard or xprof)."""
@@ -247,6 +277,22 @@ def main():
     b.add_argument("--prompt-len", type=int, default=16)
     b.add_argument("--steps", type=int, default=64)
     b.set_defaults(fn=cmd_bench_e2e)
+
+    bs = sub.add_parser("bench-serve",
+                        help="mixed-arrival serving bench (aggregate tok/s, "
+                             "TTFT/latency percentiles)")
+    bs.add_argument("--ckpt", default="")
+    bs.add_argument("--model", default="bitnet-3b")
+    bs.add_argument("--bits", type=int, default=None)
+    bs.add_argument("--max-batch", type=int, default=8)
+    bs.add_argument("--max-len", type=int, default=1024)
+    bs.add_argument("--requests", type=int, default=32)
+    bs.add_argument("--rate", type=float, default=4.0,
+                    help="mean arrivals per second")
+    bs.add_argument("--prompt-len", type=int, default=128)
+    bs.add_argument("--max-new", type=int, default=64)
+    bs.add_argument("--decode-chunk", type=int, default=8)
+    bs.set_defaults(fn=cmd_bench_serve)
 
     s = sub.add_parser("serve", help="HTTP serving (continuous batching)")
     s.add_argument("--ckpt", default="")
