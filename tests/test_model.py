@@ -105,3 +105,22 @@ def test_prefill_chunking_matches_oneshot():
                                np.asarray(l2, np.float32), rtol=2e-2, atol=2e-2)
     np.testing.assert_array_equal(np.asarray(l1.argmax(-1)), np.asarray(l2.argmax(-1)))
     assert (np.asarray(c1.pos) == 12).all() and (np.asarray(c2.pos) == 12).all()
+
+
+def test_block_kernel_decode_matches_xla(monkeypatch):
+    """The single-program residual-block decode path (B=1, per-tensor
+    BitNet; opt-in via TMAC_BLOCK_KERNEL) must match the XLA step within
+    quantization-order noise."""
+    monkeypatch.setenv("TMAC_BLOCK_KERNEL", "1")
+    cfg = get_preset("bitnet-3b").scaled(12)
+    params = init_params(cfg, seed=3)
+    cache_a = KVCache.create(cfg, 1, 32)
+    cache_b = KVCache.create(cfg, 1, 32)
+    toks = jnp.asarray([[3, 1, 4]])
+    la, cache_a = forward(params, cfg, toks, cache_a, impl="xla")
+    lb, cache_b = forward(params, cfg, toks, cache_b, impl="pallas")
+    step = jnp.asarray([[9]])
+    la2, _ = forward(params, cfg, step, cache_a, impl="xla")
+    lb2, _ = forward(params, cfg, step, cache_b, impl="pallas")  # block path
+    from tmac_tpu.utils import nmse
+    assert nmse(np.asarray(la2, np.float32), np.asarray(lb2, np.float32)) < 2e-3

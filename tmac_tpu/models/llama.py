@@ -211,11 +211,21 @@ def _rand_qt(rng: np.random.Generator, K: int, M: int, cfg: ModelConfig,
 
 def padded_intermediate(cfg: ModelConfig, tp: int) -> int:
     """Intermediate size padded so gate/up m-shards and down k-shards align
-    with scale groups under tp-way tensor parallelism (weight-level zero
-    padding done at convert/init time; transparent at runtime)."""
+    with scale groups AND the 128-lane tile under tp-way tensor
+    parallelism (weight-level zero padding done at convert/init time;
+    transparent at runtime).
+
+    The 128 alignment keeps the whole MLP in one consistent layout: gate
+    and up segments need no per-segment m-padding (so fuse_m's slice_m is
+    a no-op reorder) and the down projection's K equals the segment width
+    -- which is what lets the fused residual-block kernel
+    (ops/pallas/block_kernel.py) run swiglu on the padded layout with
+    aligned lane slices.  Cost: e.g. bitnet-3b 8640 -> 8704 (+0.74 %
+    gate/up/down weight bytes); every other preset is already aligned.
+    """
     from tmac_tpu.utils import round_up
     gs = cfg.quant.group_size
-    align = tp if gs == -1 else tp * gs
+    align = int(np.lcm(tp * max(gs, 1), 128))
     return round_up(cfg.intermediate_size, align)
 
 
@@ -414,6 +424,38 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
 
         attn = _attention(q, new_k, new_v, li, positions, kv_len_mask, cfg,
                           impl=impl)
+        down = layer["down"]
+        use_pallas = impl == "pallas" or (
+            impl == "auto" and jax.default_backend() == "tpu")
+        # measured NULL RESULT on v5e (kept as an opt-in experiment): the
+        # single-program residual block runs 29.8 us/layer vs 23.6 for the
+        # three separate kernels -- pinning one resident block per phase
+        # costs more VMEM/pipelining than two launches cost in overhead
+        # (and it compiles in ~6 min).  TMAC_BLOCK_KERNEL=1 enables it.
+        import os as _os
+        if (T == 1 and B == 1 and tp_axis is None and use_pallas
+                and _os.environ.get("TMAC_BLOCK_KERNEL", "0") == "1"
+                and mode == "w_a8"
+                and all(layer[n].scales.shape[0] == 1
+                        for n in ("wo", "gate_up", "down"))
+                and layer["wo"].bits in (1, 2, 4)
+                and layer["wo"].kdim_padded == layer["wo"].kdim
+                and layer["wo"].mdim_padded == layer["wo"].mdim == x.shape[-1]
+                and down.kdim_padded == down.kdim
+                and down.mdim_padded == down.mdim == x.shape[-1]
+                and layer["gate_up"].mdim_padded == 2 * down.kdim):
+            # single-program residual block: wo + residual + norm +
+            # gate_up + SwiGLU + down + residual in one kernel (two fewer
+            # launches per layer; weight prefetch flows across the
+            # matmul boundaries)
+            from tmac_tpu.ops.pallas.block_kernel import wo_mlp_block
+            xb = wo_mlp_block(
+                attn.reshape(1, -1), x.reshape(1, -1).astype(jnp.float32),
+                layer["mlp_norm"], layer["wo"], layer["gate_up"], down,
+                cfg.rms_norm_eps)
+            x = xb.reshape(B, T, -1).astype(x.dtype)
+            continue
+
         # residual folds into the wo/down kernel epilogues ONLY when no
         # cross-chip psum follows (it must see the partial sum, not
         # partial + residual per shard)
@@ -429,9 +471,6 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
         gu = apply_qlinear(x, layer["gate_up"], mode, None, impl,
                            norm=(layer["mlp_norm"], cfg.rms_norm_eps),
                            act_gs=ags)
-        down = layer["down"]
-        use_pallas = impl == "pallas" or (
-            impl == "auto" and jax.default_backend() == "tpu")
         res = x if tp_axis is None else None
         if (use_pallas and down.kdim_padded == down.kdim
                 and (mode != "w_a8" or down.scales.shape[0] == 1)):

@@ -99,30 +99,38 @@ def cmd_bench_e2e(args):
         toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, args.prompt_len)))
         key = jax.random.PRNGKey(0)
 
-        # prefill timing
-        logits, cache = prefill(params, cfg, toks, cache)
+        # Every rep uses DIFFERENT tokens and is fetched to host: remote
+        # tunnels cache identical executions, so repeating the same inputs
+        # measures the cache, not the chip (observed: "decode" above
+        # speed-of-light and negative prefill times before this fix).
+        logits, cache = prefill(params, cfg, toks, cache)  # compile
         _ = float(jnp.sum(logits))
-        t0 = time.perf_counter()
-        reps = 5
-        for _ in range(reps):
+        t_pre = float("inf")
+        for r in range(5):
+            toks_r = jnp.asarray(
+                rng.integers(0, cfg.vocab_size, (B, args.prompt_len)))
             cache2 = KVCache.create(cfg, B, args.prompt_len + args.steps)
-            lg, cache2 = prefill(params, cfg, toks, cache2)
-        _ = float(jnp.sum(lg))
-        t_pre = (time.perf_counter() - t0 - ov) / reps
+            t0 = time.perf_counter()
+            lg, cache2 = prefill(params, cfg, toks_r, cache2)
+            _ = float(jnp.sum(lg))
+            t_pre = min(t_pre, time.perf_counter() - t0 - ov)
         pre_tps = B * args.prompt_len / t_pre
 
         first = jnp.argmax(logits, -1).astype(jnp.int32)
         out, cache = decode_loop(params, cfg, first, cache, key,
                                  steps=args.steps, sampler=SamplerConfig())
-        _ = int(jnp.sum(out))
+        _ = int(jnp.sum(out))  # compile
         best = float("inf")
-        for _ in range(3):
+        for r in range(3):
+            toks_r = jnp.asarray(
+                rng.integers(0, cfg.vocab_size, (B, args.prompt_len)))
             cache = KVCache.create(cfg, B, args.prompt_len + args.steps)
-            lg, cache = prefill(params, cfg, toks, cache)
+            lg, cache = prefill(params, cfg, toks_r, cache)
             first = jnp.argmax(lg, -1).astype(jnp.int32)
             _ = float(jnp.sum(first))
             t0 = time.perf_counter()
-            out, cache = decode_loop(params, cfg, first, cache, key,
+            out, cache = decode_loop(params, cfg, first, cache,
+                                     jax.random.PRNGKey(r),
                                      steps=args.steps, sampler=SamplerConfig())
             _ = int(jnp.sum(out))
             best = min(best, time.perf_counter() - t0 - ov)

@@ -61,6 +61,11 @@ def profile_shape(bits: int, M: int, K: int, N: int, mode: str = "w_fp",
 
     w8 = jnp.asarray(np.asarray(qt.unpack()))
     sc, sub = qt.scales[:, :qt.mdim], qt.sub[:, :qt.mdim]
+    if mode != "w_a8" and qt.kdim % sc.shape[0]:
+        # K-padded tensors carry padded scale-group rows; the unpacked
+        # logical-K baseline needs only the real groups
+        g_real = qt.kdim // gs
+        sc, sub = sc[:g_real], sub[:g_real]
     gs_eff = qt.kdim // sc.shape[0]
     xb = x0.astype(jnp.bfloat16) if mode == "w_a8" else x0
     t_base = bench_chained(
