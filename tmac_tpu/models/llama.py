@@ -149,8 +149,14 @@ class KVCache:
         # (the default decode attention on TPU) needs lane-aligned DMA
         # slices, and it reads only pos+1 entries so the padding does not
         # cost bandwidth the way it would for a full-allocation reader.
+        # max_len rounded to 128 so the kernel's KV block size stays a
+        # full tile: an allocation like 320 forces blk = gcd(128,320) = 64
+        # whose small strided DMAs measured 184 us/layer at pos 300 on v5e
+        # (vs ~5 us with 128-row blocks).  Pos-bounded readers never touch
+        # the extra rows.
         from tmac_tpu.utils import round_up
         dp = round_up(cfg.head_dim, 128)
+        max_len = round_up(max_len, 128)
         shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, dp)
         return cls(
             k=jnp.zeros(shape, dtype),
@@ -372,6 +378,28 @@ def _write_kv(buf: jax.Array, kv: jax.Array, pos: jax.Array) -> jax.Array:
     )(buf, kv, pos)
 
 
+def _write_kv_stacked(buf: jax.Array, li: int, kv: jax.Array,
+                      pos: jax.Array) -> jax.Array:
+    """Write kv (B, T, KV, D) into the STACKED cache buf (L, B, KV, S, Dp)
+    at layer li (static) and per-slot start pos (B,).
+
+    Direct dynamic-update-slices on the full array: the previous
+    `buf.at[li].set(_write_kv(buf[li], ...))` forced XLA to materialize a
+    read-modify-write of the whole 3 MB layer slice per layer per step --
+    measured ~0.4 ms/token of pure copy traffic on bitnet-3b decode at
+    S=384 (ablation in BENCH.md).  B is small and static, so one update
+    per slot keeps everything in-place."""
+    kv = jnp.swapaxes(kv, 1, 2)  # (B, KV, T, D)
+    dp = buf.shape[-1]
+    if kv.shape[-1] != dp:
+        kv = jnp.pad(kv, ((0, 0), (0, 0), (0, 0), (0, dp - kv.shape[-1])))
+    B = kv.shape[0]
+    for b in range(B):
+        buf = jax.lax.dynamic_update_slice(
+            buf, kv[b][None, None], (li, b, 0, pos[b], 0))
+    return buf
+
+
 def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             impl: str = "auto", tp_axis: Optional[str] = None,
             active: Optional[jax.Array] = None):
@@ -394,6 +422,11 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
     B, T = tokens.shape
     mode = cfg.quant.mode
     ags = cfg.quant.act_group_size
+    # perf-ablation hooks (debug only -- outputs become wrong):
+    # TMAC_DEBUG_SKIP=kvwrite,attn,rope disables components so their cost
+    # can be itemized from e2e deltas through the remote tunnel
+    import os as _os
+    _skip = set(_os.environ.get("TMAC_DEBUG_SKIP", "").split(","))
     x = params["embed"][tokens]  # (B, T, H)
     positions = cache.pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B,T)
     S = cache.max_len
@@ -415,15 +448,23 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             k = k + layer["bk"].astype(k.dtype)
         if "bv" in layer:
             v = v + layer["bv"].astype(v.dtype)
-        q = rope(q.reshape(B, T, cfg.num_heads, cfg.head_dim), rope_cs)
-        k = rope(k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim), rope_cs)
+        if "rope" in _skip:
+            q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
+            k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        else:
+            q = rope(q.reshape(B, T, cfg.num_heads, cfg.head_dim), rope_cs)
+            k = rope(k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim), rope_cs)
         v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
 
-        new_k = new_k.at[li].set(_write_kv(new_k[li], k.astype(new_k.dtype), cache.pos))
-        new_v = new_v.at[li].set(_write_kv(new_v[li], v.astype(new_v.dtype), cache.pos))
+        if "kvwrite" not in _skip:
+            new_k = _write_kv_stacked(new_k, li, k.astype(new_k.dtype), cache.pos)
+            new_v = _write_kv_stacked(new_v, li, v.astype(new_v.dtype), cache.pos)
 
-        attn = _attention(q, new_k, new_v, li, positions, kv_len_mask, cfg,
-                          impl=impl)
+        if "attn" in _skip:
+            attn = q.reshape(B, T, cfg.q_dim) * 0.5
+        else:
+            attn = _attention(q, new_k, new_v, li, positions, kv_len_mask,
+                              cfg, impl=impl)
         down = layer["down"]
         use_pallas = impl == "pallas" or (
             impl == "auto" and jax.default_backend() == "tpu")

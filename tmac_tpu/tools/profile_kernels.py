@@ -29,10 +29,13 @@ SHAPE_PRESETS = {
     "llama-2-7b": [(b, M, K) for b in (2, 4) for (M, K) in
                    [(4096, 4096), (11008, 4096), (4096, 11008)]],
     "llama-2-13b": [(2, 5120, 5120), (2, 13824, 5120), (2, 5120, 13824)],
-    "bitnet-3b": [(2, 3200, 8640), (2, 8640, 3200), (2, 3200, 3200)],
+    "bitnet-3b": [(2, 3200, 8704), (2, 8704, 3200), (2, 3200, 3200)],
     "llama-3-8b": [(2, 4096, 4096), (2, 14336, 4096), (2, 4096, 14336),
                    (2, 1024, 4096)],
 }
+
+# bitnet is per-tensor W1.58A8 (its K values don't divide gs=128 anyway)
+PRESET_MODE = {"bitnet-3b": "w_a8"}
 
 
 def profile_shape(bits: int, M: int, K: int, N: int, mode: str = "w_fp",
@@ -102,19 +105,29 @@ def main(argv=None):
           file=sys.stderr)
 
     rows = []
+    writer = None
+    f = open(args.out, "w", newline="")
     for p in presets:
+        mode = PRESET_MODE.get(p, args.mode)
         for bits, M, K in SHAPE_PRESETS[p]:
             for N in args.n:
-                r = profile_shape(bits, M, K, N, mode=args.mode,
-                                  iters=args.iters, overhead=overhead)
+                try:
+                    r = profile_shape(bits, M, K, N, mode=mode,
+                                      iters=args.iters, overhead=overhead)
+                except Exception as e:  # noqa: BLE001 -- keep sweeping
+                    print(f"shape ({bits},{M},{K}) N={N} failed: "
+                          f"{type(e).__name__}: {e}", file=sys.stderr)
+                    continue
                 r["preset"] = p
                 rows.append(r)
                 print(r, file=sys.stderr)
-
-    with open(args.out, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-        w.writeheader()
-        w.writerows(rows)
+                # write-through: a crash or timeout must not lose the sweep
+                if writer is None:
+                    writer = csv.DictWriter(f, fieldnames=list(r.keys()))
+                    writer.writeheader()
+                writer.writerow(r)
+                f.flush()
+    f.close()
     print(f"wrote {args.out} ({len(rows)} rows)", file=sys.stderr)
 
 

@@ -50,26 +50,26 @@ t = bench_chained(t_linears, x0, iters=50, reps=3, overhead=ov)
 print(f"4 linears (1 layer, fused folds): {t*1e6:.1f} us -> x26 = "
       f"{t*26*1e3:.3f} ms", flush=True)
 
-# 2) flash attention per layer
+# 2) flash attention per layer, short vs long position
 from tmac_tpu.ops.pallas.attention_kernel import flash_decode_stacked
-S = 256
+S = 320
 cache = KVCache.create(cfg, 1, S)
 KV, D = cfg.num_kv_heads, cfg.head_dim
 rep = cfg.num_heads // KV
 q0 = jnp.asarray(np.random.default_rng(1).standard_normal((1, KV, rep, D)),
                  jnp.bfloat16)
-lens = jnp.asarray([200], jnp.int32)
 
+for pos in (17, 300):
+    lens = jnp.asarray([pos], jnp.int32)
 
-def t_flash(q):
-    o = flash_decode_stacked(q, cache.k, cache.v, lens, jnp.int32(3),
-                             scale=0.1)
-    return o, o.astype(q.dtype)
+    def t_flash(q, lens=lens):
+        o = flash_decode_stacked(q, cache.k, cache.v, lens, jnp.int32(3),
+                                 scale=0.1)
+        return o, o.astype(q.dtype)
 
-
-t = bench_chained(t_flash, q0, iters=100, reps=3, overhead=ov)
-print(f"flash decode (1 layer, S=256): {t*1e6:.1f} us -> x26 = "
-      f"{t*26*1e3:.3f} ms", flush=True)
+    t = bench_chained(t_flash, q0, iters=100, reps=3, overhead=ov)
+    print(f"flash decode (1 layer, S={S}, pos={pos}): {t*1e6:.1f} us -> "
+          f"x26 = {t*26*1e3:.3f} ms", flush=True)
 
 # 3) head path: final norm + per-token quant + XLA int8 dot
 head = params["lm_head"]
@@ -86,21 +86,9 @@ def t_head(x):
 t = bench_chained(t_head, x0, iters=50, reps=3, overhead=ov)
 print(f"head (norm+quant+int8 dot): {t*1e6:.1f} us", flush=True)
 
-# 4) full decode step (forward + greedy sample)
+# 4) full decode step at short vs long starting position (the measured
+# position-dependence: bench-e2e bitnet 624 tok/s @pos~16 -> 453 @pos~256)
 from tmac_tpu.runtime.sampling import SamplerConfig, sample
-
-cache_full = KVCache.create(cfg, 1, S)
-key = jax.random.PRNGKey(0)
-
-
-def t_step(tok_cache):
-    tok, cache = tok_cache
-    logits, cache = forward(params, cfg, tok[:, None], cache)
-    nxt = sample(logits[:, -1, :], key, SamplerConfig())
-    return (nxt, cache), (nxt, cache)
-
-
-# chained full steps need custom loop (cache carry)
 import time
 
 
@@ -116,14 +104,21 @@ def loop_steps(tok, cache):
 
 
 tok0 = jnp.asarray([5], jnp.int32)
-o = loop_steps(tok0, cache_full)
-print("compiled full step loop", flush=True)
-best = float("inf")
-for _ in range(3):
-    cache_r = KVCache.create(cfg, 1, S)
-    t0 = time.perf_counter()
-    tok, cr = loop_steps(tok0, cache_r)
-    int(tok[0])
-    best = min(best, time.perf_counter() - t0)
-print(f"full step: {(best-ov)/32*1e3:.3f} ms/token "
-      f"({32/(best-ov):.1f} tok/s)", flush=True)
+for start in (1, 270):
+    cache_full = KVCache.create(cfg, 1, S)
+    cache_full = KVCache(k=cache_full.k, v=cache_full.v,
+                         pos=jnp.asarray([start], jnp.int32))
+    o = loop_steps(tok0, cache_full)
+    int(o[0][0])
+    best = float("inf")
+    for r in range(3):
+        cache_r = KVCache.create(cfg, 1, S)
+        cache_r = KVCache(k=cache_r.k, v=cache_r.v,
+                          pos=jnp.asarray([start], jnp.int32))
+        tok_r = jnp.asarray([5 + r], jnp.int32)
+        t0 = time.perf_counter()
+        tok, cr = loop_steps(tok_r, cache_r)
+        int(tok[0])
+        best = min(best, time.perf_counter() - t0)
+    print(f"full step from pos {start}: {(best-ov)/32*1e3:.3f} ms/token "
+          f"({32/(best-ov):.1f} tok/s)", flush=True)
