@@ -93,16 +93,66 @@ def test_slot_reuse_is_clean(model):
 
 
 def test_stream_callback_and_stats(model):
+    """stream_cb delivers tokens INCREMENTALLY (per decode chunk), before
+    the request completes, and fires once more with done=True."""
     cfg, params = model
-    got = {}
-    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64, impl="xla",
-                          decode_chunk=4, stream_cb=lambda u, t: got.__setitem__(u, list(t)))
-    uid = eng.submit([1, 2], max_new_tokens=5)
+    events = []
+    eng = InferenceEngine(
+        cfg, params, max_batch=2, max_len=64, impl="xla", decode_chunk=2,
+        stream_cb=lambda u, t, done: events.append((u, list(t), done)))
+    uid = eng.submit([1, 2], max_new_tokens=7)
     results = eng.run()
-    assert got[uid] == results[uid]
+    assert all(u == uid for u, _, _ in events)
+    # several incremental deliveries BEFORE the final done=True event
+    assert len(events) >= 3
+    assert [done for _, _, done in events][:-1] == [False] * (len(events) - 1)
+    assert events[-1][2] is True and events[-1][1] == results[uid]
+    # monotone prefixes
+    for (_, a, _), (_, b, _) in zip(events, events[1:]):
+        assert b[:len(a)] == a and len(b) > len(a)
     assert eng.stats["prefills"] == 1
     assert eng.stats["prefill_tokens"] == 2
-    assert eng.stats["decode_tokens"] >= 4
+    assert eng.stats["decode_tokens"] >= 6
+
+
+def test_per_request_sampling(model):
+    """Per-request sampling params ride as traced per-slot vectors: a
+    greedy request and a sampled request share one batch, and the greedy
+    one still matches the single-stream greedy reference exactly."""
+    cfg, params = model
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64, impl="xla",
+                          decode_chunk=4)
+    ug = eng.submit([1, 2, 3], max_new_tokens=8)  # engine default: greedy
+    us = eng.submit([4, 5], max_new_tokens=8, temperature=0.9, top_k=40)
+    results = eng.run()
+    assert results[ug] == _reference(cfg, params, [1, 2, 3], 8)
+    assert len(results[us]) == 8
+    assert all(0 <= t < cfg.vocab_size for t in results[us])
+    # a greedy-by-override request matches too (temperature=0 explicit)
+    u0 = eng.submit([1, 2, 3], max_new_tokens=8, temperature=0.0)
+    results = eng.run()
+    assert results[u0] == _reference(cfg, params, [1, 2, 3], 8)
+
+
+def test_mid_chunk_eos_freezes_slot(model):
+    """With a large decode_chunk, a slot that hits eos mid-chunk freezes on
+    device: its KV position does not advance past the eos token (tokens
+    after eos are never committed), and the output still matches the
+    trimmed greedy reference."""
+    cfg, params = model
+    ref = _reference(cfg, params, [5, 6], 8)
+    eos = ref[2]
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                          impl="xla", decode_chunk=16)
+    uid = eng.submit([5, 6], max_new_tokens=16, eos_id=eos)
+    results = eng.run()
+    assert results[uid] == ref[:ref.index(eos) + 1]
+    # pos froze at the eos step (slot 0 freed, but cache pos reflects the
+    # frozen position, not prompt + 16).  The first output token comes from
+    # prefill; each decode step writes the PREVIOUS token's KV, so
+    # pos = prompt_len + decode_steps = prompt + len(output) - 1.
+    pos0 = int(np.asarray(eng.cache.pos)[0])
+    assert pos0 == 2 + len(results[uid]) - 1
 
 
 def test_sampled_decode_in_range(model):

@@ -90,6 +90,35 @@ def test_samplers():
     assert int(t[0]) == 1  # top-1 prob already > 0.5
 
 
+def test_sample_state_matches_static():
+    """The per-slot vectorized sampler agrees with the static sampler
+    slot-wise -- same key, same params, identical draws -- and mixed
+    per-slot settings behave independently."""
+    from tmac_tpu.runtime.sampling import SamplerState, sample_state
+    key = jax.random.PRNGKey(7)
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    for cfg in (SamplerConfig(),
+                SamplerConfig(temperature=0.8),
+                SamplerConfig(temperature=0.8, top_k=5),
+                SamplerConfig(temperature=1.2, top_p=0.7),
+                SamplerConfig(temperature=0.6, top_k=9, top_p=0.9)):
+        st = SamplerState.broadcast(cfg, 4)
+        np.testing.assert_array_equal(
+            np.asarray(sample_state(logits, key, st)),
+            np.asarray(sample(logits, key, cfg)))
+    # mixed: slot 0 greedy, slot 1 heavily filtered top-k=1 (== greedy),
+    # slots 2-3 sampled within the top-k set
+    st = SamplerState.make([0.0, 0.9, 0.9, 1.5], [0, 1, 3, 3],
+                           [1.0, 1.0, 1.0, 0.95])
+    toks = np.asarray(sample_state(logits, key, st))
+    greedy = np.asarray(jnp.argmax(logits, -1))
+    assert toks[0] == greedy[0] and toks[1] == greedy[1]
+    for b in (2, 3):
+        top3 = np.argsort(np.asarray(logits)[b])[-3:]
+        assert toks[b] in top3
+
+
 def test_prefill_chunking_matches_oneshot():
     """Chunked prefill (long prompts) must produce the same logits/cache
     as a single-chunk prefill."""

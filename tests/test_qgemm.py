@@ -279,28 +279,30 @@ def test_qgemm_pallas_single_dot_large_n():
 @pytest.mark.parametrize("bits", [1, 2, 3, 4])
 @pytest.mark.parametrize("zero_point", [False, True])
 def test_qgemm_pallas_dequant_dot_large_n(bits, zero_point):
-    """Grouped scales at N >= 64 take the bf16 dequant-dot path (scale AND
-    zero-offset folded into the bf16 scratch, one MXU dot); must match the
-    dequant oracle within bf16 rounding and agree with the small-N chunked
-    path."""
+    """Grouped float acts at N >= 64, act='auto': the bf16 dequant-dot path
+    (scale AND zero-offset folded into the bf16 scratch, one MXU dot),
+    within bf16 rounding of the dequant oracle.  act='native' keeps its
+    exactness contract at EVERY N -- it pins the chunked f32-scale path and
+    is never rerouted through bf16-rounded weights (round-2 advisor fix)."""
     x, qt, oracle = _setup(bits, 128, 512, 256, 32, zero_point)
-    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True,
-                                  act="native"))
-    assert nmse(oracle, got) < 5e-5  # bf16 weight rounding only
-    # act='auto' at N >= 3*gs (the dispatch heuristic) must route large-N
-    # grouped floats to the same native path -- not through int8 act quant
+    # act='auto' at N >= 3*gs (the dispatch heuristic) routes large-N
+    # grouped floats to the bf16 dequant-dot path -- not through int8 quant
     auto = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True,
                                    act="auto"))
-    np.testing.assert_array_equal(auto, got)
+    assert nmse(oracle, auto) < 5e-5  # bf16 weight rounding only
+    # native: exact w.r.t. the dequant model, even at large N
+    got = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True,
+                                  act="native"))
+    assert nmse(oracle, got) < 1e-8
     # explicit dispatch forces each path regardless of the heuristic
     chunk = np.asarray(qgemm_pallas(jnp.asarray(x), qt, interpret=True,
                                     act="auto", dispatch="chunk"))
     assert nmse(oracle, chunk) < 5e-4  # int8 act quant gate
-    assert not np.array_equal(chunk, got)
-    # consistency with the small-N chunk path on the same rows
+    assert not np.array_equal(chunk, auto)
+    # consistency with the small-N chunk path on the same rows (both exact)
     small = np.asarray(qgemm_pallas(jnp.asarray(x[:2]), qt, interpret=True,
                                     act="native"))
-    assert nmse(small, got[:2]) < 5e-5
+    np.testing.assert_allclose(small, got[:2], rtol=1e-6, atol=1e-5)
 
 
 def test_act_group_size_production_paths():

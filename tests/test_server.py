@@ -69,6 +69,48 @@ def test_concurrent_clients_batched(server):
     assert stats["prefills"] >= 5
 
 
+def test_streaming_tokens_arrive_before_completion(server):
+    """'stream': true -> SSE-style events; token deltas arrive in multiple
+    events before the final done event, and the concatenation equals the
+    non-streaming result."""
+    cfg, params, port = server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/completions",
+        data=json.dumps({"prompt_ids": [1, 2, 3], "max_tokens": 12,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                events.append(json.loads(line[len("data: "):]))
+    assert events[-1]["done"] is True
+    # incremental delivery: more than one token-bearing event BEFORE done
+    token_events = [e for e in events if e["ids"]]
+    assert len(token_events) >= 2, events
+    got = [t for e in events for t in e["ids"]]
+    ref = generate(params, cfg, np.asarray([[1, 2, 3]], np.int32),
+                   max_new_tokens=12, impl="xla")
+    assert got == [int(t) for t in np.asarray(ref)[0]]
+
+
+def test_per_request_sampling_http(server):
+    """temperature/top_k/top_p in the POST body apply per request; an
+    explicit temperature=0 request still matches greedy."""
+    cfg, params, port = server
+    out = _post(port, {"prompt_ids": [1, 2, 3], "max_tokens": 5,
+                       "temperature": 0.9, "top_k": 20})
+    assert len(out["ids"]) == 5
+    assert all(0 <= t < cfg.vocab_size for t in out["ids"])
+    out0 = _post(port, {"prompt_ids": [1, 2, 3], "max_tokens": 5,
+                        "temperature": 0.0})
+    ref = generate(params, cfg, np.asarray([[1, 2, 3]], np.int32),
+                   max_new_tokens=5, impl="xla")
+    assert out0["ids"] == [int(t) for t in np.asarray(ref)[0]]
+
+
 def test_bad_request(server):
     _, _, port = server
     try:

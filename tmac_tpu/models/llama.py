@@ -36,8 +36,10 @@ def quantize_activations_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     (partial_max + lut quantization, lut_ctor.cc:232-266): one scale per
     token row, exact int8 values for the integer MXU path.
     """
+    # 1e-20 clamp matches the in-kernel fused path (qgemm_kernel.py) so the
+    # two "identical numerics" activation-quant paths agree on all-zero rows
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax.astype(jnp.float32), 1e-6) / 127.0
+    scale = jnp.maximum(amax.astype(jnp.float32), 1e-20) / 127.0
     q = jnp.clip(jnp.rint(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
     return q, scale
 
@@ -427,6 +429,13 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
     # can be itemized from e2e deltas through the remote tunnel
     import os as _os
     _skip = set(_os.environ.get("TMAC_DEBUG_SKIP", "").split(","))
+    if _skip & {"kvwrite", "attn", "rope"}:
+        # loud guard: a leaked env var must not silently corrupt inference
+        import warnings
+        warnings.warn(
+            f"TMAC_DEBUG_SKIP={sorted(_skip & {'kvwrite', 'attn', 'rope'})} "
+            "is ACTIVE: model outputs are WRONG (perf-ablation mode)",
+            stacklevel=2)
     x = params["embed"][tokens]  # (B, T, H)
     positions = cache.pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B,T)
     S = cache.max_len

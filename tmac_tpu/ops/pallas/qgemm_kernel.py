@@ -443,11 +443,12 @@ def _qgemm_pallas_call(x, xsum, xscales, packed, packed_hi, scales, sub,
     # scratch + one bf16 dot (see kernel)
     dequant_dot = (N >= 64 and G > 1 and not grouped_int and not int_acc
                    and (fused or x.dtype != jnp.int8))
-    if dequant_dot and fused and dispatch == "chunk":
-        # fused grouped large-N chunk-vs-dequant choice: resolved by the
-        # caller (qgemm_pallas) OUTSIDE jit so the decision is part of the
-        # jit cache key -- a table lookup here would be frozen into the
-        # first compilation
+    if dequant_dot and dispatch == "chunk":
+        # grouped large-N chunk-vs-dequant choice: resolved by the caller
+        # (qgemm_pallas) OUTSIDE jit so the decision is part of the jit
+        # cache key -- a table lookup here would be frozen into the first
+        # compilation.  Also forced for act='native' float x, whose
+        # exactness contract the bf16 dequant scratch would break.
         dequant_dot = False
     if not block_m:
         # tuned table first (the kcfg analog), static heuristic otherwise.
@@ -708,6 +709,11 @@ def qgemm_pallas(x: jax.Array, qt: QuantizedTensor, out_dtype=None,
     assert norm is None, "norm folding requires act='fused'"
     assert not glu, "glu folding requires act='fused'"
     xscales = None
+    if act == "native" and x.dtype != jnp.int8 and dispatch is None:
+        # exactness contract: 'native' promises bit-identity with the
+        # dequant model (f32 scale folding); the large-N bf16 dequant-dot
+        # reroute would round s*wq-sub to bf16, so pin the chunked path
+        dispatch = "chunk"
     quantize = x.dtype != jnp.int8 and act in ("auto", "int8")
     if quantize and act == "auto" and N >= 64 and G > 1:
         # same dispatch decision for externally-driven float activations

@@ -195,26 +195,43 @@ def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
         grp = jax.lax.axis_index("dp")
         ls = slot - grp * bl
         owner = (ls >= 0) & (ls < bl)
-        last, newc = _prefill_slot_body(
-            _fwd(params), tokens, true_len, cache,
-            jnp.clip(ls, 0, bl - 1), start_pos)
-        cache = KVCache(
-            k=jnp.where(owner, newc.k, cache.k),
-            v=jnp.where(owner, newc.v, cache.v),
-            pos=jnp.where(owner, newc.pos, cache.pos),
-        )
+
+        # lax.cond, not jnp.where-over-the-cache: non-owner groups skip
+        # the prefill compute AND the whole-cache select/copy (the where
+        # form materialized a full local-cache rewrite in HBM per chunk).
+        # Safe under collectives: owner is a function of the dp index
+        # only, so every device in a dp group takes the same branch and
+        # the in-branch 'tp' psums stay consistent; the 'dp' psum below
+        # is outside the cond.
+        def _run(c):
+            return _prefill_slot_body(_fwd(params), tokens, true_len, c,
+                                      jnp.clip(ls, 0, bl - 1), start_pos)
+
+        def _skip(c):
+            return jnp.zeros((cfg.vocab_size,), jnp.float32), c
+
+        last, cache = jax.lax.cond(owner, _run, _skip, cache)
         # broadcast the owner's last-token logits to every group
-        last = jax.lax.psum(jnp.where(owner, last, 0.0), "dp")
+        last = jax.lax.psum(last, "dp")
         return last, cache
 
-    def _decode(params, last, cache, keys, active):
+    def _decode(params, last, cache, keys, active, eos_ids, remaining,
+                state=None):
         params = _localize_params(params, tp)
+        if dp > 1:
+            # decorrelate sampling across dp groups: keys arrive replicated
+            # while the batch is dp-sharded, so without this slot i of every
+            # group would draw identical gumbel noise each step
+            grp = jax.lax.axis_index("dp")
+            keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, grp)
         return _decode_chunk_body(_fwd(params), sampler, last, cache, keys,
-                                  active)
+                                  active, eos_ids=eos_ids,
+                                  remaining=remaining, state=state)
 
-    # shard_maps built lazily on first call (param_specs needs the pytree)
+    # shard_maps built lazily on first call (param_specs needs the pytree;
+    # decode keyed by whether a per-slot SamplerState rides along)
     _prefill_sm = None
-    _decode_sm = None
+    _decode_sms = {}
     B_SPEC = P("dp") if dp > 1 else REP
 
     def prefill_fn(params, tokens, true_len, cache, slot, start_pos):
@@ -227,16 +244,26 @@ def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
                 out_specs=(REP, cspecs)))
         return _prefill_sm(params, tokens, true_len, cache, slot, start_pos)
 
-    def decode_fn(params, last, cache, keys, active):
-        nonlocal _decode_sm
-        if _decode_sm is None:
+    def decode_fn(params, last, cache, keys, active, eos_ids=None,
+                  remaining=None, state=None):
+        B = int(last.shape[0])
+        if eos_ids is None:
+            eos_ids = jnp.full((B,), -1, jnp.int32)
+        if remaining is None:
+            remaining = jnp.full((B,), keys.shape[0], jnp.int32)
+        key_sm = state is not None
+        if key_sm not in _decode_sms:
             pspecs = param_specs(params)
-            _decode_sm = jax.jit(shard_map(
+            st_spec = jax.tree.map(lambda _: B_SPEC, state) \
+                if key_sm else None
+            _decode_sms[key_sm] = jax.jit(shard_map(
                 _decode, mesh,
-                in_specs=(pspecs, B_SPEC, cspecs, REP, B_SPEC),
+                in_specs=(pspecs, B_SPEC, cspecs, REP, B_SPEC, B_SPEC,
+                          B_SPEC, st_spec),
                 out_specs=(P("dp", None) if dp > 1 else REP, cspecs)),
                 donate_argnums=(2,))
-        return _decode_sm(params, last, cache, keys, active)
+        return _decode_sms[key_sm](params, last, cache, keys, active,
+                                   eos_ids, remaining, state)
 
     return prefill_fn, decode_fn
 

@@ -36,7 +36,8 @@ import numpy as np
 
 from tmac_tpu.models.config import ModelConfig
 from tmac_tpu.models.llama import KVCache, forward
-from tmac_tpu.runtime.sampling import SamplerConfig, sample
+from tmac_tpu.runtime.sampling import (SamplerConfig, SamplerState, sample,
+                                       sample_state)
 
 
 @dataclasses.dataclass
@@ -45,6 +46,11 @@ class Request:
     prompt: List[int]
     max_new_tokens: int = 128
     eos_id: Optional[int] = None
+    # per-request sampling overrides (None -> the engine's SamplerConfig);
+    # traced per-slot vectors on device, so no recompile per setting
+    temperature: Optional[float] = None
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
     # filled by the engine:
     output: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -93,22 +99,52 @@ def _prefill_slot_body(forward_fn, tokens, true_len, cache: KVCache, slot,
 
 
 def _decode_chunk_body(forward_fn, sampler: SamplerConfig, last_tokens,
-                       cache: KVCache, keys, active):
-    """`steps` tokens for every active slot in one on-device scan (shared
-    core).  Inactive slots are frozen: their pos does not advance and their
-    token is carried through unchanged.  Slots whose pos would run off the
-    cache end self-deactivate."""
+                       cache: KVCache, keys, active, eos_ids=None,
+                       remaining=None, state: Optional[SamplerState] = None):
+    """Up to `steps` tokens for every active slot in one on-device loop
+    (shared core).  Inactive slots are frozen: their pos does not advance
+    and their token is carried through unchanged.  Slots whose pos would
+    run off the cache end self-deactivate.
+
+    eos_ids (B,) int32 (-1 = none) and remaining (B,) int32 move the
+    finish conditions ON DEVICE: a slot that hits eos or exhausts its
+    token budget freezes mid-chunk (no KV writes, no pos advance past
+    eos), and the loop EXITS EARLY once every slot is finished -- the
+    reference-free analog of llama.cpp's per-token stop check, without
+    giving up chunked host round-trips.  state: optional per-slot
+    SamplerState overriding the static sampler config.
+    """
     S = cache.max_len
+    steps, B = keys.shape[0], last_tokens.shape[0]
+    if eos_ids is None:
+        eos_ids = jnp.full((B,), -1, jnp.int32)
+    if remaining is None:
+        remaining = jnp.full((B,), steps, jnp.int32)
+    out0 = jnp.broadcast_to(last_tokens[None], (steps, B))
 
-    def body(carry, k):
-        tok, cache = carry
-        act = active & (cache.pos < S)
+    def cond(c):
+        i, tok, cache, rem, alive, out = c
+        return (i < steps) & jnp.any(alive & active & (cache.pos < S)
+                                     & (rem > 0))
+
+    def body(c):
+        i, tok, cache, rem, alive, out = c
+        act = alive & active & (cache.pos < S) & (rem > 0)
         logits, cache = forward_fn(tok[:, None], cache, active=act)
-        nxt = sample(logits[:, -1, :], k, sampler)
+        k = keys[i]
+        lg = logits[:, -1, :]
+        nxt = (sample_state(lg, k, state) if state is not None
+               else sample(lg, k, sampler))
         nxt = jnp.where(act, nxt, tok)
-        return (nxt, cache), nxt
+        alive = alive & ~(act & (nxt == eos_ids))
+        rem = rem - act.astype(jnp.int32)
+        out = jax.lax.dynamic_update_slice(out, nxt[None], (i, 0))
+        return (i + 1, nxt, cache, rem, alive, out)
 
-    (last, cache), toks = jax.lax.scan(body, (last_tokens, cache), keys)
+    alive0 = jnp.ones((B,), bool)
+    _, _, cache, _, _, toks = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), last_tokens, cache, remaining, alive0, out0))
     return jnp.moveaxis(toks, 0, 1), cache  # (B, steps)
 
 
@@ -132,13 +168,15 @@ def _prefill_slot(params, cfg: ModelConfig, tokens, true_len, cache: KVCache,
 def _decode_chunk(params, cfg: ModelConfig, last_tokens, cache: KVCache,
                   keys, active, steps: int,
                   sampler: SamplerConfig = SamplerConfig(),
-                  impl: str = "auto"):
+                  impl: str = "auto", eos_ids=None, remaining=None,
+                  state: Optional[SamplerState] = None):
     """Single-chip decode chunk: `steps` tokens for every active slot."""
     del steps
     return _decode_chunk_body(
         lambda t, c, active=None: forward(params, cfg, t, c, impl=impl,
                                           active=active),
-        sampler, last_tokens, cache, keys, active)
+        sampler, last_tokens, cache, keys, active, eos_ids=eos_ids,
+        remaining=remaining, state=state)
 
 
 class InferenceEngine:
@@ -164,11 +202,15 @@ class InferenceEngine:
         tensor-parallel mesh (pass pre-sharded params and a sharded cache):
           prefill_fn(params, tokens (1,Tb), true_len, cache, slot, start_pos)
               -> (last logits (V,), cache)
-          decode_fn(params, last (B,), cache, keys (steps,...), active (B,))
+          decode_fn(params, last (B,), cache, keys (steps,...), active (B,),
+                    eos_ids (B,), remaining (B,), state SamplerState|None)
               -> (tokens (B, steps), cache)
         prefill_chunk: long prompts prefill in chunks of at most this many
         tokens, bounding attention-score memory (a 2048-token one-shot
         prefill would materialize ~0.5 GB of f32 scores per layer).
+        stream_cb(uid, tokens_so_far, done): invoked after every decode
+        chunk that produced tokens for the request (incremental streaming)
+        and once more with done=True on completion.
         """
         self.cfg = cfg
         self.params = params
@@ -197,6 +239,12 @@ class InferenceEngine:
         self.waiting: deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.last_tokens = np.zeros((max_batch,), np.int32)
+        # per-slot sampling params (traced vectors when any request
+        # overrides the engine default; sticky to bound recompiles at 2)
+        self._dynamic_sampling = False
+        self._slot_temp = np.full((max_batch,), sampler.temperature, np.float32)
+        self._slot_topk = np.full((max_batch,), sampler.top_k, np.int32)
+        self._slot_topp = np.full((max_batch,), sampler.top_p, np.float32)
         self.finished: Dict[int, Request] = {}
         # counters (observability; served by runtime/server.py /v1/stats)
         self.stats = {"prefill_tokens": 0, "decode_tokens": 0,
@@ -206,14 +254,21 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------ API
     def submit(self, prompt, max_new_tokens: int = 128,
-               eos_id: Optional[int] = None) -> int:
+               eos_id: Optional[int] = None,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None) -> int:
         prompt = [int(t) for t in np.asarray(prompt).reshape(-1)]
         assert len(prompt) >= 1, "empty prompt"
         assert len(prompt) + max_new_tokens <= self.S, (
             f"prompt {len(prompt)} + max_new {max_new_tokens} exceeds "
             f"engine max_len {self.S}")
         uid = next(self._uid)
-        self.waiting.append(Request(uid, prompt, max_new_tokens, eos_id))
+        if (temperature, top_k, top_p) != (None, None, None):
+            self._dynamic_sampling = True
+        self.waiting.append(Request(uid, prompt, max_new_tokens, eos_id,
+                                    temperature=temperature, top_k=top_k,
+                                    top_p=top_p))
         return uid
 
     def pending(self) -> int:
@@ -249,6 +304,11 @@ class InferenceEngine:
             req = self.waiting.popleft()
             req.prefill_t0 = time.perf_counter()
             self.slots[slot] = req
+            s = self.sampler
+            self._slot_temp[slot] = (s.temperature if req.temperature is None
+                                     else req.temperature)
+            self._slot_topk[slot] = s.top_k if req.top_k is None else req.top_k
+            self._slot_topp[slot] = s.top_p if req.top_p is None else req.top_p
 
     def _prefill_one_chunk(self, slot: int, req: Request):
         """Advance one prefill chunk for the request in `slot`."""
@@ -269,7 +329,14 @@ class InferenceEngine:
         req.prefill_off = off + n
         req.last_logits = last
         if not req.prefilling:  # prompt fully ingested -> first token
-            first = int(sample(last[None], self._next_key(), self.sampler)[0])
+            k = self._next_key()
+            if self._dynamic_sampling:
+                st = SamplerState.make(self._slot_temp[slot:slot + 1],
+                                       self._slot_topk[slot:slot + 1],
+                                       self._slot_topp[slot:slot + 1])
+                first = int(sample_state(last[None], k, st)[0])
+            else:
+                first = int(sample(last[None], k, self.sampler)[0])
             req.last_logits = None
             req.output.append(first)
             self.stats["prefills"] += 1
@@ -279,6 +346,8 @@ class InferenceEngine:
                 self._finish(slot=slot, req=req)
                 return
             self.last_tokens[slot] = first
+            if self.stream_cb:
+                self.stream_cb(req.uid, list(req.output), False)
 
     def _finished_after_append(self, req: Request) -> bool:
         if req.eos_id is not None and req.output and req.output[-1] == req.eos_id:
@@ -294,7 +363,7 @@ class InferenceEngine:
         self.finished[req.uid] = req
         self.stats["requests_finished"] += 1
         if self.stream_cb:
-            self.stream_cb(req.uid, req.output)
+            self.stream_cb(req.uid, req.output, True)
         if slot is not None:
             self.slots[slot] = None
 
@@ -336,17 +405,34 @@ class InferenceEngine:
             for r in self.slots], dtype=bool)
         if not active_np.any():
             return
+        # device-side finish conditions: per-slot eos ids (-1 = none) and
+        # remaining token budget -- slots freeze mid-chunk and the on-device
+        # loop exits early when everyone is done (see _decode_chunk_body)
+        eos_np = np.array([
+            r.eos_id if (r is not None and r.eos_id is not None) else -1
+            for r in self.slots], dtype=np.int32)
+        rem_np = np.array([
+            max(r.max_new_tokens - len(r.output), 0)
+            if (r is not None and active_np[i]) else 0
+            for i, r in enumerate(self.slots)], dtype=np.int32)
+        state = None
+        if self._dynamic_sampling:
+            state = SamplerState.make(self._slot_temp, self._slot_topk,
+                                      self._slot_topp)
         t0 = time.perf_counter()
         keys = jax.random.split(self._next_key(), self.chunk)
         if self._step_fns is not None:
             toks, self.cache = self._step_fns[1](
                 self.params, jnp.asarray(self.last_tokens), self.cache,
-                keys, jnp.asarray(active_np))
+                keys, jnp.asarray(active_np), jnp.asarray(eos_np),
+                jnp.asarray(rem_np), state)
         else:
             toks, self.cache = _decode_chunk(
                 self.params, self.cfg, jnp.asarray(self.last_tokens), self.cache,
                 keys, jnp.asarray(active_np), steps=self.chunk,
-                sampler=self.sampler, impl=self.impl)
+                sampler=self.sampler, impl=self.impl,
+                eos_ids=jnp.asarray(eos_np), remaining=jnp.asarray(rem_np),
+                state=state)
         toks = np.asarray(toks)  # (B, chunk) -- the one host sync per chunk
         self.stats["chunks"] += 1
         self.stats["decode_s"] += time.perf_counter() - t0
@@ -361,3 +447,5 @@ class InferenceEngine:
             self.last_tokens[slot] = req.output[-1]
             if req.done or self._finished_after_append(req):
                 self._finish(slot, req)
+            elif self.stream_cb:
+                self.stream_cb(req.uid, list(req.output), False)

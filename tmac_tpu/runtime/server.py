@@ -6,8 +6,16 @@ Stdlib-only (http.server) so it runs in hermetic environments.
 
 API (JSON over HTTP):
   POST /v1/completions   {"prompt_ids": [int, ...], "max_tokens": int,
-                          "eos_id": int|null}
+                          "eos_id": int|null,
+                          "temperature": float, "top_k": int, "top_p": float,
+                          "stream": bool}
                       -> {"ids": [int, ...], "uid": int}
+     or with "stream": true -> text/event-stream of
+                         data: {"ids": [new tokens], "done": false}
+                         ...
+                         data: {"ids": [], "done": true}
+        (tokens arrive per decode chunk, the llama-cli interactive-
+        streaming role of reference tools/run_pipeline.py:222-277)
      or with a tokenizer configured:
                          {"prompt": "text", ...} -> {"text": "...", ...}
   GET  /v1/stats      -> engine counters
@@ -15,12 +23,15 @@ API (JSON over HTTP):
 
 Requests from concurrent clients are batched together by the engine
 (continuous batching); each HTTP handler thread blocks until its request
-completes.  A single scheduler thread owns the TPU.
+completes (or consumes its stream queue).  A single scheduler thread owns
+the TPU.  Per-request sampling params ride as traced per-slot vectors
+(runtime/sampling.SamplerState) so they never trigger a recompile.
 """
 
 from __future__ import annotations
 
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -37,17 +48,30 @@ class ServingEngine:
         self._lock = threading.Lock()
         self._events: dict[int, threading.Event] = {}
         self._results: dict[int, list] = {}
+        # streaming state: per-uid delta queue + count of tokens delivered
+        self._queues: dict[int, queue.Queue] = {}
+        self._delivered: dict[int, int] = {}
         self._poll_s = poll_s
         self._stop = False
-        engine.stream_cb = self._on_finish
+        engine.stream_cb = self._on_tokens
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def _on_finish(self, uid: int, tokens: list):
-        self._results[uid] = list(tokens)
-        ev = self._events.pop(uid, None)
-        if ev:
-            ev.set()
+    def _on_tokens(self, uid: int, tokens: list, done: bool):
+        """Engine callback (scheduler thread): fan out deltas to streaming
+        consumers and resolve blocking completions on finish."""
+        q = self._queues.get(uid)
+        if q is not None:
+            sent = self._delivered.get(uid, 0)
+            delta = list(tokens[sent:])
+            self._delivered[uid] = sent + len(delta)
+            if delta or done:
+                q.put((delta, done))
+        if done:
+            self._results[uid] = list(tokens)
+            ev = self._events.pop(uid, None)
+            if ev:
+                ev.set()
 
     def _loop(self):
         while not self._stop:
@@ -58,12 +82,16 @@ class ServingEngine:
             if not busy:
                 time.sleep(self._poll_s)
 
+    def _submit(self, prompt_ids, max_tokens, eos_id, sampling):
+        return self.engine.submit(prompt_ids, max_new_tokens=max_tokens,
+                                  eos_id=eos_id, **(sampling or {}))
+
     def complete(self, prompt_ids, max_tokens: int = 128,
-                 eos_id: Optional[int] = None, timeout: float = 600.0):
+                 eos_id: Optional[int] = None, timeout: float = 600.0,
+                 sampling: Optional[dict] = None):
         ev = threading.Event()
         with self._lock:
-            uid = self.engine.submit(prompt_ids, max_new_tokens=max_tokens,
-                                     eos_id=eos_id)
+            uid = self._submit(prompt_ids, max_tokens, eos_id, sampling)
             self._events[uid] = ev
         if not ev.wait(timeout):
             # Clean up fully: free the engine slot (or wait-queue entry) and
@@ -76,12 +104,52 @@ class ServingEngine:
             raise TimeoutError(f"request {uid} timed out after {timeout}s")
         return uid, self._results.pop(uid)
 
+    def stream(self, prompt_ids, max_tokens: int = 128,
+               eos_id: Optional[int] = None, timeout: float = 600.0,
+               sampling: Optional[dict] = None):
+        """Generator of (delta_tokens, done) tuples as the engine produces
+        them -- tokens arrive per decode chunk, BEFORE the request
+        completes."""
+        q: queue.Queue = queue.Queue()
+        with self._lock:
+            uid = self._submit(prompt_ids, max_tokens, eos_id, sampling)
+            self._queues[uid] = q
+            self._delivered[uid] = 0
+        try:
+            while True:
+                try:
+                    delta, done = q.get(timeout=timeout)
+                except queue.Empty:
+                    with self._lock:
+                        self.engine.cancel(uid)
+                    raise TimeoutError(
+                        f"stream {uid} stalled for {timeout}s") from None
+                yield delta, done
+                if done:
+                    return
+        finally:
+            with self._lock:
+                self._queues.pop(uid, None)
+                self._delivered.pop(uid, None)
+                self._results.pop(uid, None)
+
     def stats(self):
         return dict(self.engine.stats)
 
     def shutdown(self):
         self._stop = True
         self._thread.join(timeout=5)
+
+
+def _sampling_from_req(req: dict) -> Optional[dict]:
+    s = {}
+    if "temperature" in req:
+        s["temperature"] = float(req["temperature"])
+    if "top_k" in req:
+        s["top_k"] = int(req["top_k"])
+    if "top_p" in req:
+        s["top_p"] = float(req["top_p"])
+    return s or None
 
 
 def make_handler(serving: ServingEngine, tokenizer=None):
@@ -104,6 +172,22 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                 return self._json(200, serving.stats())
             return self._json(404, {"error": "not found"})
 
+        def _stream_response(self, ids, max_tokens, eos_id, sampling):
+            """Server-sent-events-style incremental token delivery."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            for delta, done in serving.stream(ids, max_tokens=max_tokens,
+                                              eos_id=eos_id,
+                                              sampling=sampling):
+                ev = {"ids": delta, "done": done}
+                if tokenizer is not None and delta:
+                    ev["text"] = tokenizer.decode(delta)
+                self.wfile.write(f"data: {json.dumps(ev)}\n\n".encode())
+                self.wfile.flush()
+
         def do_POST(self):
             if self.path != "/v1/completions":
                 return self._json(404, {"error": "not found"})
@@ -116,9 +200,14 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                     ids = tokenizer.encode(req["prompt"])
                 else:
                     return self._json(400, {"error": "need prompt_ids (or prompt with a tokenizer)"})
-                uid, out = serving.complete(
-                    ids, max_tokens=int(req.get("max_tokens", 128)),
-                    eos_id=req.get("eos_id"))
+                max_tokens = int(req.get("max_tokens", 128))
+                eos_id = req.get("eos_id")
+                sampling = _sampling_from_req(req)
+                if req.get("stream"):
+                    return self._stream_response(ids, max_tokens, eos_id,
+                                                 sampling)
+                uid, out = serving.complete(ids, max_tokens=max_tokens,
+                                            eos_id=eos_id, sampling=sampling)
                 resp = {"uid": uid, "ids": out}
                 if tokenizer is not None:
                     resp["text"] = tokenizer.decode(out)
