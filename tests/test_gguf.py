@@ -124,7 +124,62 @@ def test_ternary_nonuniform_blocks_grouped():
         r.close()
 
 
-def _write_tiny_llama_gguf(path: str, cfg, rng, wtype=gguf.GGML_Q4_0):
+@pytest.mark.parametrize("ttype,bound", [
+    (gguf.GGML_Q4_K, 8e-3), (gguf.GGML_Q5_K, 2e-3), (gguf.GGML_Q6_K, 5e-4)])
+def test_kquant_roundtrip(ttype, bound, tmp_path):
+    """K-quant super-block types (llama.cpp's default output.weight /
+    Q4_K_M mixes; VERDICT gap #4): write -> read -> dequant within the
+    block model's quantization noise."""
+    rng = np.random.default_rng(6)
+    M, K = 16, 512
+    w = rng.standard_normal((M, K)).astype(np.float32)
+    path = str(tmp_path / "t.gguf")
+    gguf.write_gguf(path, {}, {"w": (ttype, w)})
+    r = gguf.GGUFReader(path)
+    assert r.tensors["w"]["type"] == ttype
+    wdq = r.dequantized("w")
+    assert wdq.shape == (M, K)
+    e = nmse(w, wdq)
+    assert e < bound, e
+    r.close()
+
+
+def test_q4_k_exact_mapping(tmp_path):
+    """Q4_K's affine super-block model == the framework dequant contract
+    at gs=32: q4_k_to_quantized must reproduce reader.dequantized EXACTLY
+    (no requantization)."""
+    rng = np.random.default_rng(7)
+    M, K = 32, 512
+    w = rng.standard_normal((M, K)).astype(np.float32)
+    path = str(tmp_path / "t.gguf")
+    gguf.write_gguf(path, {}, {"w": (gguf.GGML_Q4_K, w)})
+    r = gguf.GGUFReader(path)
+    wdq = r.dequantized("w")
+    wq, scales, sub = r.q4_k_to_quantized("w")
+    assert wq.shape == (K, M) and scales.shape == (K // 32, M)
+    assert wq.max() <= 15
+    from tmac_tpu.ops.packing import dequantize
+    np.testing.assert_allclose(dequantize(wq, scales, sub, 32), wdq.T,
+                               rtol=1e-6, atol=1e-6)
+    r.close()
+
+
+def test_kquant_scale_field_roundtrip():
+    """The 12-byte 6-bit scale/min packing is a bijection on all 6-bit
+    values (the subtle part of Q4_K/Q5_K)."""
+    rng = np.random.default_rng(8)
+    sc6 = rng.integers(0, 64, (64, 8)).astype(np.uint8)
+    m6 = rng.integers(0, 64, (64, 8)).astype(np.uint8)
+    packed = gguf._kq_pack_scales(sc6, m6)
+    got_sc, got_m = gguf.GGUFReader._kq_scale_min(packed)
+    np.testing.assert_array_equal(got_sc, sc6)
+    np.testing.assert_array_equal(got_m, m6)
+
+
+def _write_tiny_llama_gguf(path: str, cfg, rng, wtype=gguf.GGML_Q4_0,
+                           overrides=None):
+    """overrides: {tensor-name-suffix: ggml_type} applied on top of wtype
+    (e.g. {"output.weight": GGML_Q6_K} to mimic llama.cpp's default mix)."""
     H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     md = {
         "general.architecture": "llama",
@@ -163,6 +218,10 @@ def _write_tiny_llama_gguf(path: str, cfg, rng, wtype=gguf.GGML_Q4_0):
                 w = (rng.standard_normal(shp) * std).astype(np.float32)
             tensors[f"{p}.{n}.weight"] = (wtype, w)
             ref_w[f"{p}.{n}"] = w
+    for suffix, t in (overrides or {}).items():
+        for full in list(tensors):
+            if full.endswith(suffix):
+                tensors[full] = (t, np.asarray(tensors[full][1], np.float32))
     gguf.write_gguf(path, md, tensors)
     return ref_w
 
@@ -185,6 +244,40 @@ def test_convert_gguf_model_end_to_end(tmp_path):
     assert e < 2e-2, e  # Q4_0's symmetric max/-8 scale is cruder than affine
 
     # model runs
+    cache = KVCache.create(cfg, 1, 8)
+    logits, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]]), cache, impl="xla")
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
+def test_convert_gguf_kquant_mix_end_to_end(tmp_path):
+    """A realistic llama.cpp artifact mix (reference run_pipeline.py:164-175
+    + VERDICT gap #4): output.weight/token_embd as Q6_K/Q4_K, attn_v as
+    Q5_K (requantize fallback), other matmuls Q4_K (exact mapping).  The
+    whole model must convert and run."""
+    cfg0 = get_preset("llama-2-7b").scaled(8)
+    rng = np.random.default_rng(9)
+    path = str(tmp_path / "model.gguf")
+    # hidden=512 is 256-divisible; ffn_down's K=intermediate is not -> Q4_0
+    ref_w = _write_tiny_llama_gguf(
+        path, cfg0, rng, wtype=gguf.GGML_Q4_K,
+        overrides={"output.weight": gguf.GGML_Q6_K,
+                   "token_embd.weight": gguf.GGML_Q4_K,
+                   "attn_v.weight": gguf.GGML_Q5_K,
+                   "ffn_down.weight": gguf.GGML_Q4_0})
+    cfg, params = gguf.convert_gguf_model(path, name="tiny-kquant-gguf")
+    assert cfg.quant.bits == 4 and cfg.quant.group_size == 32
+
+    # Q4_K matmul path is exact vs its own dequant model: compare against
+    # the float original within K-quant noise
+    x = rng.standard_normal((2, cfg.hidden_size)).astype(np.float32)
+    got = np.asarray(qgemm_xla(jnp.asarray(x), params["layers"][0]["wqkv"]))
+    wq = ref_w["blk.0.attn_q"].T
+    assert nmse(x @ wq, got[:, :cfg.q_dim]) < 1e-2
+    # Q5_K fallback (requantized to 4-bit affine) still lands close
+    v0 = cfg.q_dim + cfg.kv_dim
+    wv = ref_w["blk.0.attn_v"].T
+    assert nmse(x @ wv, got[:, v0:v0 + cfg.kv_dim]) < 2e-2
+
     cache = KVCache.create(cfg, 1, 8)
     logits, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]]), cache, impl="xla")
     assert np.isfinite(np.asarray(logits, np.float32)).all()

@@ -44,6 +44,12 @@ _SCALAR_FMT = {
 # ggml tensor types (subset)
 GGML_F32, GGML_F16, GGML_Q4_0, GGML_Q4_1 = 0, 1, 2, 3
 GGML_Q8_0 = 8
+# K-quants (QK_K = 256 super-blocks): llama.cpp's default mixes store
+# output.weight / token_embd as Q6_K and attn_v/ffn_down as Q6_K/Q4_K even
+# in "Q4_0" conversions (reference run_pipeline.py:164-175 relies on
+# llama-quantize whose Q4_K_M preset does exactly this), so real artifacts
+# need these readers
+GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 12, 13, 14
 # ternary types: TQ1_0/TQ2_0 are upstream llama.cpp (ggml.h enum 34/35);
 # I2_S is the BitNet-fork per-tensor-scale 2-bit type (the "i2" of
 # reference tools/run_pipeline.py:375; fork absent from the snapshot --
@@ -51,7 +57,8 @@ GGML_Q8_0 = 8
 GGML_TQ1_0, GGML_TQ2_0, GGML_I2_S = 34, 35, 36
 
 _TYPE_NAMES = {GGML_F32: "F32", GGML_F16: "F16", GGML_Q4_0: "Q4_0",
-               GGML_Q4_1: "Q4_1", GGML_Q8_0: "Q8_0", GGML_TQ1_0: "TQ1_0",
+               GGML_Q4_1: "Q4_1", GGML_Q8_0: "Q8_0", GGML_Q4_K: "Q4_K",
+               GGML_Q5_K: "Q5_K", GGML_Q6_K: "Q6_K", GGML_TQ1_0: "TQ1_0",
                GGML_TQ2_0: "TQ2_0", GGML_I2_S: "I2_S"}
 
 TERNARY_TYPES = (GGML_TQ1_0, GGML_TQ2_0, GGML_I2_S)
@@ -67,6 +74,12 @@ def _block_layout(ggml_type: int) -> Tuple[int, int]:
         return 32, 18
     if ggml_type == GGML_Q8_0:
         return 32, 34
+    if ggml_type == GGML_Q4_K:
+        return 256, 144  # d + dmin + scales[12] + qs[128]
+    if ggml_type == GGML_Q5_K:
+        return 256, 176  # d + dmin + scales[12] + qh[32] + qs[128]
+    if ggml_type == GGML_Q6_K:
+        return 256, 210  # ql[128] + qh[64] + scales[16] + d
     if ggml_type == GGML_TQ1_0:
         return 256, 54   # qs[48] + qh[4] + fp16 d
     if ggml_type == GGML_TQ2_0:
@@ -163,6 +176,19 @@ class GGUFReader:
             d = blk[:, :2].copy().view(np.float16).reshape(-1)
             q = blk[:, 2:].view(np.int8)
             return (q.astype(np.float32) * d.astype(np.float32)[:, None]).reshape(shape)
+        if t == GGML_Q4_K or t == GGML_Q5_K:
+            fields = self._q4_k_fields if t == GGML_Q4_K else self._q5_k_fields
+            codes, scales, mins = fields(raw)
+            # affine per 32-element group: w = sc_g * q - m_g (this IS the
+            # framework's dequant model; see q4_k_to_quantized)
+            w = (codes.reshape(-1, 8, 32).astype(np.float32)
+                 * scales[:, :, None] - mins[:, :, None])
+            return w.reshape(shape)
+        if t == GGML_Q6_K:
+            codes, scales = self._q6_k_fields(raw)
+            w = ((codes.reshape(-1, 16, 16).astype(np.float32) - 32.0)
+                 * scales[:, :, None])
+            return w.reshape(shape)
         if t == GGML_TQ1_0 or t == GGML_TQ2_0:
             fields = self._tq1_0_fields if t == GGML_TQ1_0 else self._tq2_0_fields
             trits, d = fields(raw)
@@ -237,6 +263,92 @@ class GGUFReader:
         for n in range(4):
             trits[n::4] = (qs >> (2 * n)) & 3
         return trits, scale
+
+    @staticmethod
+    def _kq_scale_min(sc_raw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Unpack the 12-byte 6-bit scale/min fields of Q4_K/Q5_K blocks
+        (llama.cpp get_scale_min_k4): -> (sc6, m6) each (nb, 8) uint8."""
+        nb = sc_raw.shape[0]
+        sc6 = np.empty((nb, 8), np.uint8)
+        m6 = np.empty((nb, 8), np.uint8)
+        for j in range(4):
+            sc6[:, j] = sc_raw[:, j] & 63
+            m6[:, j] = sc_raw[:, j + 4] & 63
+        for j in range(4, 8):
+            sc6[:, j] = (sc_raw[:, j + 4] & 0x0F) | ((sc_raw[:, j - 4] >> 6) << 4)
+            m6[:, j] = (sc_raw[:, j + 4] >> 4) | ((sc_raw[:, j] >> 6) << 4)
+        return sc6, m6
+
+    def _q4_k_fields(self, raw: np.ndarray):
+        """Q4_K super-blocks -> (codes (nb, 256) uint8 0..15,
+        scales (nb, 8) f32, mins (nb, 8) f32) with w = sc_g*q - m_g over
+        contiguous 32-element groups (llama.cpp dequantize_row_q4_K)."""
+        blk = raw.reshape(-1, 144)
+        d = blk[:, 0:2].copy().view(np.float16).reshape(-1).astype(np.float32)
+        dmin = blk[:, 2:4].copy().view(np.float16).reshape(-1).astype(np.float32)
+        sc6, m6 = self._kq_scale_min(blk[:, 4:16])
+        qs = blk[:, 16:144]
+        codes = np.empty((blk.shape[0], 256), np.uint8)
+        for c in range(4):  # 64-element chunks: 32 low nibbles, 32 high
+            q = qs[:, 32 * c:32 * (c + 1)]
+            codes[:, 64 * c:64 * c + 32] = q & 0x0F
+            codes[:, 64 * c + 32:64 * c + 64] = q >> 4
+        return codes, d[:, None] * sc6, dmin[:, None] * m6
+
+    def _q5_k_fields(self, raw: np.ndarray):
+        """Q5_K super-blocks -> (codes (nb, 256) uint8 0..31, scales,
+        mins) -- Q4_K's affine model with a 5th bit from qh."""
+        blk = raw.reshape(-1, 176)
+        d = blk[:, 0:2].copy().view(np.float16).reshape(-1).astype(np.float32)
+        dmin = blk[:, 2:4].copy().view(np.float16).reshape(-1).astype(np.float32)
+        sc6, m6 = self._kq_scale_min(blk[:, 4:16])
+        qh = blk[:, 16:48]
+        qs = blk[:, 48:176]
+        codes = np.empty((blk.shape[0], 256), np.uint8)
+        for c in range(4):
+            ql = qs[:, 32 * c:32 * (c + 1)]
+            codes[:, 64 * c:64 * c + 32] = \
+                (ql & 0x0F) | (((qh >> (2 * c)) & 1) << 4)
+            codes[:, 64 * c + 32:64 * c + 64] = \
+                (ql >> 4) | (((qh >> (2 * c + 1)) & 1) << 4)
+        return codes, d[:, None] * sc6, dmin[:, None] * m6
+
+    @staticmethod
+    def _q6_k_fields(raw: np.ndarray):
+        """Q6_K super-blocks -> (codes (nb, 256) uint8 0..63 biased +32,
+        scales (nb, 16) f32) with w = sc_g * (q - 32) over contiguous
+        16-element groups (llama.cpp dequantize_row_q6_K)."""
+        blk = raw.reshape(-1, 210)
+        ql = blk[:, :128]
+        qh = blk[:, 128:192]
+        sc = blk[:, 192:208].view(np.int8)
+        d = blk[:, 208:210].copy().view(np.float16).reshape(-1).astype(np.float32)
+        codes = np.empty((blk.shape[0], 256), np.uint8)
+        for n in (0, 1):  # 128-element halves
+            qln = ql[:, 64 * n:64 * (n + 1)]
+            qhn = qh[:, 32 * n:32 * (n + 1)]
+            b = 128 * n
+            codes[:, b + 0:b + 32] = (qln[:, :32] & 0x0F) | ((qhn & 3) << 4)
+            codes[:, b + 32:b + 64] = (qln[:, 32:] & 0x0F) | (((qhn >> 2) & 3) << 4)
+            codes[:, b + 64:b + 96] = (qln[:, :32] >> 4) | (((qhn >> 4) & 3) << 4)
+            codes[:, b + 96:b + 128] = (qln[:, 32:] >> 4) | (((qhn >> 6) & 3) << 4)
+        return codes, d[:, None] * sc.astype(np.float32)
+
+    def q4_k_to_quantized(self, name: str):
+        """Q4_K matmul weight -> (wq (K, M) uint8, scales (K/32, M) f32,
+        sub (K/32, M) f32) EXACTLY -- the Q4_K affine block model
+        w = d*sc6*q - dmin*m6 is literally this framework's dequant
+        contract (Wdq = scales*wq - sub) at group_size 32, so real
+        llama.cpp K-quant artifacts convert losslessly (no requantization),
+        like the Q4_0 path."""
+        info = self.tensors[name]
+        assert info["type"] == GGML_Q4_K, _TYPE_NAMES.get(info["type"])
+        K, M = info["dims"][0], info["dims"][1]
+        codes, scales, mins = self._q4_k_fields(self.tensor_bytes(name))
+        wq = codes.reshape(M, K).T.copy()
+        sc = scales.reshape(M, K // 32).T.copy()
+        sub = mins.reshape(M, K // 32).T.copy()
+        return wq, sc, sub
 
     def ternary_block_scales(self, name: str) -> Optional[np.ndarray]:
         """Per-256-block fp16 scales of a TQ tensor (None for I2_S, which
@@ -379,10 +491,12 @@ def _qt_from_gguf(r: GGUFReader, name: str, tp_m: int, tp_k: int):
             scales = np.repeat(scales, tp_k, 0)
             sub = np.repeat(sub, tp_k, 0)
             gs = wq.shape[0] // tp_k
+        # f32 scales in BOTH branches: grouped ternary block scales are
+        # fp16 (10 mantissa bits) and do not round-trip through bf16
+        # (7 bits) -- same rationale as the Q4_0 branch below
         return QuantizedTensor.from_quantized(
             wq, scales, sub, bits=2, group_size=gs,
-            k_shards=tp_k, m_shards=tp_m,
-            scale_dtype=jnp.float32 if per_tensor else jnp.bfloat16)
+            k_shards=tp_k, m_shards=tp_m, scale_dtype=jnp.float32)
     if info["type"] == GGML_Q4_0:
         wq, scales, sub = r.q4_0_to_quantized(name)
         # float32 scales: Q4_0 block scales are fp16 (10 mantissa bits) and
@@ -392,7 +506,19 @@ def _qt_from_gguf(r: GGUFReader, name: str, tp_m: int, tp_k: int):
         return QuantizedTensor.from_quantized(
             wq, scales, sub, bits=4, group_size=32,
             k_shards=tp_k, m_shards=tp_m, scale_dtype=jnp.float32)
-    # fall back: dequantize then requantize at 4 bits (zero_point affine)
+    if info["type"] == GGML_Q4_K:
+        # exact: Q4_K's affine super-block model == this framework's
+        # dequant contract at gs=32 (see q4_k_to_quantized)
+        wq, scales, sub = r.q4_k_to_quantized(name)
+        return QuantizedTensor.from_quantized(
+            wq, scales, sub, bits=4, group_size=32,
+            k_shards=tp_k, m_shards=tp_m, scale_dtype=jnp.float32)
+    # fall back: dequantize then requantize at 4 bits (zero_point affine).
+    # Covers Q5_K/Q6_K matmul tensors (llama.cpp's Q4_K_M mixes store
+    # ffn_down/attn_v this way): 5/6-bit codes don't map onto the kernel's
+    # supported bit-widths, so they re-quantize to the model's 4-bit class
+    # (~1e-3 NMSE on top of the original quantization -- measured in
+    # tests/test_gguf.py).
     from tmac_tpu.ops.packing import quantize_weights
     w = r.dequantized(name).T  # (K, M)
     wq, scales, sub = quantize_weights(w, 4, 32, True)
@@ -511,6 +637,111 @@ def _pack_tq2_0(w_mk: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def _kq_pack_scales(sc6: np.ndarray, m6: np.ndarray) -> np.ndarray:
+    """Inverse of GGUFReader._kq_scale_min: (nb, 8) 6-bit values ->
+    (nb, 12) packed bytes."""
+    nb = sc6.shape[0]
+    out = np.zeros((nb, 12), np.uint8)
+    for j in range(4):
+        out[:, j] = (sc6[:, j] & 63) | ((sc6[:, j + 4] >> 4) << 6)
+        out[:, j + 4] = (m6[:, j] & 63) | ((m6[:, j + 4] >> 4) << 6)
+        out[:, j + 8] = (sc6[:, j + 4] & 0x0F) | ((m6[:, j + 4] & 0x0F) << 4)
+    return out
+
+
+def _kq_affine(blocks: np.ndarray, qmax: int):
+    """Shared Q4_K/Q5_K quantizer: per-32 affine with 6-bit quantized
+    scales/mins.  -> (q codes, sc6, m6, d, dmin)."""
+    g = blocks.reshape(-1, 8, 32)
+    mn = np.minimum(g.min(axis=2), 0.0)          # llama.cpp forces min <= 0
+    mx = g.max(axis=2)
+    sc_f = (mx - mn) / qmax
+    m_f = -mn
+    d = sc_f.max(axis=1) / 63.0
+    dmin = m_f.max(axis=1) / 63.0
+    d_s = np.where(d == 0, 1.0, d)
+    dm_s = np.where(dmin == 0, 1.0, dmin)
+    sc6 = np.clip(np.rint(sc_f / d_s[:, None]), 0, 63).astype(np.uint8)
+    m6 = np.clip(np.rint(m_f / dm_s[:, None]), 0, 63).astype(np.uint8)
+    eff = d[:, None] * sc6
+    eff_s = np.where(eff == 0, 1.0, eff)
+    q = np.clip(np.rint((g + (dmin[:, None] * m6)[:, :, None])
+                        / eff_s[:, :, None]), 0, qmax)
+    q = np.where(eff[:, :, None] == 0, 0, q).astype(np.uint8)
+    return q.reshape(-1, 256), sc6, m6, d, dmin
+
+
+def _pack_q4_k(w_mk: np.ndarray) -> bytes:
+    """(M, K) float -> Q4_K super-blocks (block model of
+    dequantize_row_q4_K; simplified scale search)."""
+    M, K = w_mk.shape
+    assert K % 256 == 0
+    blocks = w_mk.reshape(-1, 256).astype(np.float32)
+    q, sc6, m6, d, dmin = _kq_affine(blocks, 15)
+    nb = blocks.shape[0]
+    out = np.empty((nb, 144), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = dmin.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:16] = _kq_pack_scales(sc6, m6)
+    for c in range(4):
+        out[:, 16 + 32 * c:16 + 32 * (c + 1)] = (
+            q[:, 64 * c:64 * c + 32] | (q[:, 64 * c + 32:64 * c + 64] << 4))
+    return out.tobytes()
+
+
+def _pack_q5_k(w_mk: np.ndarray) -> bytes:
+    """(M, K) float -> Q5_K super-blocks."""
+    M, K = w_mk.shape
+    assert K % 256 == 0
+    blocks = w_mk.reshape(-1, 256).astype(np.float32)
+    q, sc6, m6, d, dmin = _kq_affine(blocks, 31)
+    nb = blocks.shape[0]
+    out = np.zeros((nb, 176), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = dmin.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:16] = _kq_pack_scales(sc6, m6)
+    for c in range(4):
+        lo = q[:, 64 * c:64 * c + 32]
+        hi = q[:, 64 * c + 32:64 * c + 64]
+        out[:, 16:48] |= ((lo >> 4) << (2 * c)) | ((hi >> 4) << (2 * c + 1))
+        out[:, 48 + 32 * c:48 + 32 * (c + 1)] = (lo & 0x0F) | ((hi & 0x0F) << 4)
+    return out.tobytes()
+
+
+def _pack_q6_k(w_mk: np.ndarray) -> bytes:
+    """(M, K) float -> Q6_K super-blocks (block model of
+    dequantize_row_q6_K: per-16 int8 scales x fp16 super scale)."""
+    M, K = w_mk.shape
+    assert K % 256 == 0
+    blocks = w_mk.reshape(-1, 256).astype(np.float32)
+    g = blocks.reshape(-1, 16, 16)
+    amax = np.abs(g).max(axis=2)
+    sc_f = amax / 31.0
+    d = sc_f.max(axis=1) / 127.0
+    d_s = np.where(d == 0, 1.0, d)
+    sc8 = np.clip(np.rint(sc_f / d_s[:, None]), -128, 127).astype(np.int8)
+    eff = d[:, None] * sc8.astype(np.float32)
+    eff_s = np.where(eff == 0, 1.0, eff)
+    q = np.clip(np.rint(g / eff_s[:, :, None]), -32, 31)
+    q = np.where(eff[:, :, None] == 0, 0, q)
+    codes = (q + 32).astype(np.uint8).reshape(-1, 256)
+    nb = blocks.shape[0]
+    out = np.zeros((nb, 210), np.uint8)
+    for n in (0, 1):
+        b = 128 * n
+        c0 = codes[:, b + 0:b + 32]
+        c1 = codes[:, b + 32:b + 64]
+        c2 = codes[:, b + 64:b + 96]
+        c3 = codes[:, b + 96:b + 128]
+        out[:, 64 * n:64 * n + 32] = (c0 & 0x0F) | ((c2 & 0x0F) << 4)
+        out[:, 64 * n + 32:64 * n + 64] = (c1 & 0x0F) | ((c3 & 0x0F) << 4)
+        out[:, 128 + 32 * n:128 + 32 * (n + 1)] = (
+            (c0 >> 4) | ((c1 >> 4) << 2) | ((c2 >> 4) << 4) | ((c3 >> 4) << 6))
+    out[:, 192:208] = sc8.view(np.uint8)
+    out[:, 208:210] = d.astype(np.float16)[:, None].view(np.uint8)
+    return out.tobytes()
+
+
 def _pack_i2_s(w_mk: np.ndarray) -> bytes:
     """(M, K) float -> i2_s bytes (per-tensor absmax scale; layout in
     GGUFReader._i2_s_fields)."""
@@ -548,6 +779,12 @@ def write_gguf(path: str, metadata: Dict[str, Any], tensors: Dict[str, tuple]):
         arr = np.asarray(arr)
         if ttype == GGML_Q4_0:
             data = _pack_q4_0(arr)
+        elif ttype == GGML_Q4_K:
+            data = _pack_q4_k(arr)
+        elif ttype == GGML_Q5_K:
+            data = _pack_q5_k(arr)
+        elif ttype == GGML_Q6_K:
+            data = _pack_q6_k(arr)
         elif ttype == GGML_TQ1_0:
             data = _pack_tq1_0(arr)
         elif ttype == GGML_TQ2_0:
