@@ -9,10 +9,14 @@ locally with causal masking by GLOBAL position.  Everything except
 attention is per-token, so the transformer body needs no other
 communication; compute (the dominant prefill cost) scales ~linearly.
 
-Scope: fresh prefill (cache.pos == 0) with T divisible by the sp degree;
-params replicated (combine with weight TP by nesting meshes later).  The
-resulting cache is replicated and directly usable by the single-chip or
-tp decode paths.
+Scope: prefill with T divisible by the sp degree.  Composes with
+Megatron-style weight TP over a 2-D ('sp', 'tp') mesh (make_sp_tp_mesh):
+each tp group holds a column/row shard of every weight, each sp shard a
+token chunk; row-parallel projections psum over 'tp' per layer, K/V
+all-gather over 'sp'.  The resulting cache is sp-replicated and
+tp-sharded over kv-heads -- directly usable by the tp decode path on the
+same mesh.  With tp=1 params are replicated and the cache is usable by
+the single-chip decode path.
 """
 
 from __future__ import annotations
@@ -28,7 +32,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tmac_tpu.models.config import ModelConfig
 from tmac_tpu.models.llama import (KVCache, QuantizedTensor, apply_qlinear,
                                    rms_norm, rope, rope_tables)
-from tmac_tpu.parallel.tp import REP, shard_map
+from tmac_tpu.parallel.tp import (REP, _localize_params, check_cfg,
+                                  local_cfg, param_specs, shard_map)
 
 
 def _chunked_causal_attention(q, k_buf, v_buf, q_positions, kv_len, D,
@@ -87,11 +92,17 @@ def _chunked_causal_attention(q, k_buf, v_buf, q_positions, kv_len, D,
 
 
 def _sp_forward(params, cfg: ModelConfig, tokens, cache: KVCache,
-                impl: str, axis: str, start, attn_chunk: int = 512):
+                impl: str, axis: str, start, attn_chunk: int = 512,
+                tp_axis=None):
     """Runs inside shard_map: tokens (B, Tl) is the local chunk of a
     global T = Tl*sp token span beginning at cache position `start`
     (traced scalar; 0 = fresh prefill).  With start > 0 the attention also
     covers the already-cached prefix, so SP composes with chunked prefill.
+
+    tp_axis: mesh axis name for Megatron weight TP.  cfg must then be the
+    LOCAL (per-tp-device) config and params the local shards; wo/down are
+    row-parallel (psum over tp_axis before the residual add, mirroring
+    models/llama.forward), K/V carry only the local kv-head shard.
     """
     B, Tl = tokens.shape
     sp = jax.lax.psum(1, axis)
@@ -154,23 +165,35 @@ def _sp_forward(params, cfg: ModelConfig, tokens, cache: KVCache,
             kv_len=offset + Tl, D=cfg.head_dim, chunk=attn_chunk)
         attn = attn.astype(x.dtype)
 
-        # residual folded like models/llama.forward (no psum here: weights
-        # are replicated under sp)
-        x = apply_qlinear(attn, layer["wo"], mode, None, impl, residual=x)
+        # residual folds into the wo/down kernel epilogues ONLY when no
+        # cross-chip psum follows (same rule as models/llama.forward: the
+        # psum must see the partial sum, not partial + residual per shard)
+        res = x if tp_axis is None else None
+        o = apply_qlinear(attn, layer["wo"], mode, None, impl, residual=res)
+        if tp_axis is not None:
+            x = x + jax.lax.psum(o, tp_axis)
+        else:
+            x = o
         gu = apply_qlinear(x, layer["gate_up"], mode, None, impl,
                            norm=(layer["mlp_norm"], cfg.rms_norm_eps))
         down = layer["down"]
+        res = x if tp_axis is None else None
         use_pallas = impl == "pallas" or (
             impl == "auto" and jax.default_backend() == "tpu")
         if (use_pallas and down.kdim_padded == down.kdim
                 and (mode != "w_a8" or down.scales.shape[0] == 1)):
-            x = apply_qlinear(gu, down, mode, None, impl, glu=True, residual=x)
+            d = apply_qlinear(gu, down, mode, None, impl, glu=True,
+                              residual=res)
         else:
             ihalf = down.kdim
             g, u = gu[..., :ihalf], gu[..., ihalf:]
-            x = apply_qlinear(
+            d = apply_qlinear(
                 jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u,
-                down, mode, None, impl, residual=x)
+                down, mode, None, impl, residual=res)
+        if tp_axis is not None:
+            x = x + jax.lax.psum(d, tp_axis)
+        else:
+            x = d
 
     # only the last shard's last position matters for the next token; all
     # shards compute their local logits, caller takes the global last
@@ -193,7 +216,10 @@ def _sp_forward(params, cfg: ModelConfig, tokens, cache: KVCache,
 def make_sp_prefill(cfg: ModelConfig, mesh: Mesh, impl: str = "auto",
                     attn_chunk: int = 512):
     """Build prefill_fn(params, tokens (B, T), cache, start=0) ->
-    (last logits, cache), sharded over mesh axis 'sp'.  T % sp == 0.
+    (last logits, cache), sharded over mesh axis 'sp' (and, if the mesh
+    has a 'tp' axis > 1, Megatron weight TP over 'tp' -- the SPxTP
+    composition; pass tp-sharded params/cache, e.g. via tp.shard_params
+    with this mesh).  T % sp == 0.
 
     start (int32 scalar) is the cache position the span begins at: 0 for a
     fresh prompt, or the running offset when composing with chunked
@@ -202,10 +228,21 @@ def make_sp_prefill(cfg: ModelConfig, mesh: Mesh, impl: str = "auto",
     materialize O(T^2) f32 scores.
     """
     sp = mesh.shape["sp"]
+    tp = mesh.shape.get("tp", 1)
+    tp_axis = "tp" if tp > 1 else None
+    if tp > 1:
+        check_cfg(cfg, tp)
+    lcfg = local_cfg(cfg, tp) if tp > 1 else cfg
+    # cache layout (L, B, KV, S, D): kv-heads on 'tp', replicated over 'sp'
+    cspec = KVCache(k=P(None, None, "tp", None, None),
+                    v=P(None, None, "tp", None, None), pos=REP) \
+        if tp > 1 else REP
 
     def _pf(params, tokens, cache, start):
-        logits, cache = _sp_forward(params, cfg, tokens, cache, impl, "sp",
-                                    start, attn_chunk=attn_chunk)
+        params = _localize_params(params, tp)
+        logits, cache = _sp_forward(params, lcfg, tokens, cache, impl, "sp",
+                                    start, attn_chunk=attn_chunk,
+                                    tp_axis=tp_axis)
         # the global last position lives on the last shard; psum-broadcast
         # its final-row logits so the output is replicated
         i = jax.lax.axis_index("sp")
@@ -213,17 +250,19 @@ def make_sp_prefill(cfg: ModelConfig, mesh: Mesh, impl: str = "auto",
         last = jax.lax.psum(last, "sp")
         return last, cache
 
-    sm = shard_map(
-        _pf, mesh,
-        in_specs=(REP, P(None, "sp"), REP, REP),
-        out_specs=(REP, REP),
-    )
-    jitted = jax.jit(sm, donate_argnums=(2,))
+    # built lazily: with tp > 1 the param specs need the pytree structure
+    state = {}
 
     def prefill_fn(params, tokens, cache, start=0):
         B, T = tokens.shape
         assert T % sp == 0, f"prompt length {T} must divide sp={sp}"
-        return jitted(params, tokens, cache, jnp.int32(start))
+        if "jitted" not in state:
+            pspecs = param_specs(params) if tp > 1 else REP
+            state["jitted"] = jax.jit(shard_map(
+                _pf, mesh,
+                in_specs=(pspecs, P(None, "sp"), cspec, REP),
+                out_specs=(REP, cspec)), donate_argnums=(2,))
+        return state["jitted"](params, tokens, cache, jnp.int32(start))
 
     return prefill_fn
 
@@ -246,3 +285,23 @@ def make_sp_mesh(sp: int, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     assert len(devices) >= sp
     return jax.make_mesh((sp,), ("sp",), devices=devices[:sp])
+
+
+def shard_cache_sp_tp(cache: KVCache, mesh: Mesh) -> KVCache:
+    """device_put a KVCache for the ('sp', 'tp') mesh: kv-heads sharded
+    over 'tp', everything replicated over 'sp' (cf. tp.shard_cache, whose
+    specs assume a ('dp', 'tp') mesh)."""
+    kv = NamedSharding(mesh, P(None, None, "tp", None, None))
+    return KVCache(k=jax.device_put(cache.k, kv),
+                   v=jax.device_put(cache.v, kv),
+                   pos=jax.device_put(cache.pos, NamedSharding(mesh, P())))
+
+
+def make_sp_tp_mesh(sp: int, tp: int, devices=None) -> Mesh:
+    """2-D ('sp', 'tp') mesh for SPxTP prefill.  tp is the minor
+    (fastest-varying) axis so tp groups sit on adjacent devices -- the
+    per-layer psums ride the shortest ICI hops; the per-layer 'sp'
+    all-gathers are rarer (2/layer vs 2 psums/layer but K/V bytes only)."""
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= sp * tp, (len(devices), sp, tp)
+    return jax.make_mesh((sp, tp), ("sp", "tp"), devices=devices[: sp * tp])
