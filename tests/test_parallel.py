@@ -126,9 +126,24 @@ np.testing.assert_allclose(np.asarray(jax.device_get(out)), 6.0)
 print("OK", info["process_index"], flush=True)
 """ % port
 
+    outs, procs = _run_two_procs(prog)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"OK {i}" in out, out
+
+
+def _run_two_procs(prog: str, timeout: float = 420.0):
+    """Launch two hermetic CPU subprocesses running `prog` (argv[1] = rank)."""
+    import os
+    import subprocess
+    import sys as _sys
+
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
+    # strip the axon sitecustomize: the TPU plugin would otherwise hook
+    # every subprocess interpreter (and hang them all if the tunnel is down)
+    env.pop("PYTHONPATH", None)
     procs = [subprocess.Popen(
         [_sys.executable, "-c", prog, str(i)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
@@ -137,12 +152,77 @@ print("OK", info["process_index"], flush=True)
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out.decode())
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {i} failed:\n{out}"
-        assert f"OK {i}" in out, out
+    return outs, procs
+
+
+def test_multiprocess_full_model_tp(tmp_path):
+    """The PRODUCTION make_tp_step across 2 jax.distributed processes
+    (2x2 CPU devices, tp=4): prefill + decode must produce the SAME
+    tokens as the identically-sharded single-process path -- converts the
+    multi-host claim from 'a psum works' to 'the model works' (VERDICT
+    round-2 item 5).  Same mesh shape + same sharding => same HLO and
+    reduction order, so exact token equality is the right assertion
+    (unlike cross-sharding comparisons)."""
+    import os
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    prog = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from tmac_tpu.parallel.launch import init
+info = init(coordinator_address="127.0.0.1:%d",
+            num_processes=2, process_id=int(sys.argv[1]))
+assert info["global_devices"] == 4, info
+from tmac_tpu.models.config import get_preset
+from tmac_tpu.models.llama import KVCache, init_params
+from tmac_tpu.parallel import tp as tpmod
+from tmac_tpu.runtime.sampling import SamplerConfig
+cfg = get_preset("llama-2-7b").scaled(4)
+params = init_params(cfg, seed=11, tp=4)
+mesh = tpmod.make_mesh(tp=4, dp=1)
+sparams = tpmod.shard_params(params, mesh)
+cache = tpmod.shard_cache(KVCache.create(cfg, 1, 16), mesh)
+toks = jnp.asarray(np.arange(1, 5, dtype=np.int32)[None, :])
+prefill_fn, decode_fn = tpmod.make_tp_step(cfg, mesh, params,
+                                           SamplerConfig(), impl="xla")
+logits, cache = prefill_fn(sparams, toks, cache)
+first = jnp.argmax(logits, -1).astype(jnp.int32)
+out, cache = decode_fn(sparams, first, cache, jax.random.PRNGKey(7), 4)
+ids = [int(t) for t in np.asarray(first)] + \
+      [int(t) for t in np.asarray(out).reshape(-1)]
+print("TOKENS", sys.argv[1], ids, flush=True)
+""" % port
+
+    # identically-sharded single-process reference on the virtual mesh
+    cfg = get_preset("llama-2-7b").scaled(4)
+    params = init_params(cfg, seed=11, tp=4)
+    mesh = tpmod.make_mesh(tp=4, dp=1, devices=jax.devices()[:4])
+    sparams = tpmod.shard_params(params, mesh)
+    cache = tpmod.shard_cache(KVCache.create(cfg, 1, 16), mesh)
+    toks = jnp.asarray(np.arange(1, 5, dtype=np.int32)[None, :])
+    prefill_fn, decode_fn = tpmod.make_tp_step(cfg, mesh, params,
+                                               SamplerConfig(), impl="xla")
+    logits, cache = prefill_fn(sparams, toks, cache)
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+    out, cache = decode_fn(sparams, first, cache, jax.random.PRNGKey(7), 4)
+    ref = [int(t) for t in np.asarray(first)] + \
+          [int(t) for t in np.asarray(out).reshape(-1)]
+
+    outs, procs = _run_two_procs(prog)
+    for i, (p, out_s) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out_s}"
+        assert f"TOKENS {i} {ref}" in out_s, (ref, out_s)
