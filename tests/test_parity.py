@@ -1,0 +1,63 @@
+"""Model-level output-quality parity gate (tools/parity.py): production
+forward vs an independent f32 dequant-oracle, per preset x quant mode.
+
+The CPU suite runs scaled models through the XLA path (the dequant
+contract executor); the hardware run (`tmac-tpu parity`, BENCH.md) runs
+full-size models through the pallas kernels.  Reference role:
+llama-perplexity quality parity (tools/run_pipeline.py:218) + the
+NMSE <= 5e-4 kernel gate (python/t_mac/ops/qgemm.py:278) extended
+model-wide.
+"""
+
+import numpy as np
+import pytest
+
+from tmac_tpu.models.config import get_preset
+from tmac_tpu.tools import parity
+
+
+@pytest.mark.parametrize("label,preset,quant_kw", [
+    ("bitnet-w1.58", "bitnet-3b", {}),
+    ("llama2-w2-zp", "llama-2-7b", {}),
+    ("llama2-w4-zp", "llama-2-7b", {"bits": 4}),
+    ("trilm-w2-sym", "trilm-3.9b", {}),
+    ("llama3-w3-gqa", "llama-3-8b", {"bits": 3}),
+])
+def test_model_parity_gate(label, preset, quant_kw):
+    cfg = get_preset(preset, **quant_kw).scaled(8)
+    r = parity.model_parity(cfg, seed=0, impl="xla")
+    # model-level bar: an order of magnitude above the reference's
+    # per-kernel 5e-4 to absorb cross-layer accumulation; real layout or
+    # packing bugs produce nmse > 1e-1 and huge disagree gaps
+    assert r["nmse"] < 2e-3, r
+    assert r["agree_tie_aware"] == 1.0, r
+    assert r["max_disagree_gap"] < 0.35, r
+
+
+def test_oracle_catches_corruption():
+    """The gate must actually FAIL on a corrupted model -- flip a few
+    packed weight bytes and require a large NMSE."""
+    import jax.numpy as jnp
+
+    from tmac_tpu.models.llama import init_params
+
+    cfg = get_preset("llama-2-7b").scaled(8)
+    params = init_params(cfg, seed=0)
+    dense = parity.dense_params(params)
+    # corrupt layer 0 wqkv packed bytes AFTER densifying the oracle copy
+    qt = params["layers"][0]["wqkv"]
+    bad = qt.packed.at[:8, :].set(jnp.uint8(0xFF))
+    params["layers"][0]["wqkv"] = type(qt)(
+        packed=bad, packed_hi=qt.packed_hi, scales=qt.scales, sub=qt.sub,
+        bits=qt.bits, group_size=qt.group_size, k_shards=qt.k_shards,
+        m_shards=qt.m_shards, shape=qt.shape, m_segments=qt.m_segments)
+
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, cfg.vocab_size, (1, 16))
+    from tmac_tpu.models.llama import KVCache, forward
+    cache = KVCache.create(cfg, 1, 32)
+    logits, _ = forward(params, cfg, jnp.asarray(prompt), cache, impl="xla")
+    want = parity.oracle_forward(dense, cfg, prompt)
+    from tmac_tpu.utils import nmse
+    e = float(nmse(want, np.asarray(logits, np.float32)))
+    assert e > 1e-2, e

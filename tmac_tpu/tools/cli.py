@@ -174,6 +174,24 @@ def cmd_ppl(args):
     print(json.dumps(r))
 
 
+def cmd_parity(args):
+    """Model-level output-quality gate: production forward vs the f32
+    dequant-oracle per preset x quant mode (the llama-perplexity role,
+    reference tools/run_pipeline.py:218, checkpoint-free)."""
+    from tmac_tpu.tools import parity
+
+    configs = None
+    if args.presets:
+        configs = [c for c in parity.GATE_CONFIGS if c[0] in args.presets]
+        assert configs, f"no match among {[c[0] for c in parity.GATE_CONFIGS]}"
+    rows = parity.run_gate(configs=configs, scale=args.scale, impl=args.impl,
+                           seed=args.seed)
+    print(parity.format_table(rows))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=1)
+
+
 def cmd_profile(args):
     from tmac_tpu.tools import profile_kernels
     profile_kernels.main(args.rest)
@@ -321,6 +339,16 @@ def main():
     p.add_argument("--tokens", required=True, help=".npy or whitespace ids")
     p.add_argument("--window", type=int, default=512)
     p.set_defaults(fn=cmd_ppl)
+
+    pa = sub.add_parser("parity", help="model-level quality gate vs f32 oracle")
+    pa.add_argument("--presets", nargs="*", default=None,
+                    help="gate config labels (default: all)")
+    pa.add_argument("--scale", type=int, default=0,
+                    help="shrink factor (0 = full size)")
+    pa.add_argument("--impl", default="auto")
+    pa.add_argument("--seed", type=int, default=0)
+    pa.add_argument("--json", default=None, help="also write rows to file")
+    pa.set_defaults(fn=cmd_parity)
 
     pr = sub.add_parser("profile", help="kernel profiler (pass-through args)")
     pr.add_argument("rest", nargs=argparse.REMAINDER)

@@ -1,0 +1,271 @@
+"""Model-level output-quality parity gate.
+
+The reference's quality gate is `llama-perplexity` against an fp16
+baseline (built at tools/run_pipeline.py:218; the kernel-level analog is
+the NMSE <= 5e-4 dequant-oracle check at python/t_mac/ops/qgemm.py:278).
+No model checkpoints are reachable in this environment (zero egress), so
+this module provides the strongest available proxy, extended MODEL-WIDE:
+
+  * an INDEPENDENT f32 oracle forward -- every quantized matmul becomes a
+    dense f32 `x @ dequant(W)`, attention/norms/rope/SwiGLU recomputed in
+    f32 from scratch (not by calling models/llama.forward with flags) --
+    so kernel bugs, packing bugs, and layout bugs all surface;
+  * NMSE of production prefill logits (pallas kernels, int8 activations,
+    bf16 cache) against the oracle at every position;
+  * a greedy-token agreement rate along the PRODUCTION decode path
+    (teacher-forced through the oracle), with margin analysis so genuine
+    near-ties don't count as disagreements.
+
+Pass bars (see tests/test_parity.py and BENCH.md):
+  median per-position nmse <= 2e-3 per preset/quant-mode, tie-aware
+  agreement == 1.0.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tmac_tpu.models.config import ModelConfig, get_preset
+from tmac_tpu.models.llama import KVCache, forward, init_params
+from tmac_tpu.ops.qgemm import QuantizedTensor, qgemm_xla
+from tmac_tpu.utils import nmse
+
+
+# ---------------------------------------------------------------------------
+# f32 densification
+# ---------------------------------------------------------------------------
+
+def dense_weight(qt: QuantizedTensor) -> np.ndarray:
+    """(K, M) f32 dequantized dense matrix of a packed QuantizedTensor.
+
+    Computed as identity @ qt through the grouped dequant contract
+    (qgemm_xla), which is exact for one-hot f32 rows -- this reuses the
+    same scales/sub/padding/fused-segment handling the production path
+    sees, so the oracle weights ARE the dequant model of the packed
+    weights (reference contract: Wdq = scales*wq - sub)."""
+    K = qt.kdim
+    eye = jnp.eye(K, dtype=jnp.float32)
+    return np.asarray(qgemm_xla(eye, qt, out_dtype=jnp.float32))
+
+
+def dense_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Walk an init_params/converter pytree -> all-f32 numpy params."""
+    def arr(a):
+        return np.asarray(a, np.float32)
+
+    out: Dict[str, Any] = {
+        "embed": arr(params["embed"]),
+        "final_norm": arr(params["final_norm"]),
+        "layers": [],
+    }
+    for layer in params["layers"]:
+        dl = {
+            "attn_norm": arr(layer["attn_norm"]),
+            "mlp_norm": arr(layer["mlp_norm"]),
+            "wqkv": dense_weight(layer["wqkv"]),
+            "wo": dense_weight(layer["wo"]),
+            "gate_up": dense_weight(layer["gate_up"]),
+            "down": dense_weight(layer["down"]),
+        }
+        for b in ("bq", "bk", "bv"):
+            if b in layer:
+                dl[b] = arr(layer[b])
+        out["layers"].append(dl)
+    if "lm_head" in params:
+        head = params["lm_head"]
+        out["lm_head"] = (dense_weight(head) if isinstance(head, QuantizedTensor)
+                          else arr(head))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# independent f32 oracle forward (numpy)
+# ---------------------------------------------------------------------------
+
+def _oracle_rms(x: np.ndarray, w: np.ndarray, eps: float) -> np.ndarray:
+    var = np.mean(np.square(x), axis=-1, keepdims=True)
+    return x / np.sqrt(var + eps) * w
+
+
+def _oracle_rope(x: np.ndarray, positions: np.ndarray, theta: float) -> np.ndarray:
+    """x (B, T, H, D), positions (T,) -- duplicated-half rotary convention
+    (rotate_half), matching models/llama.rope."""
+    D = x.shape[-1]
+    half = D // 2
+    freqs = 1.0 / (theta ** (np.arange(half, dtype=np.float32) / half))
+    ang = positions[:, None].astype(np.float32) * freqs  # (T, half)
+    cos = np.concatenate([np.cos(ang), np.cos(ang)], -1)[None, :, None, :]
+    sin = np.concatenate([np.sin(ang), np.sin(ang)], -1)[None, :, None, :]
+    rot = np.concatenate([-x[..., half:], x[..., :half]], -1)
+    return x * cos + rot * sin
+
+
+def oracle_forward(dense: Dict[str, Any], cfg: ModelConfig,
+                   tokens: np.ndarray) -> np.ndarray:
+    """Full-causal fresh prefill in f64-accumulated f32 numpy.
+    tokens (B, T) -> logits (B, T, V)."""
+    B, T = tokens.shape
+    H, D = cfg.num_heads, cfg.head_dim
+    KV = cfg.num_kv_heads
+    rep = H // KV
+    eps = cfg.rms_norm_eps
+    positions = np.arange(T)
+
+    x = dense["embed"][tokens].astype(np.float32)  # (B, T, Hd)
+    for layer in dense["layers"]:
+        h = _oracle_rms(x, layer["attn_norm"], eps)
+        qkv = h @ layer["wqkv"]
+        qd, kvd = cfg.q_dim, cfg.kv_dim
+        q, k, v = qkv[..., :qd], qkv[..., qd:qd + kvd], qkv[..., qd + kvd:]
+        if "bq" in layer:
+            q, k, v = q + layer["bq"], k + layer["bk"], v + layer["bv"]
+        q = _oracle_rope(q.reshape(B, T, H, D), positions, cfg.rope_theta)
+        k = _oracle_rope(k.reshape(B, T, KV, D), positions, cfg.rope_theta)
+        v = v.reshape(B, T, KV, D)
+        # GQA causal attention, f32
+        kr = np.repeat(k, rep, axis=2)  # (B, T, H, D)
+        vr = np.repeat(v, rep, axis=2)
+        scores = np.einsum("bthd,bshd->bhts", q, kr) / np.sqrt(D)
+        mask = positions[None, :] <= positions[:, None]  # (T, S) causal
+        scores = np.where(mask[None, None], scores, -np.inf)
+        scores -= scores.max(-1, keepdims=True)
+        p = np.exp(scores)
+        p /= p.sum(-1, keepdims=True)
+        attn = np.einsum("bhts,bshd->bthd", p, vr).reshape(B, T, H * D)
+        x = x + attn @ layer["wo"]
+        h = _oracle_rms(x, layer["mlp_norm"], eps)
+        gu = h @ layer["gate_up"]
+        ihalf = gu.shape[-1] // 2
+        g, u = gu[..., :ihalf], gu[..., ihalf:]
+        silu = g / (1.0 + np.exp(-g))
+        x = x + (silu * u) @ layer["down"]
+
+    x = _oracle_rms(x, dense["final_norm"], eps)
+    if "lm_head" in dense:
+        return x @ dense["lm_head"]
+    return x @ dense["embed"].T
+
+
+# ---------------------------------------------------------------------------
+# the gate
+# ---------------------------------------------------------------------------
+
+def model_parity(cfg: ModelConfig, seed: int = 0, T: int = 24,
+                 decode_steps: int = 16, impl: str = "auto",
+                 tie_margin: float = 0.35) -> Dict[str, Any]:
+    """Run the gate for one config.  Returns metrics:
+
+    nmse            -- MEDIAN per-position production-vs-oracle prefill
+                       logits NMSE (see inline comment for why median)
+    nmse_max        -- worst position (chaotic-amplification outliers land
+                       here on random-init models)
+    agree           -- raw greedy agreement along the production decode path
+    agree_tie_aware -- agreement counting near-ties (oracle top1-top2 gap
+                       or oracle-vs-chosen gap < tie_margin) as agreement;
+                       quantization noise flips genuine near-ties, which
+                       says nothing about correctness
+    max_disagree_gap -- largest oracle logit gap on any disagreement (a
+                       REAL bug shows gaps >> tie_margin)
+    """
+    rng = np.random.default_rng(seed)
+    params = init_params(cfg, seed=seed)
+    dense = dense_params(params)
+    prompt = rng.integers(0, cfg.vocab_size, (1, T))
+
+    # --- prefill logits parity ---
+    cache = KVCache.create(cfg, 1, T + decode_steps)
+    logits, cache = forward(params, cfg, jnp.asarray(prompt), cache, impl=impl)
+    got = np.asarray(logits, np.float32)  # (1, T, V)
+    want = oracle_forward(dense, cfg, prompt)
+    # per-position NMSE, gated on the MEDIAN: randomly-initialized
+    # networks have exploding activations at isolated positions (hidden
+    # norms in the 1e4 range) where the silu-gated MLP is locally chaotic
+    # -- bf16-level input noise amplifies ~25x through one layer there,
+    # which says nothing about kernel correctness (verified by bisect:
+    # production == oracle to 1e-5 when both start from the same layer
+    # input).  Real checkpoints are trained to be well-conditioned; the
+    # worst position is still reported as nmse_max.
+    per_pos = np.array([float(nmse(want[0, t], got[0, t]))
+                        for t in range(T)])
+    e_prefill = float(np.median(per_pos))
+    e_max = float(per_pos.max())
+
+    # --- decode path: production greedy rollout, teacher-forced oracle ---
+    toks: List[int] = [int(np.argmax(got[0, -1]))]
+    for _ in range(decode_steps - 1):
+        lg, cache = forward(params, cfg, jnp.asarray([[toks[-1]]]), cache,
+                            impl=impl)
+        toks.append(int(np.argmax(np.asarray(lg[0, -1], np.float32))))
+    full = np.concatenate([prompt, np.asarray(toks[:-1])[None]], axis=1)
+    want_full = oracle_forward(dense, cfg, full)  # (1, T+steps-1, V)
+    agree = tie_aware = 0
+    max_gap = 0.0
+    for i, tok in enumerate(toks):
+        lg = want_full[0, T - 1 + i]
+        top = int(np.argmax(lg))
+        srt = np.sort(lg)
+        tie_gap = float(srt[-1] - srt[-2])
+        if top == tok:
+            agree += 1
+            tie_aware += 1
+        else:
+            gap = float(lg[top] - lg[tok])
+            max_gap = max(max_gap, gap)
+            if gap < tie_margin or tie_gap < tie_margin:
+                tie_aware += 1
+    n = len(toks)
+    return {
+        "nmse": e_prefill,
+        "nmse_max": e_max,
+        "agree": agree / n,
+        "agree_tie_aware": tie_aware / n,
+        "max_disagree_gap": max_gap,
+        "decode_steps": n,
+        "prefill_positions": T,
+    }
+
+
+GATE_CONFIGS = [
+    # (label, preset, quant overrides) -- the reference benchmark matrix
+    ("bitnet-3b-w1.58", "bitnet-3b", {}),
+    ("llama-2-7b-w2", "llama-2-7b", {}),
+    ("llama-2-7b-w4", "llama-2-7b", {"bits": 4}),
+    ("llama-3-8b-w2", "llama-3-8b", {}),
+    ("llama-3-8b-w3", "llama-3-8b", {"bits": 3}),
+    ("phi-3-mini-w2", "phi-3-mini", {}),
+    ("trilm-3.9b-w2", "trilm-3.9b", {}),
+    ("qwen2-7b-w4", "qwen2-7b", {}),
+]
+
+
+def run_gate(configs=None, scale: int = 0, impl: str = "auto",
+             seed: int = 0) -> List[Dict[str, Any]]:
+    """The full quality table: every preset x its reference quant modes.
+    scale > 0 shrinks models (tests); 0 = full size (hardware runs)."""
+    configs = configs if configs is not None else GATE_CONFIGS
+    rows = []
+    for label, name, quant_kw in configs:
+        cfg = get_preset(name, **quant_kw)
+        if scale:
+            cfg = cfg.scaled(scale)
+        r = model_parity(cfg, seed=seed, impl=impl)
+        r["preset"] = label
+        r["quant"] = f"b{cfg.quant.bits}/{cfg.quant.mode}/gs{cfg.quant.group_size}"
+        rows.append(r)
+    return rows
+
+
+def format_table(rows: List[Dict[str, Any]]) -> str:
+    hdr = (f"{'preset':<16} {'quant':<16} {'nmse':>10} {'nmse_max':>10} "
+           f"{'agree':>7} {'tie-aware':>9} {'maxgap':>7}")
+    lines = [hdr, "-" * len(hdr)]
+    for r in rows:
+        lines.append(
+            f"{r['preset']:<16} {r['quant']:<16} {r['nmse']:>10.2e} "
+            f"{r['nmse_max']:>10.2e} {r['agree']:>7.2f} "
+            f"{r['agree_tie_aware']:>9.2f} {r['max_disagree_gap']:>7.3f}")
+    return "\n".join(lines)
