@@ -217,6 +217,24 @@ def model_parity(cfg: ModelConfig, seed: int = 0, T: int = 24,
             max_gap = max(max_gap, gap)
             if gap < tie_margin or tie_gap < tie_margin:
                 tie_aware += 1
+    # --- perplexity parity: NLL of the prompt tokens under both models
+    # (the llama-perplexity comparison, on the same weights).  Gated as a
+    # relative delta so it's checkpoint-free.
+    def _nll_per_pos(logits_btv: np.ndarray) -> np.ndarray:
+        lg = logits_btv[0, :-1].astype(np.float64)
+        lg = lg - lg.max(-1, keepdims=True)
+        logp = lg - np.log(np.exp(lg).sum(-1, keepdims=True))
+        tgt = prompt[0, 1:]
+        return -logp[np.arange(T - 1), tgt]
+
+    npp, npo = _nll_per_pos(got), _nll_per_pos(want)
+    nll_prod, nll_oracle = float(npp.mean()), float(npo.mean())
+    ppl_delta = abs(np.exp(nll_prod) - np.exp(nll_oracle)) / np.exp(nll_oracle)
+    # robust form: the mean NLL (hence ppl) inherits the chaotic-position
+    # outliers of random-init models; the median per-position delta is
+    # the bug detector (a real kernel/layout bug shifts EVERY position)
+    nll_delta_med = float(np.median(np.abs(npp - npo)))
+
     n = len(toks)
     return {
         "nmse": e_prefill,
@@ -224,6 +242,10 @@ def model_parity(cfg: ModelConfig, seed: int = 0, T: int = 24,
         "agree": agree / n,
         "agree_tie_aware": tie_aware / n,
         "max_disagree_gap": max_gap,
+        "ppl_prod": float(np.exp(nll_prod)),
+        "ppl_oracle": float(np.exp(nll_oracle)),
+        "ppl_rel_delta": float(ppl_delta),
+        "nll_delta_median": nll_delta_med,
         "decode_steps": n,
         "prefill_positions": T,
     }
@@ -261,11 +283,12 @@ def run_gate(configs=None, scale: int = 0, impl: str = "auto",
 
 def format_table(rows: List[Dict[str, Any]]) -> str:
     hdr = (f"{'preset':<16} {'quant':<16} {'nmse':>10} {'nmse_max':>10} "
-           f"{'agree':>7} {'tie-aware':>9} {'maxgap':>7}")
+           f"{'agree':>7} {'tie-aware':>9} {'maxgap':>7} {'dppl':>9}")
     lines = [hdr, "-" * len(hdr)]
     for r in rows:
         lines.append(
             f"{r['preset']:<16} {r['quant']:<16} {r['nmse']:>10.2e} "
             f"{r['nmse_max']:>10.2e} {r['agree']:>7.2f} "
-            f"{r['agree_tie_aware']:>9.2f} {r['max_disagree_gap']:>7.3f}")
+            f"{r['agree_tie_aware']:>9.2f} {r['max_disagree_gap']:>7.3f} "
+            f"{r['ppl_rel_delta']:>9.2e}")
     return "\n".join(lines)
