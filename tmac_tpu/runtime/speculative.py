@@ -1,0 +1,159 @@
+"""Lookup (prompt n-gram) speculative decoding, fully on-device.
+
+The role of llama.cpp's lookup decoding (examples/lookup; the reference's
+host loop is llama.cpp per tools/run_pipeline.py:222-277), re-designed
+TPU-native: the n-gram proposal, the k-token verification forward, the
+acceptance scan, and the cache-position rewind all run inside ONE jitted
+`lax.while_loop` -- zero host round-trips for a whole generation, where
+llama.cpp re-enters C++ scheduling code every step.
+
+Why this is nearly free on TPU: single-stream decode is HBM-bound on
+weight bytes, so a T=k+1 verification forward costs about the same as a
+T=1 step (same weight traffic; activations are noise).  Every accepted
+draft token is a token we never paid a forward for: tokens/s multiplies
+by the mean accepted length.  On self-repetitive text (code, chat
+transcripts, retrieval contexts) acceptance is high; on incompressible
+text the cost floor is one forward per emitted token -- the same as
+plain decode (plus the small T=k+1 vs T=1 overhead).
+
+Losslessness: with greedy sampling the emitted stream is IDENTICAL
+token-for-token to plain greedy decode for ANY draft (verification
+recomputes the model's own argmax at every position and only keeps
+matching prefixes) -- tested against decode_loop in
+tests/test_speculative.py.
+
+Cache correctness: a verification forward writes K/V for all k+1 fed
+tokens; rejected positions hold stale entries, but pos is rewound to
+just-past-the-accepted-prefix, attention masks s <= q_position, and the
+next verification overwrites exactly that stale span before reading it
+(its k+1 writes start where the rewind left pos).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tmac_tpu.models.config import ModelConfig
+from tmac_tpu.models.llama import KVCache, forward
+
+
+def _propose_ngram(buf: jax.Array, length: jax.Array, n: int, k: int):
+    """Most-recent-match n-gram proposal from the token buffer.
+
+    buf (S,) int32 holds the sequence so far in [0, length); the draft is
+    the k tokens that followed the most recent earlier occurrence of the
+    trailing n-gram.  Returns (draft (k,) int32, found bool).
+    """
+    S = buf.shape[0]
+    ngram = jax.lax.dynamic_slice(buf, (jnp.maximum(length - n, 0),), (n,))
+    idx = jnp.arange(S - n + 1)[:, None] + jnp.arange(n)[None, :]
+    windows = buf[idx]                                  # (S-n+1, n)
+    match = jnp.all(windows == ngram[None, :], axis=1)  # (S-n+1,)
+    # candidate start i: any occurrence strictly before the trailing one
+    # (i < length - n; overlapping occurrences allowed -- they encode
+    # short periods, e.g. a constant stream)
+    pos = jnp.arange(S - n + 1)
+    ok = match & (pos < length - n)
+    j = jnp.max(jnp.where(ok, pos, -1))
+    found = j >= 0
+    # continue the matched pattern CYCLICALLY with period p = distance
+    # between the match and the trailing n-gram: predicted token at
+    # stream position length+i is buf[length - p + (i mod p)].  A raw
+    # slice buf[j+n : j+n+k] runs past the known tokens whenever the
+    # match is recent (the common, high-value case) and would draft
+    # zeros; the cyclic form always drafts real history and is exact for
+    # genuinely periodic streams.
+    p = jnp.maximum((length - n) - j, 1)
+    src = length - p + jnp.mod(jnp.arange(k), p)
+    draft = buf[jnp.clip(src, 0, S - 1)]
+    return jnp.where(found, draft, -1), found
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "steps", "ngram", "k",
+                                             "impl"),
+                   donate_argnames=("cache",))
+def decode_loop_speculative(params, cfg: ModelConfig, first_token,
+                            cache: KVCache, prompt: jax.Array, steps: int,
+                            ngram: int = 3, k: int = 8, impl: str = "auto"):
+    """Greedy-decode `steps` tokens with on-device lookup speculation.
+
+    first_token: (1,) int32 -- the first generated token (from prefill
+    argmax), counted as already emitted.  prompt (1, T) feeds the n-gram
+    buffer.  Returns (tokens (1, steps) int32 including first_token,
+    n_forwards int32, cache).  Single-stream (B=1): per-slot variable
+    acceptance does not batch; B>1 serving keeps the chunked engine path.
+    """
+    B, T = prompt.shape
+    assert B == 1, "speculative decode is single-stream"
+    S = cache.max_len
+    buf = jnp.zeros((S,), jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, prompt[0].astype(jnp.int32), (0,))
+    buf = jax.lax.dynamic_update_slice(buf, first_token.astype(jnp.int32),
+                                       (T,))
+    length = jnp.int32(T + 1)          # tokens known so far (prompt + first)
+    emitted = jnp.int32(1)             # generated tokens so far
+    out = jnp.zeros((steps + k + 1,), jnp.int32)
+    out = out.at[0].set(first_token[0].astype(jnp.int32))
+
+    def cond(c):
+        emitted, length, buf, out, cache, nf = c
+        return (emitted < steps) & (length + k + 1 <= S)
+
+    def body(c):
+        emitted, length, buf, out, cache, nf = c
+        draft, _ = _propose_ngram(buf, length, ngram, k)
+        last = jax.lax.dynamic_slice(buf, (length - 1,), (1,))
+        feed = jnp.concatenate([last, jnp.maximum(draft, 0)])[None, :]  # (1, k+1)
+        pos0 = cache.pos
+        logits, cache = forward(params, cfg, feed, cache, impl=impl)
+        targets = jnp.argmax(logits[0].astype(jnp.float32), axis=-1
+                             ).astype(jnp.int32)        # (k+1,) y_0..y_k
+        # accept the longest draft prefix that matches the model's own
+        # greedy choices: a = #matching leading positions
+        good = draft == targets[:k]
+        a = jnp.argmin(jnp.concatenate([good, jnp.array([False])])
+                       .astype(jnp.int32))              # first False index
+        ntok = a + 1                                    # accepted + correction
+        # budget clamp: never emit past `steps`
+        ntok = jnp.minimum(ntok, steps - emitted)
+        ntok = jnp.maximum(ntok, 1)
+        # emit y_0..y_{ntok-1}
+        emit = jnp.where(jnp.arange(k + 1) < ntok, targets, 0)
+        out = jax.lax.dynamic_update_slice(out, emit, (emitted,))
+        buf = jax.lax.dynamic_update_slice(buf, emit, (length,))
+        # rewind: forward advanced pos by k+1; only ntok inputs were real
+        # -- the NEXT real input is y_{ntok-1} at position pos0 + ntok
+        cache = KVCache(k=cache.k, v=cache.v, pos=pos0 + ntok)
+        return emitted + ntok, length + ntok, buf, out, cache, nf + 1
+
+    emitted, length, buf, out, cache, nf = jax.lax.while_loop(
+        cond, body, (emitted, length, buf, out, cache, jnp.int32(0)))
+    return out[None, :steps], nf, cache
+
+
+def generate_speculative(params, cfg: ModelConfig, prompt_tokens,
+                         max_new_tokens: int, max_len: Optional[int] = None,
+                         ngram: int = 3, k: int = 8, impl: str = "auto"):
+    """Convenience wrapper: prefill + speculative greedy decode.
+    Returns (tokens (1, max_new_tokens), n_forwards)."""
+    import numpy as np
+
+    from tmac_tpu.runtime.generate import prefill
+
+    toks = jnp.asarray(np.asarray(prompt_tokens), jnp.int32)
+    if toks.ndim == 1:
+        toks = toks[None, :]
+    B, T = toks.shape
+    assert B == 1
+    S = max_len or (T + max_new_tokens + k + 1)
+    cache = KVCache.create(cfg, 1, S)
+    logits, cache = prefill(params, cfg, toks, cache, impl=impl)
+    first = jnp.argmax(logits.astype(jnp.float32), -1).astype(jnp.int32)
+    out, nf, _ = decode_loop_speculative(params, cfg, first, cache, toks,
+                                         steps=max_new_tokens, ngram=ngram,
+                                         k=k, impl=impl)
+    return out, int(nf)

@@ -64,8 +64,17 @@ def cmd_generate(args):
     sampler = SamplerConfig(temperature=args.temperature, top_k=args.top_k,
                             top_p=args.top_p)
     t0 = time.time()
-    out = generate(params, cfg, np.asarray([ids], np.int32),
-                   max_new_tokens=args.n, sampler=sampler)
+    if getattr(args, "speculative", False):
+        assert args.temperature <= 0, "--speculative is greedy-only"
+        from tmac_tpu.runtime.speculative import generate_speculative
+        out, nf = generate_speculative(params, cfg,
+                                       np.asarray([ids], np.int32),
+                                       max_new_tokens=args.n)
+        print(f"[speculative: {args.n} tokens in {nf} forwards]",
+              file=sys.stderr)
+    else:
+        out = generate(params, cfg, np.asarray([ids], np.int32),
+                       max_new_tokens=args.n, sampler=sampler)
     out = np.asarray(out)[0]
     dt = time.time() - t0
     print(f"[{args.n} tokens in {dt:.1f}s incl. compile]", file=sys.stderr)
@@ -293,6 +302,8 @@ def main():
     g.add_argument("--temperature", type=float, default=0.0)
     g.add_argument("--top-k", type=int, default=0)
     g.add_argument("--top-p", type=float, default=1.0)
+    g.add_argument("--speculative", action="store_true",
+                   help="lookup speculative decoding (greedy; lossless)")
     g.set_defaults(fn=cmd_generate)
 
     b = sub.add_parser("bench-e2e", help="tokens/s sweep")
