@@ -42,6 +42,38 @@ def test_pp_prefill_matches_single_device(preset):
         rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("pp,tp", [(2, 4), (2, 2)])
+def test_pp_tp_composition(pp, tp):
+    """PP x TP 2-D mesh: layer stages with stage-internal Megatron
+    sharding must reproduce single-device prefill + a greedy decode
+    step -- the capacity x latency composition."""
+    if len(jax.devices()) < pp * tp:
+        pytest.skip("needs devices")
+    cfg = get_preset("llama-2-7b").scaled(4)  # 8 heads, 2 layers
+    params = init_params(cfg, seed=2, tp=tp)
+    rng = np.random.default_rng(2)
+    B, T = 1, 8
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)))
+
+    ref_logits, _ = prefill(params, cfg, toks,
+                            KVCache.create(cfg, B, 32), impl="xla")
+
+    mesh = ppmod.make_pp_tp_mesh(pp, tp)
+    params_pp, specs = ppmod.stack_params_pp(params, pp, tp=tp)
+    sparams = ppmod.shard_params_pp(params_pp, specs, mesh)
+    cache = ppmod.shard_cache_pp(KVCache.create(cfg, B, 32), mesh)
+    pf = ppmod.make_pp_prefill(cfg, mesh, impl="xla", chunk=4, specs=specs)
+    dec = ppmod.make_pp_decode_step(cfg, mesh, impl="xla", specs=specs)
+    got_logits, cache = pf(sparams, toks, cache)
+    np.testing.assert_allclose(np.asarray(got_logits, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               rtol=5e-2, atol=0.1)
+    nxt = jnp.argmax(got_logits, -1).astype(jnp.int32)
+    lg2, cache = dec(sparams, nxt, cache)
+    assert np.isfinite(np.asarray(lg2, np.float32)).all()
+    assert (np.asarray(cache.pos) == T + 1).all()
+
+
 def test_pp_prefill_decode_chain():
     """PP prefill -> PP decode for several greedy tokens must follow the
     single-device greedy path (same-math stages; tolerance via argmax on

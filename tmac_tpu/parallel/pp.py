@@ -45,7 +45,7 @@ from tmac_tpu.models.config import ModelConfig
 from tmac_tpu.models.llama import (KVCache, QuantizedTensor, apply_qlinear,
                                    rms_norm, rope, rope_tables)
 from tmac_tpu.parallel.sp import _chunked_causal_attention
-from tmac_tpu.parallel.tp import REP, shard_map
+from tmac_tpu.parallel.tp import REP, check_cfg, local_cfg, shard_map
 
 
 def make_pp_mesh(pp: int, devices=None) -> Mesh:
@@ -54,7 +54,16 @@ def make_pp_mesh(pp: int, devices=None) -> Mesh:
     return jax.make_mesh((pp,), ("pp",), devices=devices[:pp])
 
 
-def stack_params_pp(params: Dict[str, Any], pp: int):
+def make_pp_tp_mesh(pp: int, tp: int, devices=None) -> Mesh:
+    """2-D ('pp', 'tp') mesh: tp minor so each stage's Megatron psums ride
+    adjacent-device ICI; pp hops (1 activation tensor per chunk) cross the
+    slower axis."""
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= pp * tp, (len(devices), pp, tp)
+    return jax.make_mesh((pp, tp), ("pp", "tp"), devices=devices[: pp * tp])
+
+
+def stack_params_pp(params: Dict[str, Any], pp: int, tp: int = 1):
     """init_params pytree -> (pp-stacked stage params, specs).
 
     Layer leaves become (pp, Lp, ...) arrays (stage-sharded on axis 0);
@@ -76,8 +85,24 @@ def stack_params_pp(params: Dict[str, Any], pp: int):
     out = {k: v for k, v in params.items() if k != "layers"}
     out["stages"] = stages
     specs = {k: REP for k in out}
-    # prefix spec: every array leaf of a stage entry shards on axis 0
-    specs["stages"] = {n: P("pp") for n in stages}
+    if tp == 1:
+        # prefix spec: every array leaf of a stage entry shards on axis 0
+        specs["stages"] = {n: P("pp") for n in stages}
+    else:
+        # PP x TP: stage axis 0 on 'pp' plus Megatron sharding of the
+        # weight axes.  Stacked QuantizedTensor leaves are all rank 4
+        # (pp, Lp, rows, cols): column-parallel (wqkv/gate_up) shard the
+        # last axis, row-parallel (wo/down) the packed-row/scale-group
+        # axis -- the same per-leaf geometry as tp.param_specs shifted by
+        # the two leading stage axes.  Pass tp-packed params
+        # (init_params(..., tp=tp)) so k/m shard padding is aligned.
+        COL4 = P("pp", None, None, "tp")
+        ROW4 = P("pp", None, "tp", None)
+        sp_map = {"attn_norm": P("pp"), "mlp_norm": P("pp"),
+                  "wqkv": COL4, "gate_up": COL4, "wo": ROW4, "down": ROW4,
+                  "bq": P("pp", None, "tp"), "bk": P("pp", None, "tp"),
+                  "bv": P("pp", None, "tp")}
+        specs["stages"] = {n: sp_map[n] for n in stages}
     return out, specs
 
 
@@ -92,28 +117,40 @@ def shard_params_pp(params_pp, specs, mesh: Mesh):
 
 
 def shard_cache_pp(cache: KVCache, mesh: Mesh) -> KVCache:
-    """Layer axis over 'pp': each stage holds only its layers' cache."""
-    kv = NamedSharding(mesh, P("pp"))
+    """Layer axis over 'pp' (each stage holds only its layers' cache);
+    kv-heads additionally over 'tp' when the mesh composes with TP."""
+    tp = mesh.shape.get("tp", 1)
+    kv = NamedSharding(mesh, P("pp", None, "tp", None, None) if tp > 1
+                       else P("pp"))
     return KVCache(k=jax.device_put(cache.k, kv),
                    v=jax.device_put(cache.v, kv),
                    pos=jax.device_put(cache.pos, NamedSharding(mesh, P())))
 
 
-def _stage_layers(stages, Lp: int):
-    """Slice the local (1, Lp, ...) stage stack into Lp per-layer dicts."""
+def _stage_layers(stages, Lp: int, tp: int = 1):
+    """Slice the local (1, Lp, ...) stage stack into Lp per-layer dicts,
+    fixing QuantizedTensor static meta for the local tp shard."""
     out = []
     for i in range(Lp):
         layer = {}
         for n, tree in stages.items():
-            layer[n] = jax.tree.map(lambda a: a[0, i], tree)
+            lt = jax.tree.map(lambda a: a[0, i], tree)
+            if tp > 1 and isinstance(lt, QuantizedTensor):
+                lt = lt.localized(tp, axis=0 if n in ("wo", "down") else 1)
+            layer[n] = lt
         out.append(layer)
     return out
 
 
 def _run_stage(layers, cfg: ModelConfig, x, k_loc, v_loc, q_positions,
-               kv_len, impl: str, attn_chunk: int):
+               kv_len, impl: str, attn_chunk: int, tp_axis=None):
     """Run this stage's layers on x (B, Tc, H); k_loc/v_loc (Lp, B, KV,
-    S, Dp) stage-local cache buffers.  Returns (x, k_loc, v_loc)."""
+    S, Dp) stage-local cache buffers.  Returns (x, k_loc, v_loc).
+
+    tp_axis: stage-internal Megatron TP (cfg must then be the LOCAL
+    per-tp-device config, layers the localized shards); wo/down psum over
+    tp_axis before the residual add, K/V carry the local kv-head shard --
+    same fold rule as models/llama.forward and parallel/sp.py."""
     B, Tc, _ = x.shape
     H, D, KV = cfg.num_heads, cfg.head_dim, cfg.num_kv_heads
     rep = H // KV
@@ -151,42 +188,61 @@ def _run_stage(layers, cfg: ModelConfig, x, k_loc, v_loc, q_positions,
         attn = _chunked_causal_attention(
             qr, k_loc[li], v_loc[li], q_positions, kv_len=kv_len, D=D,
             chunk=attn_chunk).astype(x.dtype)
-        x = apply_qlinear(attn, layer["wo"], mode, None, impl, residual=x)
+        res = x if tp_axis is None else None
+        o = apply_qlinear(attn, layer["wo"], mode, None, impl, residual=res)
+        if tp_axis is not None:
+            x = x + jax.lax.psum(o, tp_axis)
+        else:
+            x = o
         gu = apply_qlinear(x, layer["gate_up"], mode, None, impl,
                            norm=(layer["mlp_norm"], cfg.rms_norm_eps))
         down = layer["down"]
+        res = x if tp_axis is None else None
         use_pallas = impl == "pallas" or (
             impl == "auto" and jax.default_backend() == "tpu")
         if (use_pallas and down.kdim_padded == down.kdim
                 and (mode != "w_a8" or down.scales.shape[0] == 1)):
-            x = apply_qlinear(gu, down, mode, None, impl, glu=True,
-                              residual=x)
+            d = apply_qlinear(gu, down, mode, None, impl, glu=True,
+                              residual=res)
         else:
             ihalf = down.kdim
             g, u = gu[..., :ihalf], gu[..., ihalf:]
-            x = apply_qlinear(
+            d = apply_qlinear(
                 jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u,
-                down, mode, None, impl, residual=x)
+                down, mode, None, impl, residual=res)
+        if tp_axis is not None:
+            x = x + jax.lax.psum(d, tp_axis)
+        else:
+            x = d
     return x, k_loc, v_loc
 
 
 def make_pp_prefill(cfg: ModelConfig, mesh: Mesh, impl: str = "auto",
-                    chunk: int = 0, attn_chunk: int = 512):
+                    chunk: int = 0, attn_chunk: int = 512, specs=None):
     """Build prefill_fn(params_pp, tokens (B, T), cache) -> (last logits
     (B, V) f32, cache) with sequence-chunk pipelining over mesh axis
-    'pp'.  chunk: microbatch token length (default T/pp, min 1 chunk).
-    T % chunk == 0.  Fresh prefill (cache.pos == 0)."""
+    'pp' (and stage-internal Megatron TP when the mesh has a 'tp' axis >
+    1 -- pass the specs from stack_params_pp(..., tp=tp) and tp-packed
+    params).  chunk: microbatch token length (default T/pp, min 1
+    chunk).  T % chunk == 0.  Fresh prefill (cache.pos == 0)."""
     pp = mesh.shape["pp"]
+    tp = mesh.shape.get("tp", 1)
+    tp_axis = "tp" if tp > 1 else None
+    if tp > 1:
+        check_cfg(cfg, tp)
+        assert specs is not None, "pass specs from stack_params_pp(tp=...)"
+    lcfg = local_cfg(cfg, tp) if tp > 1 else cfg
     L = cfg.num_layers
     assert L % pp == 0
     Lp = L // pp
-    cspec = KVCache(k=P("pp"), v=P("pp"), pos=REP)
+    kvspec = P("pp", None, "tp", None, None) if tp > 1 else P("pp")
+    cspec = KVCache(k=kvspec, v=kvspec, pos=REP)
     state = {}
 
     def _pf(params, tokens, cache, *, M: int, Tc: int):
         s = jax.lax.axis_index("pp")
         B, T = tokens.shape
-        layers = _stage_layers(params["stages"], Lp)
+        layers = _stage_layers(params["stages"], Lp, tp)
         k_loc, v_loc = cache.k, cache.v
         H = cfg.hidden_size
         x_buf = jnp.zeros((B, Tc, H), params["embed"].dtype)
@@ -205,8 +261,9 @@ def make_pp_prefill(cfg: ModelConfig, mesh: Mesh, impl: str = "auto",
             q_positions = (cc * Tc + jnp.arange(Tc, dtype=jnp.int32))[None, :]
             q_positions = jnp.broadcast_to(q_positions, (B, Tc))
             xo, k_new, v_new = _run_stage(
-                layers, cfg, x, k_loc, v_loc, q_positions,
-                kv_len=cc * Tc + Tc, impl=impl, attn_chunk=attn_chunk)
+                layers, lcfg, x, k_loc, v_loc, q_positions,
+                kv_len=cc * Tc + Tc, impl=impl, attn_chunk=attn_chunk,
+                tp_axis=tp_axis)
             # commit cache only for valid steps (invalid steps computed on
             # garbage); where-select on the (Lp,...) buffers
             k_loc = jnp.where(valid, k_new, k_loc)
@@ -245,15 +302,12 @@ def make_pp_prefill(cfg: ModelConfig, mesh: Mesh, impl: str = "auto",
         M = T // Tc
         key = (M, Tc)
         if key not in state:
+            pspec = specs if specs is not None else {
+                **{k: REP for k in params_pp if k != "stages"},
+                "stages": {n: P("pp") for n in params_pp["stages"]}}
             state[key] = jax.jit(shard_map(
                 functools.partial(_pf, M=M, Tc=Tc), mesh,
-                in_specs=({"embed": REP, "final_norm": REP,
-                           "lm_head": REP, "stages": {
-                               n: P("pp") for n in params_pp["stages"]}}
-                          if "lm_head" in params_pp else
-                          {"embed": REP, "final_norm": REP, "stages": {
-                              n: P("pp") for n in params_pp["stages"]}},
-                          REP, cspec),
+                in_specs=(pspec, REP, cspec),
                 out_specs=(REP, cspec)), donate_argnums=(2,))
         return state[key](params_pp, tokens, cache)
 
@@ -261,21 +315,29 @@ def make_pp_prefill(cfg: ModelConfig, mesh: Mesh, impl: str = "auto",
 
 
 def make_pp_decode_step(cfg: ModelConfig, mesh: Mesh, impl: str = "auto",
-                        attn_chunk: int = 512):
+                        attn_chunk: int = 512, specs=None):
     """Build decode_fn(params_pp, last_tokens (B,), cache) -> (logits
     (B, V) f32, cache): one token through the stage chain (pp ppermute
     hops).  Capacity-oriented: latency ~ sum of stages, like a single
-    chip, but each chip holds only L/pp layers + cache."""
+    chip, but each chip holds only L/pp layers + cache.  Composes with
+    stage-internal TP like make_pp_prefill."""
     pp = mesh.shape["pp"]
+    tp = mesh.shape.get("tp", 1)
+    tp_axis = "tp" if tp > 1 else None
+    if tp > 1:
+        check_cfg(cfg, tp)
+        assert specs is not None, "pass specs from stack_params_pp(tp=...)"
+    lcfg = local_cfg(cfg, tp) if tp > 1 else cfg
     L = cfg.num_layers
     Lp = L // pp
-    cspec = KVCache(k=P("pp"), v=P("pp"), pos=REP)
+    kvspec = P("pp", None, "tp", None, None) if tp > 1 else P("pp")
+    cspec = KVCache(k=kvspec, v=kvspec, pos=REP)
     state = {}
 
     def _dec(params, last, cache):
         s = jax.lax.axis_index("pp")
         B = last.shape[0]
-        layers = _stage_layers(params["stages"], Lp)
+        layers = _stage_layers(params["stages"], Lp, tp)
         k_loc, v_loc = cache.k, cache.v
         H = cfg.hidden_size
         pos0 = cache.pos  # (B,)
@@ -285,8 +347,9 @@ def make_pp_decode_step(cfg: ModelConfig, mesh: Mesh, impl: str = "auto",
         for t in range(pp):
             active = s == t
             xo, k_new, v_new = _run_stage(
-                layers, cfg, x, k_loc, v_loc, q_positions,
-                kv_len=pos0[0] + 1, impl=impl, attn_chunk=attn_chunk)
+                layers, lcfg, x, k_loc, v_loc, q_positions,
+                kv_len=pos0[0] + 1, impl=impl, attn_chunk=attn_chunk,
+                tp_axis=tp_axis)
             k_loc = jnp.where(active, k_new, k_loc)
             v_loc = jnp.where(active, v_new, v_loc)
             x = jax.lax.ppermute(
@@ -311,10 +374,9 @@ def make_pp_decode_step(cfg: ModelConfig, mesh: Mesh, impl: str = "auto",
 
     def decode_fn(params_pp, last, cache):
         if "f" not in state:
-            pspec = {"embed": REP, "final_norm": REP, "stages": {
-                n: P("pp") for n in params_pp["stages"]}}
-            if "lm_head" in params_pp:
-                pspec["lm_head"] = REP
+            pspec = specs if specs is not None else {
+                **{k: REP for k in params_pp if k != "stages"},
+                "stages": {n: P("pp") for n in params_pp["stages"]}}
             state["f"] = jax.jit(shard_map(
                 _dec, mesh, in_specs=(pspec, REP, cspec),
                 out_specs=(REP, cspec)), donate_argnums=(2,))
