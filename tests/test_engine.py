@@ -132,6 +132,14 @@ def test_per_request_sampling(model):
     u0 = eng.submit([1, 2, 3], max_new_tokens=8, temperature=0.0)
     results = eng.run()
     assert results[u0] == _reference(cfg, params, [1, 2, 3], 8)
+    # once override requests drain, the engine returns to the cheap
+    # static-sampler path (the flag is counted, not sticky)
+    assert eng._n_dynamic == 0 and not eng._dynamic_sampling
+    # and a cancelled override request also releases its count
+    uc = eng.submit([7], max_new_tokens=4, temperature=0.5)
+    assert eng._n_dynamic == 1
+    eng.cancel(uc)
+    assert eng._n_dynamic == 0
 
 
 def test_mid_chunk_eos_freezes_slot(model):

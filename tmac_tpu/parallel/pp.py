@@ -32,19 +32,18 @@ slices its Lp = L/pp layers statically.  The KV cache keeps the stacked
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tmac_tpu.models.config import ModelConfig
-from tmac_tpu.models.llama import (KVCache, QuantizedTensor, apply_qlinear,
-                                   rms_norm, rope, rope_tables)
-from tmac_tpu.parallel.sp import _chunked_causal_attention
+from tmac_tpu.models.llama import (KVCache, QuantizedTensor, rms_norm,
+                                   rope_tables)
+from tmac_tpu.parallel.sp import (_chunked_causal_attention, layer_out_mlp,
+                                  layer_qkv_rope)
 from tmac_tpu.parallel.tp import REP, check_cfg, local_cfg, shard_map
 
 
@@ -155,65 +154,31 @@ def _run_stage(layers, cfg: ModelConfig, x, k_loc, v_loc, q_positions,
     H, D, KV = cfg.num_heads, cfg.head_dim, cfg.num_kv_heads
     rep = H // KV
     Dp = k_loc.shape[-1]
-    mode = cfg.quant.mode
     rope_cs = rope_tables(q_positions, D, cfg.rope_theta)
-    start = q_positions[0, 0]
+    start = q_positions[:, 0]  # (B,) -- per-row cache write positions
 
     for li, layer in enumerate(layers):
-        qkv = apply_qlinear(x, layer["wqkv"], mode, None, impl,
-                            norm=(layer["attn_norm"], cfg.rms_norm_eps))
-        qd, kvd = cfg.q_dim, cfg.kv_dim
-        q = qkv[..., :qd]
-        k = qkv[..., qd:qd + kvd]
-        v = qkv[..., qd + kvd:]
-        if "bq" in layer:
-            q = q + layer["bq"].astype(q.dtype)
-            k = k + layer["bk"].astype(k.dtype)
-            v = v + layer["bv"].astype(v.dtype)
-        q = rope(q.reshape(B, Tc, H, D), rope_cs)
-        k = rope(k.reshape(B, Tc, KV, D), rope_cs)
-        v = v.reshape(B, Tc, KV, D)
+        q, k, v = layer_qkv_rope(layer, cfg, x, rope_cs, impl)
 
         kw = jnp.swapaxes(k, 1, 2)  # (B, KV, Tc, D)
         vw = jnp.swapaxes(v, 1, 2)
         if Dp != D:
             kw = jnp.pad(kw, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
             vw = jnp.pad(vw, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
-        k_loc = jax.lax.dynamic_update_slice(
-            k_loc, kw.astype(k_loc.dtype)[None], (li, 0, 0, start, 0))
-        v_loc = jax.lax.dynamic_update_slice(
-            v_loc, vw.astype(v_loc.dtype)[None], (li, 0, 0, start, 0))
+        # per-row writes: decode slots may sit at different positions
+        for b in range(B):
+            k_loc = jax.lax.dynamic_update_slice(
+                k_loc, kw[b].astype(k_loc.dtype)[None, None],
+                (li, b, 0, start[b], 0))
+            v_loc = jax.lax.dynamic_update_slice(
+                v_loc, vw[b].astype(v_loc.dtype)[None, None],
+                (li, b, 0, start[b], 0))
 
         qr = q.reshape(B, Tc, KV, rep, D)
         attn = _chunked_causal_attention(
             qr, k_loc[li], v_loc[li], q_positions, kv_len=kv_len, D=D,
             chunk=attn_chunk).astype(x.dtype)
-        res = x if tp_axis is None else None
-        o = apply_qlinear(attn, layer["wo"], mode, None, impl, residual=res)
-        if tp_axis is not None:
-            x = x + jax.lax.psum(o, tp_axis)
-        else:
-            x = o
-        gu = apply_qlinear(x, layer["gate_up"], mode, None, impl,
-                           norm=(layer["mlp_norm"], cfg.rms_norm_eps))
-        down = layer["down"]
-        res = x if tp_axis is None else None
-        use_pallas = impl == "pallas" or (
-            impl == "auto" and jax.default_backend() == "tpu")
-        if (use_pallas and down.kdim_padded == down.kdim
-                and (mode != "w_a8" or down.scales.shape[0] == 1)):
-            d = apply_qlinear(gu, down, mode, None, impl, glu=True,
-                              residual=res)
-        else:
-            ihalf = down.kdim
-            g, u = gu[..., :ihalf], gu[..., ihalf:]
-            d = apply_qlinear(
-                jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u,
-                down, mode, None, impl, residual=res)
-        if tp_axis is not None:
-            x = x + jax.lax.psum(d, tp_axis)
-        else:
-            x = d
+        x = layer_out_mlp(layer, cfg, x, attn, impl, tp_axis=tp_axis)
     return x, k_loc, v_loc
 
 
@@ -246,7 +211,7 @@ def make_pp_prefill(cfg: ModelConfig, mesh: Mesh, impl: str = "auto",
         k_loc, v_loc = cache.k, cache.v
         H = cfg.hidden_size
         x_buf = jnp.zeros((B, Tc, H), params["embed"].dtype)
-        logits_out = jnp.zeros((B, cfg.vocab_size), jnp.float32)
+        last_x = jnp.zeros((B, H), params["embed"].dtype)
 
         for t in range(M + pp - 1):
             c = t - s  # chunk index this stage works on at step t
@@ -269,29 +234,30 @@ def make_pp_prefill(cfg: ModelConfig, mesh: Mesh, impl: str = "auto",
             k_loc = jnp.where(valid, k_new, k_loc)
             v_loc = jnp.where(valid, v_new, v_loc)
 
-            # last stage on the last chunk -> final norm + head
+            # carry the final chunk's last hidden row; the (large, vocab-
+            # sized) head matmul runs ONCE after the loop, not per step
             is_last_out = valid & (s == pp - 1) & (c == M - 1)
-            xn = rms_norm(xo, params["final_norm"], cfg.rms_norm_eps)
-            head = params.get("lm_head")
-            last_x = xn[:, -1, :]
-            if head is None:
-                lg = jnp.einsum("bh,vh->bv", last_x, params["embed"],
-                                preferred_element_type=jnp.float32)
-            elif isinstance(head, QuantizedTensor):
-                from tmac_tpu.ops.qgemm import qgemm
-                lg = qgemm(last_x, head, impl="xla", out_dtype=jnp.float32)
-            else:
-                lg = jnp.einsum("bh,hv->bv", last_x, head,
-                                preferred_element_type=jnp.float32)
-            logits_out = jnp.where(is_last_out, lg.astype(jnp.float32),
-                                   logits_out)
+            last_x = jnp.where(is_last_out, xo[:, -1, :], last_x)
 
             # pass boundary activations to the next stage (ring; the
             # wrap-around to stage 0 is ignored -- stage 0 embeds)
             x_buf = jax.lax.ppermute(
                 xo, "pp", [(i, (i + 1) % pp) for i in range(pp)])
 
-        logits_out = jax.lax.psum(logits_out, "pp")  # only last stage set it
+        xn = rms_norm(last_x, params["final_norm"], cfg.rms_norm_eps)
+        head = params.get("lm_head")
+        if head is None:
+            logits_out = jnp.einsum("bh,vh->bv", xn, params["embed"],
+                                    preferred_element_type=jnp.float32)
+        elif isinstance(head, QuantizedTensor):
+            from tmac_tpu.ops.qgemm import qgemm
+            logits_out = qgemm(xn, head, impl="xla", out_dtype=jnp.float32)
+        else:
+            logits_out = jnp.einsum("bh,hv->bv", xn, head,
+                                    preferred_element_type=jnp.float32)
+        logits_out = jnp.where(s == pp - 1, logits_out.astype(jnp.float32),
+                               0.0)
+        logits_out = jax.lax.psum(logits_out, "pp")  # only last stage's
         pos = jnp.full((B,), T, jnp.int32)
         return logits_out, KVCache(k=k_loc, v=v_loc, pos=pos)
 
@@ -348,7 +314,7 @@ def make_pp_decode_step(cfg: ModelConfig, mesh: Mesh, impl: str = "auto",
             active = s == t
             xo, k_new, v_new = _run_stage(
                 layers, lcfg, x, k_loc, v_loc, q_positions,
-                kv_len=pos0[0] + 1, impl=impl, attn_chunk=attn_chunk,
+                kv_len=jnp.max(pos0) + 1, impl=impl, attn_chunk=attn_chunk,
                 tp_axis=tp_axis)
             k_loc = jnp.where(active, k_new, k_loc)
             v_loc = jnp.where(active, v_new, v_loc)

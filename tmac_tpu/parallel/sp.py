@@ -91,6 +91,62 @@ def _chunked_causal_attention(q, k_buf, v_buf, q_positions, kv_len, D,
     return out.reshape(B, Tl, KV * rep * D)
 
 
+def layer_qkv_rope(layer, cfg: ModelConfig, x, rope_cs, impl: str):
+    """Shared per-layer prologue for the parallel forwards (sp/pp): fused
+    norm+qkv projection, optional biases, rotary.  x (B, T, H) ->
+    q (B, T, H heads, D), k/v (B, T, KV, D)."""
+    B, T = x.shape[:2]
+    qkv = apply_qlinear(x, layer["wqkv"], cfg.quant.mode, None, impl,
+                        norm=(layer["attn_norm"], cfg.rms_norm_eps))
+    qd, kvd = cfg.q_dim, cfg.kv_dim
+    q = qkv[..., :qd]
+    k = qkv[..., qd:qd + kvd]
+    v = qkv[..., qd + kvd:]
+    if "bq" in layer:
+        q = q + layer["bq"].astype(q.dtype)
+    if "bk" in layer:
+        k = k + layer["bk"].astype(k.dtype)
+    if "bv" in layer:
+        v = v + layer["bv"].astype(v.dtype)
+    q = rope(q.reshape(B, T, cfg.num_heads, cfg.head_dim), rope_cs)
+    k = rope(k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim), rope_cs)
+    v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    return q, k, v
+
+
+def layer_out_mlp(layer, cfg: ModelConfig, x, attn, impl: str, tp_axis=None):
+    """Shared per-layer epilogue: wo projection + residual, fused-norm
+    gate_up, SwiGLU, down projection + residual.  The residual folds into
+    the kernel epilogues ONLY when no cross-chip psum follows (same rule
+    as models/llama.forward: the psum must see the partial sum, not
+    partial + residual per shard)."""
+    mode = cfg.quant.mode
+    res = x if tp_axis is None else None
+    o = apply_qlinear(attn, layer["wo"], mode, None, impl, residual=res)
+    if tp_axis is not None:
+        x = x + jax.lax.psum(o, tp_axis)
+    else:
+        x = o
+    gu = apply_qlinear(x, layer["gate_up"], mode, None, impl,
+                       norm=(layer["mlp_norm"], cfg.rms_norm_eps))
+    down = layer["down"]
+    res = x if tp_axis is None else None
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu")
+    if (use_pallas and down.kdim_padded == down.kdim
+            and (mode != "w_a8" or down.scales.shape[0] == 1)):
+        d = apply_qlinear(gu, down, mode, None, impl, glu=True, residual=res)
+    else:
+        ihalf = down.kdim
+        g, u = gu[..., :ihalf], gu[..., ihalf:]
+        d = apply_qlinear(
+            jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u,
+            down, mode, None, impl, residual=res)
+    if tp_axis is not None:
+        return x + jax.lax.psum(d, tp_axis)
+    return d
+
+
 def _sp_forward(params, cfg: ModelConfig, tokens, cache: KVCache,
                 impl: str, axis: str, start, attn_chunk: int = 512,
                 tp_axis=None):
@@ -109,7 +165,6 @@ def _sp_forward(params, cfg: ModelConfig, tokens, cache: KVCache,
     idx = jax.lax.axis_index(axis)
     T = Tl * sp
     offset = start + idx * Tl
-    mode = cfg.quant.mode
 
     x = params["embed"][tokens]  # (B, Tl, H)
     positions = (offset + jnp.arange(Tl, dtype=jnp.int32))[None, :]
@@ -119,21 +174,7 @@ def _sp_forward(params, cfg: ModelConfig, tokens, cache: KVCache,
     new_k, new_v = cache.k, cache.v
     Dp = new_k.shape[-1]
     for li, layer in enumerate(params["layers"]):
-        qkv = apply_qlinear(x, layer["wqkv"], mode, None, impl,
-                            norm=(layer["attn_norm"], cfg.rms_norm_eps))
-        qd, kvd = cfg.q_dim, cfg.kv_dim
-        q = qkv[..., :qd]
-        k = qkv[..., qd:qd + kvd]
-        v = qkv[..., qd + kvd:]
-        if "bq" in layer:
-            q = q + layer["bq"].astype(q.dtype)
-        if "bk" in layer:
-            k = k + layer["bk"].astype(k.dtype)
-        if "bv" in layer:
-            v = v + layer["bv"].astype(v.dtype)
-        q = rope(q.reshape(B, Tl, cfg.num_heads, cfg.head_dim), rope_cs)
-        k = rope(k.reshape(B, Tl, cfg.num_kv_heads, cfg.head_dim), rope_cs)
-        v = v.reshape(B, Tl, cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = layer_qkv_rope(layer, cfg, x, rope_cs, impl)
 
         # gather this layer's K/V across the sequence shards:
         # (B, Tl, KV, D) -> (B, T, KV, D), chunk i at [i*Tl, (i+1)*Tl)
@@ -165,35 +206,7 @@ def _sp_forward(params, cfg: ModelConfig, tokens, cache: KVCache,
             kv_len=offset + Tl, D=cfg.head_dim, chunk=attn_chunk)
         attn = attn.astype(x.dtype)
 
-        # residual folds into the wo/down kernel epilogues ONLY when no
-        # cross-chip psum follows (same rule as models/llama.forward: the
-        # psum must see the partial sum, not partial + residual per shard)
-        res = x if tp_axis is None else None
-        o = apply_qlinear(attn, layer["wo"], mode, None, impl, residual=res)
-        if tp_axis is not None:
-            x = x + jax.lax.psum(o, tp_axis)
-        else:
-            x = o
-        gu = apply_qlinear(x, layer["gate_up"], mode, None, impl,
-                           norm=(layer["mlp_norm"], cfg.rms_norm_eps))
-        down = layer["down"]
-        res = x if tp_axis is None else None
-        use_pallas = impl == "pallas" or (
-            impl == "auto" and jax.default_backend() == "tpu")
-        if (use_pallas and down.kdim_padded == down.kdim
-                and (mode != "w_a8" or down.scales.shape[0] == 1)):
-            d = apply_qlinear(gu, down, mode, None, impl, glu=True,
-                              residual=res)
-        else:
-            ihalf = down.kdim
-            g, u = gu[..., :ihalf], gu[..., ihalf:]
-            d = apply_qlinear(
-                jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u,
-                down, mode, None, impl, residual=res)
-        if tp_axis is not None:
-            x = x + jax.lax.psum(d, tp_axis)
-        else:
-            x = d
+        x = layer_out_mlp(layer, cfg, x, attn, impl, tp_axis=tp_axis)
 
     # only the last shard's last position matters for the next token; all
     # shards compute their local logits, caller takes the global last

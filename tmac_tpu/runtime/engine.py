@@ -239,9 +239,11 @@ class InferenceEngine:
         self.waiting: deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.last_tokens = np.zeros((max_batch,), np.int32)
-        # per-slot sampling params (traced vectors when any request
-        # overrides the engine default; sticky to bound recompiles at 2)
-        self._dynamic_sampling = False
+        # per-slot sampling params: traced vectors while any LIVE request
+        # overrides the engine default (counted, so an all-greedy batch
+        # returns to the cheap argmax path once override requests drain --
+        # at most 2 jit cache entries either way)
+        self._n_dynamic = 0
         self._slot_temp = np.full((max_batch,), sampler.temperature, np.float32)
         self._slot_topk = np.full((max_batch,), sampler.top_k, np.int32)
         self._slot_topp = np.full((max_batch,), sampler.top_p, np.float32)
@@ -265,7 +267,7 @@ class InferenceEngine:
             f"engine max_len {self.S}")
         uid = next(self._uid)
         if (temperature, top_k, top_p) != (None, None, None):
-            self._dynamic_sampling = True
+            self._n_dynamic += 1
         self.waiting.append(Request(uid, prompt, max_new_tokens, eos_id,
                                     temperature=temperature, top_k=top_k,
                                     top_p=top_p))
@@ -358,8 +360,20 @@ class InferenceEngine:
             return True
         return False
 
+    @property
+    def _dynamic_sampling(self) -> bool:
+        return self._n_dynamic > 0
+
+    def _req_has_overrides(self, req: Request) -> bool:
+        return (req.temperature, req.top_k, req.top_p) != (None, None, None)
+
+    def _drop_dynamic(self, req: Request):
+        if self._req_has_overrides(req):
+            self._n_dynamic -= 1
+
     def _finish(self, slot: Optional[int], req: Request):
         req.done = True
+        self._drop_dynamic(req)
         self.finished[req.uid] = req
         self.stats["requests_finished"] += 1
         if self.stream_cb:
@@ -374,10 +388,12 @@ class InferenceEngine:
         for i, r in enumerate(self.waiting):
             if r.uid == uid:
                 del self.waiting[i]
+                self._drop_dynamic(r)
                 return True
         for slot, r in enumerate(self.slots):
             if r is not None and r.uid == uid:
                 self.slots[slot] = None
+                self._drop_dynamic(r)
                 return True
         return self.finished.pop(uid, None) is not None
 

@@ -92,12 +92,17 @@ def sample_state(logits: jax.Array, key: jax.Array,
     k_eff = jnp.clip(jnp.where(st.top_k > 0, st.top_k, V), 1, V)
     kth = jnp.take_along_axis(sorted_desc, (k_eff - 1)[:, None], axis=-1)
     masked = jnp.where(scaled < kth, -jnp.inf, scaled)
-    # top-p nucleus cutoff on the sorted distribution
-    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    # top-p nucleus cutoff on the TOP-K-FILTERED distribution (matching
+    # sample() and llama.cpp: top-k first, then top-p renormalized over
+    # the survivors).  In sorted space the top-k mask is positional --
+    # keep the first k_eff entries -- so no second sort is needed.
+    sorted_masked = jnp.where(jnp.arange(V)[None, :] < k_eff[:, None],
+                              sorted_desc, -jnp.inf)
+    probs = jax.nn.softmax(sorted_masked, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     cutoff_idx = jnp.sum(cum < st.top_p[:, None], axis=-1, keepdims=True)
     cutoff_idx = jnp.minimum(cutoff_idx, V - 1)
-    cutoff = jnp.take_along_axis(sorted_desc, cutoff_idx, axis=-1)
+    cutoff = jnp.take_along_axis(sorted_masked, cutoff_idx, axis=-1)
     masked = jnp.where(scaled < cutoff, -jnp.inf, masked)
     sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
     return jnp.where(st.temperature <= 0.0, greedy, sampled)

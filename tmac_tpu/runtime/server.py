@@ -68,9 +68,12 @@ class ServingEngine:
             if delta or done:
                 q.put((delta, done))
         if done:
-            self._results[uid] = list(tokens)
+            # record the result only for a blocking waiter (complete());
+            # streaming consumers read their queue -- unconditionally
+            # storing would leak an entry per streamed request
             ev = self._events.pop(uid, None)
             if ev:
+                self._results[uid] = list(tokens)
                 ev.set()
 
     def _loop(self):
@@ -115,23 +118,28 @@ class ServingEngine:
             uid = self._submit(prompt_ids, max_tokens, eos_id, sampling)
             self._queues[uid] = q
             self._delivered[uid] = 0
+        finished = False
         try:
             while True:
                 try:
                     delta, done = q.get(timeout=timeout)
                 except queue.Empty:
-                    with self._lock:
-                        self.engine.cancel(uid)
                     raise TimeoutError(
                         f"stream {uid} stalled for {timeout}s") from None
                 yield delta, done
                 if done:
+                    finished = True
                     return
         finally:
             with self._lock:
                 self._queues.pop(uid, None)
                 self._delivered.pop(uid, None)
                 self._results.pop(uid, None)
+                if not finished:
+                    # consumer went away mid-stream (client disconnect,
+                    # timeout, GeneratorExit): free the engine slot so the
+                    # request doesn't keep decoding as a zombie
+                    self.engine.cancel(uid)
 
     def stats(self):
         return dict(self.engine.stats)
@@ -179,14 +187,19 @@ def make_handler(serving: ServingEngine, tokenizer=None):
             self.send_header("Cache-Control", "no-cache")
             self.send_header("Connection", "close")
             self.end_headers()
-            for delta, done in serving.stream(ids, max_tokens=max_tokens,
-                                              eos_id=eos_id,
-                                              sampling=sampling):
-                ev = {"ids": delta, "done": done}
-                if tokenizer is not None and delta:
-                    ev["text"] = tokenizer.decode(delta)
-                self.wfile.write(f"data: {json.dumps(ev)}\n\n".encode())
-                self.wfile.flush()
+            gen = serving.stream(ids, max_tokens=max_tokens, eos_id=eos_id,
+                                 sampling=sampling)
+            try:
+                for delta, done in gen:
+                    ev = {"ids": delta, "done": done}
+                    if tokenizer is not None and delta:
+                        ev["text"] = tokenizer.decode(delta)
+                    self.wfile.write(f"data: {json.dumps(ev)}\n\n".encode())
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                # client went away: closing the generator runs its finally
+                # block, which cancels the engine request
+                gen.close()
 
         def do_POST(self):
             if self.path != "/v1/completions":
