@@ -84,3 +84,33 @@ def test_speculative_accepts_on_repetitive_stream():
     # after the n-gram warms up (~ngram steps of 1 token/forward), every
     # forward accepts the full draft: nf ~ ngram + (steps-ngram)/(k+1)
     assert int(nf) <= 3 + (steps + k) // (k + 1), nf
+
+
+def test_engine_speculative_mode_matches_plain():
+    """InferenceEngine(speculative=True) greedy output must equal the
+    plain engine's token-for-token (lossless), and near the budget /
+    cache end it must still terminate correctly."""
+    from tmac_tpu.runtime.engine import InferenceEngine
+
+    cfg = get_preset("llama-2-7b").scaled(8)
+    params = init_params(cfg, seed=3)
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, cfg.vocab_size, 5)
+    prompt = np.tile(base, 4).tolist()  # repetitive -> drafts hit
+
+    plain = InferenceEngine(cfg, params, max_batch=1, max_len=128,
+                            impl="xla", decode_chunk=8)
+    u1 = plain.submit(prompt, max_new_tokens=24)
+    want = plain.run()[u1]
+
+    spec = InferenceEngine(cfg, params, max_batch=1, max_len=128,
+                           impl="xla", decode_chunk=8, speculative=True)
+    u2 = spec.submit(prompt, max_new_tokens=24)
+    got = spec.run()[u2]
+    assert got == want, (got, want)
+    assert spec.stats.get("spec_forwards", 0) > 0
+
+    # a sampled request falls back to the normal path and still works
+    u3 = spec.submit(prompt, max_new_tokens=8, temperature=0.9)
+    out3 = spec.run()[u3]
+    assert len(out3) == 8 and all(0 <= t < cfg.vocab_size for t in out3)

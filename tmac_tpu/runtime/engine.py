@@ -196,7 +196,9 @@ class InferenceEngine:
                  prefill_buckets: Optional[List[int]] = None, seed: int = 0,
                  stream_cb: Optional[Callable[[int, List[int]], None]] = None,
                  step_fns=None, cache: Optional[KVCache] = None,
-                 prefill_chunk: int = 256, prefill_budget: int = 1):
+                 prefill_chunk: int = 256, prefill_budget: int = 1,
+                 speculative: bool = False, spec_k: int = 8,
+                 spec_ngram: int = 3):
         """step_fns: optional (prefill_fn, decode_fn) pair replacing the
         single-chip jitted steps -- e.g. parallel/tp.make_engine_fns for a
         tensor-parallel mesh (pass pre-sharded params and a sharded cache):
@@ -211,6 +213,11 @@ class InferenceEngine:
         stream_cb(uid, tokens_so_far, done): invoked after every decode
         chunk that produced tokens for the request (incremental streaming)
         and once more with done=True on completion.
+        speculative: opt-in single-stream latency mode (max_batch must be
+        1, single-chip): greedy decode chunks run through the on-device
+        lookup-speculation loop (runtime/speculative.py) -- lossless, and
+        several tokens per forward on self-repetitive contexts.  Requests
+        with non-greedy sampling fall back to the normal chunked path.
         """
         self.cfg = cfg
         self.params = params
@@ -224,6 +231,12 @@ class InferenceEngine:
         self.impl = impl
         self.chunk = decode_chunk
         self.stream_cb = stream_cb
+        self.speculative = speculative
+        self.spec_k = spec_k
+        self.spec_ngram = spec_ngram
+        if speculative:
+            assert max_batch == 1 and step_fns is None, (
+                "speculative engine mode is single-stream, single-chip")
         if prefill_buckets is None:
             prefill_buckets = []
             b = 16
@@ -351,6 +364,46 @@ class InferenceEngine:
             if self.stream_cb:
                 self.stream_cb(req.uid, list(req.output), False)
 
+    def _spec_fits(self) -> bool:
+        req = self.slots[0]
+        hist_len = req.prompt_len + len(req.output)
+        return hist_len + self.chunk + self.spec_k + 1 <= self.S
+
+    def _decode_chunk_speculative(self):
+        """Single-slot greedy decode chunk via on-device lookup
+        speculation (see runtime/speculative.py).  Invariant on entry:
+        cache.pos == history_len - 1 (the last emitted token's K/V is
+        written by the next forward), which is exactly the engine's
+        decode-phase state."""
+        import jax.numpy as jnp
+
+        from tmac_tpu.runtime.speculative import decode_chunk_speculative
+
+        req = self.slots[0]
+        hist_len = req.prompt_len + len(req.output)
+        hist = np.zeros((1, self.S), np.int32)
+        hist[0, :hist_len] = req.prompt + req.output
+        t0 = time.perf_counter()
+        toks, emitted, nf, self.cache = decode_chunk_speculative(
+            self.params, self.cfg, jnp.asarray(hist), hist_len, self.cache,
+            steps=self.chunk + 1, ngram=self.spec_ngram, k=self.spec_k,
+            impl=self.impl)
+        n_new = int(emitted) - 1
+        new = np.asarray(toks)[0, 1:1 + n_new]
+        self.stats["chunks"] += 1
+        self.stats["spec_forwards"] = self.stats.get("spec_forwards", 0) + int(nf)
+        self.stats["decode_s"] += time.perf_counter() - t0
+        for t in new:
+            req.output.append(int(t))
+            self.stats["decode_tokens"] += 1
+            if self._finished_after_append(req):
+                break
+        self.last_tokens[0] = req.output[-1]
+        if self._finished_after_append(req):
+            self._finish(0, req)
+        elif self.stream_cb:
+            self.stream_cb(req.uid, list(req.output), False)
+
     def _finished_after_append(self, req: Request) -> bool:
         if req.eos_id is not None and req.output and req.output[-1] == req.eos_id:
             return True
@@ -435,6 +488,9 @@ class InferenceEngine:
         if self._dynamic_sampling:
             state = SamplerState.make(self._slot_temp, self._slot_topk,
                                       self._slot_topp)
+        if (self.speculative and self._slot_temp[0] <= 0.0
+                and self._spec_fits()):
+            return self._decode_chunk_speculative()
         t0 = time.perf_counter()
         keys = jax.random.split(self._next_key(), self.chunk)
         if self._step_fns is not None:

@@ -76,28 +76,35 @@ def _propose_ngram(buf: jax.Array, length: jax.Array, n: int, k: int):
 @functools.partial(jax.jit, static_argnames=("cfg", "steps", "ngram", "k",
                                              "impl"),
                    donate_argnames=("cache",))
-def decode_loop_speculative(params, cfg: ModelConfig, first_token,
-                            cache: KVCache, prompt: jax.Array, steps: int,
-                            ngram: int = 3, k: int = 8, impl: str = "auto"):
+def decode_chunk_speculative(params, cfg: ModelConfig, history: jax.Array,
+                             history_len, cache: KVCache, steps: int,
+                             ngram: int = 3, k: int = 8, impl: str = "auto"):
     """Greedy-decode `steps` tokens with on-device lookup speculation.
 
-    first_token: (1,) int32 -- the first generated token (from prefill
-    argmax), counted as already emitted.  prompt (1, T) feeds the n-gram
-    buffer.  Returns (tokens (1, steps) int32 including first_token,
-    n_forwards int32, cache).  Single-stream (B=1): per-slot variable
-    acceptance does not batch; B>1 serving keeps the chunked engine path.
+    history (1, Sh) int32, zero-padded: all tokens so far (prompt + any
+    generated), the LAST of which (history[0, history_len-1]) is counted
+    as already emitted and returned in out[0].  history_len is TRACED, so
+    repeated calls with growing histories (the engine's chunked use, or
+    generate over arbitrary prompt lengths) share ONE compilation per
+    (Sh, steps).  The cache must hold K/V for history[:history_len-1]
+    with cache.pos == history_len - 1.
+
+    Returns (tokens (1, steps) int32 incl. the seed token, n_emitted
+    (<= steps; short only when the cache is nearly full), n_forwards
+    int32, cache).  Single-stream (B=1): per-slot variable acceptance
+    does not batch; B>1 serving keeps the chunked engine path.
     """
-    B, T = prompt.shape
+    B, Sh = history.shape
     assert B == 1, "speculative decode is single-stream"
     S = cache.max_len
-    buf = jnp.zeros((S,), jnp.int32)
-    buf = jax.lax.dynamic_update_slice(buf, prompt[0].astype(jnp.int32), (0,))
-    buf = jax.lax.dynamic_update_slice(buf, first_token.astype(jnp.int32),
-                                       (T,))
-    length = jnp.int32(T + 1)          # tokens known so far (prompt + first)
-    emitted = jnp.int32(1)             # generated tokens so far
+    buf = jnp.zeros((max(S, Sh),), jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, history[0].astype(jnp.int32),
+                                       (0,))
+    length = jnp.asarray(history_len, jnp.int32)  # tokens known so far
+    emitted = jnp.int32(1)             # the seed token counts as emitted
+    seed = jax.lax.dynamic_slice(buf, (length - 1,), (1,))
     out = jnp.zeros((steps + k + 1,), jnp.int32)
-    out = out.at[0].set(first_token[0].astype(jnp.int32))
+    out = out.at[0].set(seed[0])
 
     def cond(c):
         emitted, length, buf, out, cache, nf = c
@@ -132,7 +139,28 @@ def decode_loop_speculative(params, cfg: ModelConfig, first_token,
 
     emitted, length, buf, out, cache, nf = jax.lax.while_loop(
         cond, body, (emitted, length, buf, out, cache, jnp.int32(0)))
-    return out[None, :steps], nf, cache
+    return out[None, :steps], emitted, nf, cache
+
+
+def decode_loop_speculative(params, cfg: ModelConfig, first_token,
+                            cache: KVCache, prompt: jax.Array, steps: int,
+                            ngram: int = 3, k: int = 8, impl: str = "auto"):
+    """One-shot convenience form: prompt (1, T) + first generated token
+    (from prefill argmax) -> `steps` tokens.  Pads the history to the
+    cache length so generate calls of any prompt length share one
+    compilation (history_len is traced in decode_chunk_speculative)."""
+    B, T = prompt.shape
+    assert B == 1
+    S = cache.max_len
+    hist = jnp.zeros((1, S), jnp.int32)
+    hist = jax.lax.dynamic_update_slice(
+        hist, prompt.astype(jnp.int32), (0, 0))
+    hist = jax.lax.dynamic_update_slice(
+        hist, first_token.astype(jnp.int32)[None, :], (0, T))
+    out, _, nf, cache = decode_chunk_speculative(
+        params, cfg, hist, T + 1, cache, steps=steps, ngram=ngram, k=k,
+        impl=impl)
+    return out, nf, cache
 
 
 def generate_speculative(params, cfg: ModelConfig, prompt_tokens,

@@ -168,7 +168,8 @@ def cmd_serve(args):
                             top_p=args.top_p)
     eng = InferenceEngine(cfg, params, max_batch=args.max_batch,
                           max_len=args.max_len, sampler=sampler,
-                          decode_chunk=args.decode_chunk)
+                          decode_chunk=args.decode_chunk,
+                          speculative=args.speculative)
     serve(eng, host=args.host, port=args.port, tokenizer=tok)
 
 
@@ -343,6 +344,9 @@ def main():
     s.add_argument("--temperature", type=float, default=0.0)
     s.add_argument("--top-k", type=int, default=0)
     s.add_argument("--top-p", type=float, default=1.0)
+    s.add_argument("--speculative", action="store_true",
+                   help="single-stream lookup-speculation latency mode "
+                        "(requires --max-batch 1)")
     s.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("ppl", help="perplexity over a token file")
