@@ -197,6 +197,98 @@ def test_convert_hf_gptq_b3_end_to_end(tmp_path):
     assert np.isfinite(np.asarray(logits, dtype=np.float32)).all()
 
 
+def _write_synthetic_hf_moe(tmpdir, bits=2, gs=64, E=4, seed=0):
+    """Tiny Mixtral-architecture GPTQ checkpoint (block_sparse_moe naming:
+    router `gate`, experts w1/w3/w2) in HF format."""
+    rng = np.random.default_rng(seed)
+    H, Ie, V, L = 128, 128, 512, 2
+    tensors, ref = {}, {}
+
+    def fp(name, shape, scale=0.02):
+        t = (rng.standard_normal(shape) * scale).astype(np.float32)
+        tensors[name] = t.astype(np.float16)
+        return t
+
+    def gptq(name, K, M):
+        w = (rng.standard_normal((K, M)) / np.sqrt(K)).astype(np.float32)
+        qw, sc, qz = quantize_gptq_like(w, bits, gs)
+        tensors[f"{name}.qweight"] = qw
+        tensors[f"{name}.scales"] = sc
+        tensors[f"{name}.qzeros"] = qz
+        ref[name] = w
+
+    fp("model.embed_tokens.weight", (V, H))
+    for i in range(L):
+        p = f"model.layers.{i}"
+        fp(f"{p}.input_layernorm.weight", (H,), 1.0)
+        fp(f"{p}.post_attention_layernorm.weight", (H,), 1.0)
+        gptq(f"{p}.self_attn.q_proj", H, 256)
+        gptq(f"{p}.self_attn.k_proj", H, 256)
+        gptq(f"{p}.self_attn.v_proj", H, 256)
+        gptq(f"{p}.self_attn.o_proj", 256, H)
+        fp(f"{p}.block_sparse_moe.gate.weight", (E, H))
+        for e in range(E):
+            ep = f"{p}.block_sparse_moe.experts.{e}"
+            gptq(f"{ep}.w1", H, Ie)
+            gptq(f"{ep}.w3", H, Ie)
+            gptq(f"{ep}.w2", Ie, H)
+    fp("model.norm.weight", (H,), 1.0)
+    fp("lm_head.weight", (V, H))
+
+    save_file(tensors, os.path.join(tmpdir, "model.safetensors"))
+    with open(os.path.join(tmpdir, "config.json"), "w") as f:
+        json.dump({
+            "model_type": "mixtral",
+            "vocab_size": V, "hidden_size": H, "intermediate_size": Ie,
+            "num_hidden_layers": L, "num_attention_heads": 2,
+            "num_key_value_heads": 2, "head_dim": 128,
+            "rope_theta": 1e6, "rms_norm_eps": 1e-5,
+            "num_local_experts": E, "num_experts_per_tok": 2,
+            "tie_word_embeddings": False,
+            "quantization_config": {
+                "bits": bits, "group_size": gs, "sym": False,
+                "desc_act": False, "checkpoint_format": "gptq_v2",
+                "quant_method": "gptq",
+            },
+        }, f)
+    return ref
+
+
+def test_convert_hf_moe_end_to_end(tmp_path):
+    """Mixtral-style MoE GPTQ checkpoint -> stacked expert tensors -> the
+    model runs and expert 1's FFN matmul matches the original weights to
+    quantization noise."""
+    ref = _write_synthetic_hf_moe(str(tmp_path), bits=2, gs=64, E=4)
+    cfg, params = convert_hf_model(str(tmp_path), name="tiny-moe")
+    assert cfg.num_experts == 4 and cfg.num_experts_per_tok == 2
+    assert cfg.moe_intermediate_size == 128
+
+    layer = params["layers"][0]
+    assert layer["moe_router"].shape == (cfg.hidden_size, 4)
+    from tmac_tpu.models.moe import expert_view, num_local_experts
+    assert num_local_experts(layer["experts_gate_up"]) == 4
+
+    # expert 1 gate matmul vs the original fp weights (quant-noise bound)
+    x = np.random.default_rng(3).standard_normal(
+        (2, cfg.hidden_size)).astype(np.float32)
+    qt = expert_view(layer["experts_gate_up"], 1)
+    got = np.asarray(qgemm_xla(jnp.asarray(x), qt, out_dtype=jnp.float32))
+    w1 = ref["model.layers.0.block_sparse_moe.experts.1.w1"]
+    w3 = ref["model.layers.0.block_sparse_moe.experts.1.w3"]
+    assert nmse(x @ w1, got[:, :128]) < 0.5
+    assert nmse(x @ w3, got[:, 128:256]) < 0.5
+
+    # checkpoint roundtrip preserves the stacked tensors and the forward
+    ckpt.save_checkpoint(str(tmp_path / "ck"), cfg, params)
+    cfg2, params2 = ckpt.load_checkpoint(str(tmp_path / "ck"))
+    toks = jnp.asarray([[1, 2, 3]])
+    l1, _ = forward(params, cfg, toks, KVCache.create(cfg, 1, 8), impl="xla")
+    l2, _ = forward(params2, cfg2, toks, KVCache.create(cfg2, 1, 8),
+                    impl="xla")
+    assert np.isfinite(np.asarray(l1, np.float32)).all()
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = get_preset("bitnet-3b").scaled(8)
     params = init_params(cfg, seed=0)

@@ -1,0 +1,221 @@
+"""MoE model family: routing math vs an f32 oracle, dispatch == dense,
+and expert-parallel (ep x tp) equality on the 8-device virtual mesh.
+
+The reference has no MoE family (model_utils.py:19-88); these tests gate
+the net-new surface in models/moe.py + parallel/ep.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tmac_tpu.models.config import get_preset
+from tmac_tpu.models.llama import KVCache, forward, init_params, rms_norm
+from tmac_tpu.models.moe import (expert_capacity, moe_mlp, route_topk,
+                                 stack_experts, expert_view)
+from tmac_tpu.ops.qgemm import qgemm
+from tmac_tpu.parallel import ep as epmod
+from tmac_tpu.runtime.sampling import SamplerConfig
+
+
+def _tiny_moe_cfg(E=4, k=2):
+    import dataclasses
+    cfg = get_preset("mixtral-8x7b").scaled(16)
+    # scaled(16) leaves 1 kv head and a 896-wide expert FFN; bump both so
+    # the ep x tp tests can shard kv-heads and scale groups over tp=2
+    return dataclasses.replace(cfg, num_experts=E, num_experts_per_tok=k,
+                               num_kv_heads=2, moe_intermediate_size=512)
+
+
+def _dequant(qt) -> np.ndarray:
+    """Dequantized (K, M) f32 weights via the XLA path with an identity
+    input (slice_m restores logical column order for fused tensors)."""
+    eye = jnp.eye(qt.kdim, dtype=jnp.float32)
+    return np.asarray(qgemm(eye, qt, impl="xla", out_dtype=jnp.float32))
+
+
+def _oracle_moe(x2: np.ndarray, layer, cfg) -> np.ndarray:
+    """Per-token numpy f32 MoE MLP: top-k over router logits, softmax over
+    the selected logits (Mixtral), weighted sum of dequant-expert FFNs."""
+    router = np.asarray(layer["moe_router"], np.float32)
+    E, k = cfg.num_experts, cfg.num_experts_per_tok
+    gus = [_dequant(expert_view(layer["experts_gate_up"], e)) for e in range(E)]
+    downs = [_dequant(expert_view(layer["experts_down"], e)) for e in range(E)]
+    Ie = downs[0].shape[0]
+
+    logits = x2 @ router  # (N, E)
+    out = np.zeros_like(x2)
+    for n in range(x2.shape[0]):
+        sel = np.argsort(-logits[n], kind="stable")[:k]
+        w = np.exp(logits[n, sel] - logits[n, sel].max())
+        w = w / w.sum()
+        for j, e in enumerate(sel):
+            gu = x2[n] @ gus[e]
+            g, u = gu[:Ie], gu[Ie:]
+            act = (g / (1.0 + np.exp(-g))) * u
+            out[n] += w[j] * (act @ downs[e])
+    return out
+
+
+def test_moe_mlp_matches_oracle():
+    cfg = _tiny_moe_cfg()
+    params = init_params(cfg, seed=3)
+    layer = params["layers"][0]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 12, cfg.hidden_size)) * 0.5,
+                    jnp.float32)
+
+    got = moe_mlp(x, layer, cfg, cfg.quant.mode, impl="xla")
+    xn = np.asarray(
+        rms_norm(x.reshape(-1, cfg.hidden_size),
+                 layer["mlp_norm"], cfg.rms_norm_eps), np.float32)
+    want = _oracle_moe(xn, layer, cfg)
+    np.testing.assert_allclose(np.asarray(got).reshape(want.shape), want,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_route_topk_rows_sum_to_one():
+    rng = np.random.default_rng(1)
+    x2 = jnp.asarray(rng.standard_normal((32, 64)), jnp.float32)
+    router = jnp.asarray(rng.standard_normal((64, 8)), jnp.float32)
+    cw = np.asarray(route_topk(x2, router, 2))
+    assert cw.shape == (32, 8)
+    np.testing.assert_allclose(cw.sum(-1), 1.0, rtol=1e-6)
+    assert ((cw > 0).sum(-1) == 2).all()
+
+
+def test_moe_dispatch_equals_dense():
+    """Capacity dispatch gathers exact row copies (each slot holds at most
+    one token), so with ample capacity the two forms agree to f32 rounding
+    -- only FMA association in the combine contraction differs."""
+    cfg = _tiny_moe_cfg()
+    params = init_params(cfg, seed=5)
+    layer = params["layers"][1]
+    rng = np.random.default_rng(2)
+    N = 96
+    x = jnp.asarray(rng.standard_normal((1, N, cfg.hidden_size)) * 0.5,
+                    jnp.bfloat16)
+
+    dense = moe_mlp(x, layer, cfg, cfg.quant.mode, impl="xla",
+                    moe_impl="dense")
+    disp = moe_mlp(x, layer, cfg, cfg.quant.mode, impl="xla",
+                   moe_impl="dispatch", capacity=N)
+    np.testing.assert_allclose(
+        np.asarray(dense, np.float32), np.asarray(disp, np.float32),
+        rtol=0, atol=1e-4)
+
+
+def test_moe_dispatch_drops_overflow_tokens():
+    """Capacity overflow zeroes an expert's contribution for the dropped
+    tokens (Switch semantics) instead of corrupting other rows."""
+    cfg = _tiny_moe_cfg(E=2, k=1)
+    params = init_params(cfg, seed=7)
+    layer = params["layers"][0]
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 64, cfg.hidden_size)),
+                    jnp.bfloat16)
+    # capacity 8 over 64 tokens with k=1, E=2: at least one expert drops
+    out = np.asarray(moe_mlp(x, layer, cfg, cfg.quant.mode, impl="xla",
+                             moe_impl="dispatch", capacity=8), np.float32)
+    dense = np.asarray(moe_mlp(x, layer, cfg, cfg.quant.mode, impl="xla",
+                               moe_impl="dense"), np.float32)
+    assert np.isfinite(out).all()
+    # kept rows agree with dense (to combine-FMA rounding); dropped rows
+    # are exactly zero
+    row_match = (np.abs(out - dense).max(-1) <= 1e-4)
+    row_zero = (np.abs(out).max(-1) == 0.0)
+    assert (row_match | row_zero).all()
+    assert row_zero.sum() > 0 and row_match.sum() >= 16
+
+
+def test_expert_capacity_static():
+    cfg = _tiny_moe_cfg(E=4, k=2)
+    c = expert_capacity(256, cfg)
+    assert c % 8 == 0 and c >= 256 * 2 // 4
+
+
+def test_moe_forward_prefill_decode():
+    """Full MoE model forward: prefill then greedy decode steps through the
+    KV cache; dense and dispatch MLP paths see the same routing."""
+    cfg = _tiny_moe_cfg()
+    params = init_params(cfg, seed=11)
+    rng = np.random.default_rng(4)
+    B, T, steps = 2, 8, 3
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)))
+    cache = KVCache.create(cfg, B, T + steps)
+    logits, cache = forward(params, cfg, toks, cache, impl="xla")
+    assert logits.shape == (B, T, cfg.vocab_size)
+    tok = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
+    for _ in range(steps):
+        lg, cache = forward(params, cfg, tok[:, None], cache, impl="xla")
+        tok = jnp.argmax(lg[:, -1, :], -1).astype(jnp.int32)
+    assert int(cache.pos[0]) == T + steps
+
+
+def test_moe_engine_matches_single_stream():
+    """The continuous-batching engine serves MoE models: engine output for
+    a request equals the single-stream greedy decode of its prompt."""
+    from tmac_tpu.runtime.engine import InferenceEngine
+    from tmac_tpu.runtime.generate import generate
+    cfg = _tiny_moe_cfg()
+    params = init_params(cfg, seed=2)
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                          impl="xla", decode_chunk=4)
+    uid1 = eng.submit([1, 2, 3], max_new_tokens=6)
+    uid2 = eng.submit([5, 6], max_new_tokens=6)
+    results = eng.run()
+    for uid, prompt in ((uid1, [1, 2, 3]), (uid2, [5, 6])):
+        ref = generate(params, cfg, np.asarray([prompt], np.int32),
+                       max_new_tokens=6, impl="xla")
+        assert results[uid] == [int(t) for t in np.asarray(ref)[0]]
+
+
+def test_stack_experts_roundtrip():
+    cfg = _tiny_moe_cfg()
+    params = init_params(cfg, seed=1)
+    stack = params["layers"][0]["experts_down"]
+    e1 = expert_view(stack, 1)
+    assert e1.packed.ndim == 2 and e1.shape == stack.shape
+    # views must be usable as plain QuantizedTensors
+    x = jnp.ones((4, e1.kdim), jnp.float32)
+    out = qgemm(x, e1, impl="xla")
+    assert out.shape == (4, e1.mdim)
+
+
+@pytest.mark.parametrize("ep,tp", [(8, 1), (4, 2), (2, 2)])
+def test_ep_matches_single_device(ep, tp):
+    """Expert-parallel (x tensor-parallel) MoE must match the single-device
+    model along a teacher-forced path (same protocol as test_parallel)."""
+    if len(jax.devices()) < ep * tp:
+        pytest.skip("needs 8 devices")
+    cfg = _tiny_moe_cfg(E=8, k=2)
+    params = init_params(cfg, seed=0, tp=tp)
+    mesh = epmod.make_moe_mesh(ep=ep, tp=tp)
+    B, T, steps = 2, 4, 4
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)))
+
+    sparams = epmod.shard_params_moe(params, mesh)
+    cache = epmod.shard_cache_moe(KVCache.create(cfg, B, T + steps), mesh)
+    prefill_fn, decode_fn = epmod.make_ep_step(cfg, mesh, params,
+                                               SamplerConfig(), impl="xla")
+    logits, cache = prefill_fn(sparams, toks, cache)
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+    toks_out, cache = decode_fn(sparams, first, cache,
+                                jax.random.PRNGKey(0), steps - 1)
+    got = np.concatenate([np.asarray(first)[:, None], np.asarray(toks_out)], 1)
+
+    # teacher-forced single-device logits along the ep-generated path
+    ref_cache = KVCache.create(cfg, B, T + steps)
+    ref_logits, ref_cache = forward(params, cfg, toks, ref_cache, impl="xla")
+    refs = [np.asarray(ref_logits[:, -1, :], np.float32)]
+    for t in range(steps - 1):
+        lg, ref_cache = forward(params, cfg, jnp.asarray(got[:, t:t + 1]),
+                                ref_cache, impl="xla")
+        refs.append(np.asarray(lg[:, -1, :], np.float32))
+    ref = np.stack(refs, 1)
+    np.testing.assert_allclose(np.asarray(logits, np.float32), ref[:, 0],
+                               rtol=5e-2, atol=0.1)
+    agree = (ref.argmax(-1) == got).mean()
+    assert agree >= 0.75, (ref.argmax(-1), got)

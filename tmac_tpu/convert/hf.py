@@ -72,7 +72,15 @@ def read_hf_config(model_dir: str) -> dict:
 
 def model_config_from_hf(hf: dict, quant: QuantConfig, name: str = "hf-model") -> ModelConfig:
     head_dim = hf.get("head_dim") or hf["hidden_size"] // hf["num_attention_heads"]
+    # MoE (Mixtral: num_local_experts + top-k routing; Qwen2-MoE style
+    # configs use num_experts + moe_intermediate_size)
+    num_experts = hf.get("num_local_experts") or hf.get("num_experts") or 0
     return ModelConfig(
+        num_experts=num_experts,
+        num_experts_per_tok=hf.get("num_experts_per_tok", 2),
+        moe_intermediate_size=(hf.get("moe_intermediate_size")
+                               or hf["intermediate_size"])
+        if num_experts else 0,
         name=name,
         vocab_size=hf["vocab_size"],
         hidden_size=hf["hidden_size"],
@@ -205,15 +213,46 @@ def convert_hf_model(model_dir: str, quant: Optional[QuantConfig] = None,
                 _qt_from_hf_linear(reader, f"{at}.v_proj", quant, gptq_v2, 1, tp),
             ]),
             "wo": _qt_from_hf_linear(reader, f"{at}.o_proj", quant, gptq_v2, tp, 1),
-            "gate_up": fuse_m([
+        }
+        if cfg.num_experts > 0:
+            # Mixtral block_sparse_moe (experts.{e}.w1/w3/w2) or
+            # Qwen2-MoE-style mlp.experts.{e}.gate/up/down_proj naming
+            from tmac_tpu.models.llama import padded_moe_intermediate
+            from tmac_tpu.models.moe import stack_experts
+            Iep = padded_moe_intermediate(cfg, tp)
+            if f"{p}.block_sparse_moe.gate.weight" in reader:
+                moe, gname = f"{p}.block_sparse_moe", "gate"
+                names = ("w1", "w3", "w2")
+            else:
+                moe, gname = f"{p}.mlp", "gate"
+                names = ("gate_proj", "up_proj", "down_proj")
+            router = np.asarray(_bf16(reader, f"{moe}.{gname}.weight"),
+                                np.float32).T  # HF (E, H) -> (H, E)
+            layer["moe_router"] = jnp.asarray(router, jnp.bfloat16)
+            gn, un, dn = names
+            layer["experts_gate_up"] = stack_experts([
+                fuse_m([
+                    _qt_from_hf_linear(reader, f"{moe}.experts.{e}.{gn}",
+                                       quant, gptq_v2, 1, tp, pad_m=Iep),
+                    _qt_from_hf_linear(reader, f"{moe}.experts.{e}.{un}",
+                                       quant, gptq_v2, 1, tp, pad_m=Iep),
+                ]) for e in range(cfg.num_experts)
+            ])
+            layer["experts_down"] = stack_experts([
+                _qt_from_hf_linear(reader, f"{moe}.experts.{e}.{dn}",
+                                   quant, gptq_v2, tp, 1, pad_k=Iep)
+                for e in range(cfg.num_experts)
+            ])
+        else:
+            layer["gate_up"] = fuse_m([
                 _qt_from_hf_linear(reader, f"{p}.mlp.gate_proj", quant,
                                    gptq_v2, 1, tp, pad_m=Ipad),
                 _qt_from_hf_linear(reader, f"{p}.mlp.up_proj", quant,
                                    gptq_v2, 1, tp, pad_m=Ipad),
-            ]),
-            "down": _qt_from_hf_linear(reader, f"{p}.mlp.down_proj", quant,
-                                       gptq_v2, tp, 1, pad_k=Ipad),
-        }
+            ])
+            layer["down"] = _qt_from_hf_linear(reader, f"{p}.mlp.down_proj",
+                                               quant, gptq_v2, tp, 1,
+                                               pad_k=Ipad)
         if cfg.attention_bias:
             for hf_b, ours in (("q_proj", "bq"), ("k_proj", "bk"), ("v_proj", "bv")):
                 bn = f"{at}.{hf_b}.bias"

@@ -64,6 +64,14 @@ class ModelConfig:
     # quantizes output.weight, Q6_K by default); 16 = keep bf16.  The head
     # read is ~20% of decode HBM traffic on BitNet-3B.
     head_bits: int = 8
+    # Mixture-of-Experts (net-new vs the reference, which has no MoE model;
+    # the LUT-mpGEMM kernels apply per expert unchanged).  num_experts = 0
+    # means a dense MLP; > 0 replaces the MLP with num_experts expert FFNs
+    # of width moe_intermediate_size routed top-num_experts_per_tok
+    # (Mixtral-style: softmax over the selected router logits).
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: int = 0
     quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
 
     @property
@@ -90,6 +98,9 @@ class ModelConfig:
             num_heads=max(2, self.num_heads // factor),
             num_kv_heads=max(1, self.num_kv_heads // factor),
             head_dim=128,
+            moe_intermediate_size=(
+                _r256(self.moe_intermediate_size // factor)
+                if self.moe_intermediate_size else 0),
         )
 
     def to_json(self) -> str:
@@ -170,6 +181,17 @@ PRESETS = {
         name="phi-3.5-mini", vocab_size=32064, hidden_size=3072,
         intermediate_size=8192, num_layers=32, num_heads=32, num_kv_heads=32,
         head_dim=96, rope_theta=10000.0, rms_norm_eps=1e-5,
+        quant=QuantConfig(bits=2, group_size=128, zero_point=True),
+    ),
+    # Mixtral-8x7B-v0.1 (the MoE family: 8 experts, top-2 routing; W2 GPTQ
+    # EfficientQAT-style quantization applies per expert exactly as to a
+    # dense MLP -- the reference's kernels have no MoE user only because
+    # its llama.cpp harness predates one in its model list)
+    "mixtral-8x7b": ModelConfig(
+        name="mixtral-8x7b", vocab_size=32000, hidden_size=4096,
+        intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
+        head_dim=128, rope_theta=1000000.0, rms_norm_eps=1e-5,
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=14336,
         quant=QuantConfig(bits=2, group_size=128, zero_point=True),
     ),
     # reference "trilm-3.9b"

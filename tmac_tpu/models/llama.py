@@ -237,6 +237,14 @@ def padded_intermediate(cfg: ModelConfig, tp: int) -> int:
     return round_up(cfg.intermediate_size, align)
 
 
+def padded_moe_intermediate(cfg: ModelConfig, tp: int) -> int:
+    """padded_intermediate for the per-expert FFN width (MoE models)."""
+    from tmac_tpu.utils import round_up
+    gs = cfg.quant.group_size
+    align = int(np.lcm(tp * max(gs, 1), 128))
+    return round_up(cfg.moe_intermediate_size, align)
+
+
 def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16,
                 tp: int = 1) -> Dict[str, Any]:
     """Random-but-realistic quantized parameters at the model's exact shapes.
@@ -262,12 +270,31 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16,
                 _rand_qt(rng, H, cfg.kv_dim, cfg, m_shards=tp),
             ]),
             "wo": _rand_qt(rng, cfg.q_dim, H, cfg, k_shards=tp),
-            "gate_up": fuse_m([
-                _rand_qt(rng, H, I, cfg, m_shards=tp),
-                _rand_qt(rng, H, I, cfg, m_shards=tp),
-            ]),
-            "down": _rand_qt(rng, I, H, cfg, k_shards=tp),
         }
+        if cfg.num_experts > 0:
+            # MoE MLP: router + stacked per-expert gate_up/down
+            # (models/moe.py); expert stacks shard over an 'ep' mesh axis
+            # (parallel/ep.py) and tp-shard internally like the dense MLP
+            from tmac_tpu.models.moe import stack_experts
+            Ie = padded_moe_intermediate(cfg, tp)
+            layer["moe_router"] = jnp.asarray(
+                rng.standard_normal((H, cfg.num_experts)) * 0.02, dtype)
+            layer["experts_gate_up"] = stack_experts([
+                fuse_m([
+                    _rand_qt(rng, H, Ie, cfg, m_shards=tp),
+                    _rand_qt(rng, H, Ie, cfg, m_shards=tp),
+                ]) for _ in range(cfg.num_experts)
+            ])
+            layer["experts_down"] = stack_experts([
+                _rand_qt(rng, Ie, H, cfg, k_shards=tp)
+                for _ in range(cfg.num_experts)
+            ])
+        else:
+            layer["gate_up"] = fuse_m([
+                _rand_qt(rng, H, I, cfg, m_shards=tp),
+                _rand_qt(rng, H, I, cfg, m_shards=tp),
+            ])
+            layer["down"] = _rand_qt(rng, I, H, cfg, k_shards=tp)
         if cfg.attention_bias:
             layer["bq"] = jnp.zeros((cfg.q_dim,), dtype)
             layer["bk"] = jnp.zeros((cfg.kv_dim,), dtype)
@@ -404,7 +431,8 @@ def _write_kv_stacked(buf: jax.Array, li: int, kv: jax.Array,
 
 def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             impl: str = "auto", tp_axis: Optional[str] = None,
-            active: Optional[jax.Array] = None):
+            active: Optional[jax.Array] = None,
+            ep_axis: Optional[str] = None):
     """Run T tokens (prefill or single-step decode) starting at cache.pos.
 
     tokens: (B, T) int32. Returns (logits (B, T, vocab), updated cache).
@@ -420,6 +448,8 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
     this names the mesh axis to psum the row-parallel (wo, down) partial
     sums over -- the reference's M-tile thread parallelism
     (tmac_gemm_wrapper.h:197-228) lifted to chips + ICI collectives.
+    ep_axis: mesh axis the MoE expert stacks are sharded over
+    (parallel/ep.py); ignored for dense models.
     """
     B, T = tokens.shape
     mode = cfg.quant.mode
@@ -474,7 +504,7 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
         else:
             attn = _attention(q, new_k, new_v, li, positions, kv_len_mask,
                               cfg, impl=impl)
-        down = layer["down"]
+        down = layer.get("down")
         use_pallas = impl == "pallas" or (
             impl == "auto" and jax.default_backend() == "tpu")
         # measured NULL RESULT on v5e (kept as an opt-in experiment): the
@@ -484,6 +514,7 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
         # (and it compiles in ~6 min).  TMAC_BLOCK_KERNEL=1 enables it.
         import os as _os
         if (T == 1 and B == 1 and tp_axis is None and use_pallas
+                and cfg.num_experts == 0
                 and _os.environ.get("TMAC_BLOCK_KERNEL", "0") == "1"
                 and mode == "w_a8"
                 and all(layer[n].scales.shape[0] == 1
@@ -517,6 +548,19 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             x = x + o
         else:
             x = o
+
+        if cfg.num_experts > 0:
+            # MoE MLP (models/moe.py): norm + routing + expert FFNs.  The
+            # weighted combine is linear, so ONE psum over (tp, ep) merges
+            # both the row-parallel down partials and the expert partials.
+            from tmac_tpu.models.moe import moe_mlp
+            d = moe_mlp(x, layer, cfg, mode, impl, act_gs=ags,
+                        ep_axis=ep_axis)
+            axes = tuple(a for a in (tp_axis, ep_axis) if a is not None)
+            if axes:
+                d = jax.lax.psum(d, axes)
+            x = x + d.astype(x.dtype)
+            continue
 
         gu = apply_qlinear(x, layer["gate_up"], mode, None, impl,
                            norm=(layer["mlp_norm"], cfg.rms_norm_eps),

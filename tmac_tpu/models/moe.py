@@ -1,0 +1,209 @@
+"""Mixture-of-Experts MLP with LUT-mpGEMM expert FFNs.
+
+Net-new surface vs the reference (its model list, python/t_mac/
+model_utils.py:19-88, has no MoE family) -- but the reference's low-bit
+kernels apply to each expert's gate/up/down exactly as to a dense MLP, so
+an MoE model is the natural next member of the family (Mixtral-8x7B W2
+GPTQ is a published EfficientQAT target).  Everything here is TPU-first:
+
+  * static shapes everywhere -- routing produces a dense (tokens, E)
+    combine-weight matrix, never a ragged gather;
+  * decode / small-N uses the DENSE-MASKED form: every local expert runs
+    on the whole (small) token block and the combine weights zero out
+    non-selected experts.  At serving batch sizes the step is HBM-bound on
+    expert weight reads, and with B*top_k >= E the routed set touches
+    nearly every expert anyway, so "wasted" expert FLOPs are free -- while
+    a gather/scatter dispatch would add latency for nothing;
+  * prefill / large-N uses CAPACITY DISPATCH (GShard/Switch style): a
+    one-hot (tokens, E, C) dispatch tensor built from a cumsum, two
+    einsums to gather/scatter, and per-expert FFNs on dense (C, H) blocks
+    that tile straight onto the MXU.  The gather einsum is an exact row
+    copy (each (e, c) slot selects at most one token), so with ample
+    capacity dispatch matches dense to f32 rounding -- the only
+    difference is FMA association in the combine contraction
+    (tests/test_moe.py gates at atol 1e-4);
+  * expert parallelism shards the STACKED expert weights over an 'ep'
+    mesh axis (parallel/ep.py): each device runs its local experts on the
+    replicated token block and one psum over 'ep' (linearity of the
+    weighted combine) merges the partial outputs -- compute parallelizes
+    E-ways with a single collective per MoE layer, no all-to-all and no
+    capacity-overflow coupling between devices.
+
+Routing follows Mixtral (HF MixtralSparseMoeBlock): top-k on the router
+logits, softmax over the k selected logits, weighted sum of expert
+outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tmac_tpu.ops.qgemm import QuantizedTensor
+from tmac_tpu.utils import round_up
+
+
+# ---------------------------------------------------------------------------
+# Stacked expert weights
+# ---------------------------------------------------------------------------
+
+def stack_experts(qts: list) -> QuantizedTensor:
+    """Stack per-expert QuantizedTensors along a new leading E axis.
+
+    The result is a QuantizedTensor whose data fields carry an extra
+    leading dim (packed (E, K//p, M_pad), scales (E, G, M_pad), ...) while
+    the static meta still describes ONE expert -- `expert_view` slices a
+    valid per-expert tensor back out.  Stacking (rather than a Python list
+    of experts) is what makes expert parallelism a plain PartitionSpec:
+    P('ep', ...) on the leading dim shards experts over the mesh.
+    """
+    base = qts[0]
+    for q in qts[1:]:
+        assert q.bits == base.bits and q.group_size == base.group_size
+        assert q.shape == base.shape and q.m_segments == base.m_segments
+        assert q.k_shards == base.k_shards and q.m_shards == base.m_shards
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+
+
+def expert_view(stacked: QuantizedTensor, e: int) -> QuantizedTensor:
+    """The e-th expert of a stack_experts tensor (static or traced e)."""
+    return jax.tree.map(lambda a: a[e], stacked)
+
+
+def num_local_experts(stacked: QuantizedTensor) -> int:
+    return stacked.packed.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# Routing
+# ---------------------------------------------------------------------------
+
+def route_topk(x2: jax.Array, router: jax.Array, k: int) -> jax.Array:
+    """Top-k routing -> dense combine weights.
+
+    x2 (N, H) tokens, router (H, E).  Returns (N, E) f32 where row n has
+    k nonzero entries: softmax over the k selected router logits
+    (Mixtral's normalization).  Dense by design -- downstream code indexes
+    experts statically, never gathers by traced expert id.
+    """
+    logits = jnp.einsum("nh,he->ne", x2.astype(jnp.float32),
+                        router.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    E = router.shape[1]
+    topv, topi = jax.lax.top_k(logits, k)          # (N, k)
+    w = jax.nn.softmax(topv, axis=-1)              # (N, k) f32
+    onehot = (topi[..., None] == jnp.arange(E)[None, None, :])  # (N, k, E)
+    return jnp.sum(onehot * w[..., None], axis=1)  # (N, E)
+
+
+def expert_capacity(n_tokens: int, cfg, capacity_factor: float = 1.25) -> int:
+    """Static per-expert token capacity for the dispatch path (multiple of
+    8 so expert blocks stay sublane-aligned)."""
+    import math
+    c = math.ceil(n_tokens * cfg.num_experts_per_tok * capacity_factor
+                  / cfg.num_experts)
+    return round_up(max(c, 8), 8)
+
+
+# ---------------------------------------------------------------------------
+# Expert FFN (same fusion rules as the dense MLP in models/llama.py)
+# ---------------------------------------------------------------------------
+
+def _expert_ffn(x2: jax.Array, gu_qt: QuantizedTensor,
+                down_qt: QuantizedTensor, mode: str, impl: str,
+                act_gs: int) -> jax.Array:
+    """silu(x @ gate) * (x @ up) @ down on one expert; x2 (N, H) -> (N, H).
+
+    Mirrors the dense-MLP kernel-fusion rules in models/llama.forward: the
+    SwiGLU folds into the down kernel's prologue on the pallas path."""
+    from tmac_tpu.models.llama import apply_qlinear
+    gu = apply_qlinear(x2, gu_qt, mode, None, impl, act_gs=act_gs)
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu")
+    if (use_pallas and down_qt.kdim_padded == down_qt.kdim
+            and (mode != "w_a8" or down_qt.scales.shape[0] == 1)):
+        return apply_qlinear(gu, down_qt, mode, None, impl, glu=True,
+                             act_gs=act_gs)
+    ihalf = down_qt.kdim
+    g, u = gu[..., :ihalf], gu[..., ihalf:]
+    return apply_qlinear(
+        jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u,
+        down_qt, mode, None, impl, act_gs=act_gs)
+
+
+# ---------------------------------------------------------------------------
+# The MoE MLP block
+# ---------------------------------------------------------------------------
+
+def moe_mlp(x: jax.Array, layer: dict, cfg, mode: str, impl: str = "auto",
+            act_gs: int = 0, ep_axis: Optional[str] = None,
+            moe_impl: str = "auto", capacity: Optional[int] = None
+            ) -> jax.Array:
+    """The MoE replacement for the gate_up/down block.
+
+    x (B, T, H) pre-norm hidden states.  Returns the (B, T, H) expert-
+    combined output WITHOUT the residual add and WITHOUT cross-device
+    reduction -- under tp/ep sharding the caller psums over the relevant
+    axes first (the combine is linear, so one psum covers both the
+    row-parallel down partials and the expert partials), then adds the
+    residual.
+
+    ep_axis: mesh axis name when the expert stacks are sharded over
+    devices (parallel/ep.py); each device sees only its leading slice of
+    the stacks and weights it with its slice of the combine matrix.
+    moe_impl: 'dense' | 'dispatch' | 'auto' (dispatch for N >= 64 --
+    prefill-shaped blocks where the k/E FLOP saving beats the dispatch
+    einsums; dense for decode-shaped blocks).
+    """
+    B, T, H = x.shape
+    from tmac_tpu.models.llama import rms_norm
+    xn = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
+    x2 = xn.reshape(-1, H)
+    N = x2.shape[0]
+
+    cw = route_topk(x2, layer["moe_router"], cfg.num_experts_per_tok)
+    gu_stack: QuantizedTensor = layer["experts_gate_up"]
+    down_stack: QuantizedTensor = layer["experts_down"]
+    E_local = num_local_experts(gu_stack)
+    if ep_axis is not None:
+        off = jax.lax.axis_index(ep_axis) * E_local
+        cw = jax.lax.dynamic_slice_in_dim(cw, off, E_local, axis=-1)
+    else:
+        assert E_local == cfg.num_experts, (E_local, cfg.num_experts)
+
+    if moe_impl == "auto":
+        moe_impl = "dispatch" if N >= 64 else "dense"
+
+    if moe_impl == "dense":
+        acc = jnp.zeros((N, H), jnp.float32)
+        for e in range(E_local):
+            ye = _expert_ffn(x2, expert_view(gu_stack, e),
+                             expert_view(down_stack, e), mode, impl, act_gs)
+            acc = acc + cw[:, e:e + 1] * ye.astype(jnp.float32)
+        out = acc
+    else:
+        assert moe_impl == "dispatch", moe_impl
+        C = capacity if capacity is not None else expert_capacity(N, cfg)
+        sel = cw > 0.0                                        # (N, E_local)
+        pos = jnp.cumsum(sel.astype(jnp.int32), axis=0) - 1   # slot in expert
+        keep = sel & (pos < C)
+        # one-hot dispatch: disp[n, e, c] = token n occupies slot c of
+        # expert e.  Each (e, c) selects at most one n, so the gather
+        # einsum is an exact row copy even in bf16.
+        disp = (keep[:, :, None]
+                & (pos[:, :, None] == jnp.arange(C)[None, None, :]))
+        xe = jnp.einsum("nec,nh->ech", disp.astype(x2.dtype), x2)  # (E,C,H)
+        ys = [
+            _expert_ffn(xe[e], expert_view(gu_stack, e),
+                        expert_view(down_stack, e), mode, impl, act_gs)
+            for e in range(E_local)
+        ]
+        ye = jnp.stack(ys).astype(jnp.float32)                # (E, C, H)
+        # combine: scatter each expert slot back to its token, weighted.
+        # Tokens dropped by capacity overflow contribute zero (standard
+        # Switch semantics; capacity_factor 1.25 over uniform load).
+        out = jnp.einsum("nec,ech->nh",
+                         disp.astype(jnp.float32) * cw[:, :, None], ye)
+    return out.reshape(B, T, H).astype(x.dtype)

@@ -76,17 +76,25 @@ def local_cfg(cfg: ModelConfig, tp: int) -> ModelConfig:
         num_heads=cfg.num_heads // tp,
         num_kv_heads=cfg.num_kv_heads // tp,
         intermediate_size=cfg.intermediate_size // tp,
+        moe_intermediate_size=cfg.moe_intermediate_size // tp,
     )
 
 
 def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     """PartitionSpec pytree (prefix form) matching an init_params pytree."""
     def layer_spec(layer):
-        s = {
-            "attn_norm": REP, "mlp_norm": REP,
-            "wqkv": COL, "wo": ROW,
-            "gate_up": COL, "down": ROW,
-        }
+        s = {"attn_norm": REP, "mlp_norm": REP, "wqkv": COL, "wo": ROW}
+        if "experts_gate_up" in layer:
+            # MoE: stacked expert weights carry a leading E axis.  Under a
+            # tp-only mesh the experts replicate along E and tp-shard
+            # internally exactly like the dense MLP (parallel/ep.py adds
+            # the 'ep' leading-axis sharding on its own mesh).
+            s["moe_router"] = REP
+            s["experts_gate_up"] = P(None, None, "tp")
+            s["experts_down"] = P(None, "tp", None)
+        else:
+            s["gate_up"] = COL
+            s["down"] = ROW
         for b in ("bq", "bk", "bv"):
             if b in layer:
                 s[b] = P("tp")
@@ -116,18 +124,22 @@ def _localize_params(params, tp: int):
 
     def fix_layer(layer):
         out = dict(layer)
-        for name in ("wqkv", "gate_up"):
-            out[name] = layer[name].localized(tp, axis=1)
-        for name in ("wo", "down"):
-            out[name] = layer[name].localized(tp, axis=0)
+        for name in ("wqkv", "gate_up", "experts_gate_up"):
+            if name in layer:
+                out[name] = layer[name].localized(tp, axis=1)
+        for name in ("wo", "down", "experts_down"):
+            if name in layer:
+                out[name] = layer[name].localized(tp, axis=0)
         return out
 
     return {**params, "layers": [fix_layer(l) for l in params["layers"]]}
 
 
-def shard_params(params, mesh: Mesh):
-    """device_put the param pytree according to param_specs."""
-    specs = param_specs(params)
+def shard_params(params, mesh: Mesh, specs=None):
+    """device_put the param pytree according to param_specs (or an explicit
+    spec pytree, e.g. parallel/ep.py's expert-sharded one)."""
+    if specs is None:
+        specs = param_specs(params)
 
     def put(tree, spec):
         if isinstance(tree, QuantizedTensor):
