@@ -22,6 +22,7 @@ from tmac_tpu.tools import parity
     ("llama2-w4-zp", "llama-2-7b", {"bits": 4}),
     ("trilm-w2-sym", "trilm-3.9b", {}),
     ("llama3-w3-gqa", "llama-3-8b", {"bits": 3}),
+    ("mixtral-w2-moe", "mixtral-8x7b", {}),
 ])
 def test_model_parity_gate(label, preset, quant_kw):
     cfg = get_preset(preset, **quant_kw).scaled(8)

@@ -68,9 +68,20 @@ def dense_params(params: Dict[str, Any]) -> Dict[str, Any]:
             "mlp_norm": arr(layer["mlp_norm"]),
             "wqkv": dense_weight(layer["wqkv"]),
             "wo": dense_weight(layer["wo"]),
-            "gate_up": dense_weight(layer["gate_up"]),
-            "down": dense_weight(layer["down"]),
         }
+        if "experts_gate_up" in layer:
+            from tmac_tpu.models.moe import expert_view, num_local_experts
+            E = num_local_experts(layer["experts_gate_up"])
+            dl["moe_router"] = arr(layer["moe_router"])
+            dl["experts_gate_up"] = [
+                dense_weight(expert_view(layer["experts_gate_up"], e))
+                for e in range(E)]
+            dl["experts_down"] = [
+                dense_weight(expert_view(layer["experts_down"], e))
+                for e in range(E)]
+        else:
+            dl["gate_up"] = dense_weight(layer["gate_up"])
+            dl["down"] = dense_weight(layer["down"])
         for b in ("bq", "bk", "bv"):
             if b in layer:
                 dl[b] = arr(layer[b])
@@ -138,11 +149,30 @@ def oracle_forward(dense: Dict[str, Any], cfg: ModelConfig,
         attn = np.einsum("bhts,bshd->bthd", p, vr).reshape(B, T, H * D)
         x = x + attn @ layer["wo"]
         h = _oracle_rms(x, layer["mlp_norm"], eps)
-        gu = h @ layer["gate_up"]
-        ihalf = gu.shape[-1] // 2
-        g, u = gu[..., :ihalf], gu[..., ihalf:]
-        silu = g / (1.0 + np.exp(-g))
-        x = x + (silu * u) @ layer["down"]
+        if "moe_router" in layer:
+            # Mixtral top-k MoE: softmax over the k selected router logits
+            # (matches models/moe.route_topk), per-token expert FFN sum
+            h2 = h.reshape(-1, h.shape[-1])
+            rl = h2 @ layer["moe_router"]  # (N, E)
+            k = cfg.num_experts_per_tok
+            moe = np.zeros_like(h2)
+            for n in range(h2.shape[0]):
+                sel = np.argsort(-rl[n], kind="stable")[:k]
+                w = np.exp(rl[n, sel] - rl[n, sel].max())
+                w = w / w.sum()
+                for j, e in enumerate(sel):
+                    gu = h2[n] @ layer["experts_gate_up"][e]
+                    ihalf = gu.shape[-1] // 2
+                    g, u = gu[:ihalf], gu[ihalf:]
+                    silu = g / (1.0 + np.exp(-g))
+                    moe[n] += w[j] * ((silu * u) @ layer["experts_down"][e])
+            x = x + moe.reshape(x.shape)
+        else:
+            gu = h @ layer["gate_up"]
+            ihalf = gu.shape[-1] // 2
+            g, u = gu[..., :ihalf], gu[..., ihalf:]
+            silu = g / (1.0 + np.exp(-g))
+            x = x + (silu * u) @ layer["down"]
 
     x = _oracle_rms(x, dense["final_norm"], eps)
     if "lm_head" in dense:
@@ -261,6 +291,10 @@ GATE_CONFIGS = [
     ("phi-3-mini-w2", "phi-3-mini", {}),
     ("trilm-3.9b-w2", "trilm-3.9b", {}),
     ("qwen2-7b-w4", "qwen2-7b", {}),
+    # MoE family (net-new vs the reference).  NOTE for full-size runs: the
+    # f32 dense oracle materializes every expert (~187 GB for 8x7B) -- run
+    # this row scaled (the CI gate does) or exclude it via --presets.
+    ("mixtral-8x7b-w2", "mixtral-8x7b", {}),
 ]
 
 
