@@ -308,3 +308,76 @@ def test_convert_bitnet_gguf_end_to_end(ttype, tmp_path):
     cache = KVCache.create(cfg, 1, 8)
     logits, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]]), cache, impl="xla")
     assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
+def test_convert_gguf_moe_end_to_end(tmp_path):
+    """A llama.cpp Mixtral-style MoE artifact: 3-D stacked expert tensors
+    (ffn_{gate,up,down}_exps, block-quantized along ne0 so each expert is
+    a contiguous run of block rows) + the ffn_gate_inp router.  Expert
+    views must slice exactly and the converted model must run."""
+    rng = np.random.default_rng(11)
+    H, Ie, V, L, E = 128, 128, 512, 2, 4
+    path = str(tmp_path / "moe.gguf")
+    md = {
+        "general.architecture": "llama",
+        "llama.embedding_length": H,
+        "llama.block_count": L,
+        "llama.attention.head_count": 2,
+        "llama.attention.head_count_kv": 2,
+        "llama.feed_forward_length": Ie,
+        "llama.vocab_size": V,
+        "llama.rope.freq_base": 1e6,
+        "llama.attention.layer_norm_rms_epsilon": 1e-5,
+        "llama.attention.key_length": 64,
+        "llama.expert_count": E,
+        "llama.expert_used_count": 2,
+    }
+    std = 1 / np.sqrt(H)
+    tensors = {
+        "token_embd.weight": (gguf.GGML_F16, rng.standard_normal((V, H)) * 0.02),
+        "output_norm.weight": (gguf.GGML_F32, np.ones((H,))),
+        "output.weight": (gguf.GGML_F16, rng.standard_normal((V, H)) * 0.02),
+    }
+    ref_w = {}
+    for i in range(L):
+        p = f"blk.{i}"
+        tensors[f"{p}.attn_norm.weight"] = (gguf.GGML_F32, np.ones((H,)))
+        tensors[f"{p}.ffn_norm.weight"] = (gguf.GGML_F32, np.ones((H,)))
+        for n, shp in (("attn_q", (128, H)), ("attn_k", (128, H)),
+                       ("attn_v", (128, H)), ("attn_output", (H, 128))):
+            w = (rng.standard_normal(shp) * std).astype(np.float32)
+            tensors[f"{p}.{n}.weight"] = (gguf.GGML_Q4_0, w)
+        tensors[f"{p}.ffn_gate_inp.weight"] = (
+            gguf.GGML_F32, rng.standard_normal((E, H)) * 0.02)
+        for n, shp in (("ffn_gate_exps", (E, Ie, H)),
+                       ("ffn_up_exps", (E, Ie, H)),
+                       ("ffn_down_exps", (E, H, Ie))):
+            w = (rng.standard_normal(shp) * std).astype(np.float32)
+            tensors[f"{p}.{n}.weight"] = (gguf.GGML_Q4_0, w)
+            ref_w[f"{p}.{n}"] = w
+    gguf.write_gguf(path, md, tensors)
+
+    cfg, params = gguf.convert_gguf_model(path, name="tiny-moe-gguf")
+    assert cfg.num_experts == E and cfg.num_experts_per_tok == 2
+    assert cfg.moe_intermediate_size == Ie
+
+    # expert 2's gate/up slices must match the original per-expert weights
+    from tmac_tpu.models.moe import expert_view
+    layer = params["layers"][0]
+    x = rng.standard_normal((2, H)).astype(np.float32)
+    qt = expert_view(layer["experts_gate_up"], 2)
+    got = np.asarray(qgemm_xla(jnp.asarray(x), qt, out_dtype=jnp.float32))
+    e1 = nmse(x @ ref_w["blk.0.ffn_gate_exps"][2].T, got[:, :Ie])
+    e2 = nmse(x @ ref_w["blk.0.ffn_up_exps"][2].T, got[:, Ie:2 * Ie])
+    assert e1 < 2e-2 and e2 < 2e-2, (e1, e2)
+    qtd = expert_view(layer["experts_down"], 2)
+    gotd = np.asarray(qgemm_xla(jnp.asarray(x[:, :Ie]), qtd,
+                                out_dtype=jnp.float32))
+    e3 = nmse(x[:, :Ie] @ ref_w["blk.0.ffn_down_exps"][2].T, gotd[:, :H])
+    assert e3 < 2e-2, e3
+
+    # the model runs
+    cache = KVCache.create(cfg, 1, 8)
+    logits, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]]), cache,
+                        impl="xla")
+    assert np.isfinite(np.asarray(logits, np.float32)).all()

@@ -155,6 +155,30 @@ class GGUFReader:
         start = self._data_start + info["offset"]
         return np.frombuffer(self._mm, np.uint8, nbytes, start)
 
+    def expert_views(self, name: str) -> list:
+        """Per-expert 2-D views of a 3-D stacked expert tensor (llama.cpp
+        MoE `*_exps` layout, ne = [ne0, ne1, n_expert], block-quantized
+        along ne0: each expert is a contiguous run of block rows).
+        Registers synthetic `name[e]` tensor entries and returns their
+        names; every reader path (tensor_bytes/dequantized/
+        *_to_quantized) then works on an expert unchanged."""
+        info = self.tensors[name]
+        dims = info["dims"]
+        assert len(dims) == 3, (name, dims)
+        # I2_S carries one trailing per-TENSOR f32 scale -- per-expert
+        # byte slices would each need it; no MoE I2_S artifacts exist
+        assert info["type"] != GGML_I2_S, "I2_S expert tensors unsupported"
+        ne0, ne1, n_expert = dims
+        bele, bbytes = _block_layout(info["type"])
+        per = (ne0 * ne1) // bele * bbytes
+        out = []
+        for e in range(n_expert):
+            vn = f"{name}[{e}]"
+            self.tensors[vn] = {"dims": [ne0, ne1], "type": info["type"],
+                                "offset": info["offset"] + e * per}
+            out.append(vn)
+        return out
+
     def dequantized(self, name: str) -> np.ndarray:
         """Any supported tensor -> float32, gguf row-major shape
         (dims reversed: (ne1, ne0) = (rows, cols))."""
@@ -447,9 +471,11 @@ def model_config_from_gguf(r: GGUFReader, name: str = "gguf-model"):
     # quant mode from the matmul tensor types: ternary (BitNet i2/tq1_0/
     # tq2_0 artifacts, reference run_pipeline.py:375) -> the w_a8
     # per-tensor exact-int path; Q4_0 et al. -> the grouped w_fp path
-    t0name = ("blk.0.ffn_gate.weight"
-              if "blk.0.ffn_gate.weight" in r.tensors
-              else "blk.0.attn_q.weight")
+    n_expert = int(md.get(f"{arch}.expert_count", 0) or 0)
+    for t0name in ("blk.0.ffn_gate.weight", "blk.0.ffn_gate_exps.weight",
+                   "blk.0.attn_q.weight"):
+        if t0name in r.tensors:
+            break
     t0 = r.tensors.get(t0name, {})
     if t0.get("type") in TERNARY_TYPES:
         d = r.ternary_block_scales(t0name)
@@ -477,6 +503,11 @@ def model_config_from_gguf(r: GGUFReader, name: str = "gguf-model"):
         rope_theta=float(md.get(f"{arch}.rope.freq_base", 10000.0)),
         rms_norm_eps=float(g("attention.layer_norm_rms_epsilon", 1e-5)),
         tie_word_embeddings="output.weight" not in r.tensors,
+        num_experts=n_expert,
+        num_experts_per_tok=int(md.get(f"{arch}.expert_used_count", 2)),
+        moe_intermediate_size=int(
+            md.get(f"{arch}.expert_feed_forward_length",
+                   g("feed_forward_length"))) if n_expert else 0,
         quant=quant,
     )
 
@@ -541,7 +572,7 @@ def convert_gguf_model(path: str, tp: int = 1, name: str = "gguf-model"):
     layers = []
     for i in range(cfg.num_layers):
         p = f"blk.{i}"
-        layers.append({
+        layer = {
             "attn_norm": bf16(f"{p}.attn_norm.weight"),
             "mlp_norm": bf16(f"{p}.ffn_norm.weight"),
             "wqkv": fuse_m([
@@ -550,12 +581,32 @@ def convert_gguf_model(path: str, tp: int = 1, name: str = "gguf-model"):
                 _qt_from_gguf(r, f"{p}.attn_v.weight", tp, 1),
             ]),
             "wo": _qt_from_gguf(r, f"{p}.attn_output.weight", 1, tp),
-            "gate_up": fuse_m([
+        }
+        if cfg.num_experts > 0:
+            # llama.cpp MoE: router ffn_gate_inp (E, H) + 3-D stacked
+            # expert tensors ffn_{gate,up,down}_exps (models/moe.py)
+            from tmac_tpu.models.moe import stack_experts
+            layer["moe_router"] = jnp.asarray(
+                r.dequantized(f"{p}.ffn_gate_inp.weight").T, jnp.bfloat16)
+            gv = r.expert_views(f"{p}.ffn_gate_exps.weight")
+            uv = r.expert_views(f"{p}.ffn_up_exps.weight")
+            dv = r.expert_views(f"{p}.ffn_down_exps.weight")
+            layer["experts_gate_up"] = stack_experts([
+                fuse_m([_qt_from_gguf(r, gv[e], tp, 1),
+                        _qt_from_gguf(r, uv[e], tp, 1)])
+                for e in range(cfg.num_experts)
+            ])
+            layer["experts_down"] = stack_experts([
+                _qt_from_gguf(r, dv[e], 1, tp)
+                for e in range(cfg.num_experts)
+            ])
+        else:
+            layer["gate_up"] = fuse_m([
                 _qt_from_gguf(r, f"{p}.ffn_gate.weight", tp, 1),
                 _qt_from_gguf(r, f"{p}.ffn_up.weight", tp, 1),
-            ]),
-            "down": _qt_from_gguf(r, f"{p}.ffn_down.weight", 1, tp),
-        })
+            ])
+            layer["down"] = _qt_from_gguf(r, f"{p}.ffn_down.weight", 1, tp)
+        layers.append(layer)
 
     params: Dict[str, Any] = {
         "embed": bf16("token_embd.weight"),
@@ -777,6 +828,9 @@ def write_gguf(path: str, metadata: Dict[str, Any], tensors: Dict[str, tuple]):
     blobs, infos, off = [], [], 0
     for tname, (ttype, arr) in tensors.items():
         arr = np.asarray(arr)
+        full_shape = arr.shape
+        if arr.ndim > 2:  # stacked expert tensors: pack as stacked rows
+            arr = arr.reshape(-1, arr.shape[-1])
         if ttype == GGML_Q4_0:
             data = _pack_q4_0(arr)
         elif ttype == GGML_Q4_K:
@@ -797,7 +851,7 @@ def write_gguf(path: str, metadata: Dict[str, Any], tensors: Dict[str, tuple]):
             data = arr.astype(np.float16).tobytes()
         else:
             raise NotImplementedError(ttype)
-        dims = list(reversed(arr.shape))  # ne0 first
+        dims = list(reversed(full_shape))  # ne0 first
         infos.append((tname, dims, ttype, off))
         blobs.append(data)
         off += len(data)
