@@ -122,3 +122,58 @@ for start in (1, 270):
         best = min(best, time.perf_counter() - t0)
     print(f"full step from pos {start}: {(best-ov)/32*1e3:.3f} ms/token "
           f"({32/(best-ov):.1f} tok/s)", flush=True)
+
+
+# 5) glue itemization: full-step deltas with components ablated.
+# forward() reads TMAC_DEBUG_SKIP at TRACE time, so each setting gets a
+# fresh jit.  The deltas vs the baseline itemize what "norms + rope +
+# cache + sampling" actually costs in situ (fusion/overlap effects
+# included -- a standalone microbench can't see those).
+import warnings
+
+
+def timed_step_loop(skip: str, do_sample: bool, start: int = 270) -> float:
+    os.environ["TMAC_DEBUG_SKIP"] = skip
+
+    @jax.jit
+    def steps(tok, cache):
+        def body(i, carry):
+            tok, cache = carry
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                logits, cache = forward(params, cfg, tok[:, None], cache)
+            if do_sample:
+                nxt = sample(logits[:, -1, :], jax.random.PRNGKey(0),
+                             SamplerConfig())
+            else:
+                nxt = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
+            return (nxt, cache)
+        return jax.lax.fori_loop(0, 32, body, (tok, cache))
+
+    def fresh_cache():
+        c = KVCache.create(cfg, 1, S)
+        return KVCache(k=c.k, v=c.v, pos=jnp.asarray([start], jnp.int32))
+
+    o = steps(tok0, fresh_cache())
+    int(o[0][0])  # compile + warm
+    best = float("inf")
+    for r in range(3):
+        t0 = time.perf_counter()
+        tok, _ = steps(jnp.asarray([5 + r], jnp.int32), fresh_cache())
+        int(tok[0])
+        best = min(best, time.perf_counter() - t0)
+    os.environ.pop("TMAC_DEBUG_SKIP", None)
+    return (best - ov) / 32
+
+
+base = timed_step_loop("", True)
+print(f"\nablation table (pos 270, ms/token; delta = component cost in situ)")
+print(f"  baseline             : {base*1e3:.3f}")
+for skip, label in (("rope", "rope"), ("kvwrite", "kv write"),
+                    ("attn", "attention"), ("rope,kvwrite", "rope+kvwrite")):
+    t = timed_step_loop(skip, True)
+    print(f"  -{label:<20}: {t*1e3:.3f}  (delta {(base-t)*1e6:+.0f} us)",
+          flush=True)
+t = timed_step_loop("", False)
+print(f"  argmax-only sampling : {t*1e3:.3f}  (delta {(base-t)*1e6:+.0f} us)",
+      flush=True)
