@@ -99,6 +99,8 @@ def cmd_bench_e2e(args):
         cfg, params = _load(args)
     else:
         cfg = get_preset(args.model, bits=args.bits)
+        if getattr(args, "scale", 0):
+            cfg = cfg.scaled(args.scale)
         params = init_params(cfg, seed=0)
     ov = null_roundtrip()
     print("model,batch,prompt_len,steps,decode_tok_s,prefill_tok_s")
@@ -314,6 +316,9 @@ def main():
     b.add_argument("--batch", type=int, nargs="+", default=[1])
     b.add_argument("--prompt-len", type=int, default=16)
     b.add_argument("--steps", type=int, default=64)
+    b.add_argument("--scale", type=int, default=0,
+                   help="shrink the preset by this factor (debug/compile-"
+                        "time fallback; 0 = full size)")
     b.set_defaults(fn=cmd_bench_e2e)
 
     bs = sub.add_parser("bench-serve",
