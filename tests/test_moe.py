@@ -106,6 +106,23 @@ def test_moe_dispatch_equals_dense():
         rtol=0, atol=1e-4)
 
 
+def test_moe_select_equals_dense_decode():
+    """The decode latency path (gather only the top-k routed experts by a
+    traced index) must match the dense-masked form at N=1."""
+    cfg = _tiny_moe_cfg()
+    params = init_params(cfg, seed=9)
+    layer = params["layers"][0]
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        x = jnp.asarray(rng.standard_normal((1, 1, cfg.hidden_size)) * 0.5,
+                        jnp.bfloat16)
+        dense = np.asarray(moe_mlp(x, layer, cfg, cfg.quant.mode, impl="xla",
+                                   moe_impl="dense"), np.float32)
+        sel = np.asarray(moe_mlp(x, layer, cfg, cfg.quant.mode, impl="xla",
+                                 moe_impl="select"), np.float32)
+        np.testing.assert_allclose(dense, sel, rtol=0, atol=1e-4)
+
+
 def test_moe_dispatch_drops_overflow_tokens():
     """Capacity overflow zeroes an expert's contribution for the dropped
     tokens (Switch semantics) instead of corrupting other rows."""

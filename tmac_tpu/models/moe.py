@@ -153,9 +153,21 @@ def moe_mlp(x: jax.Array, layer: dict, cfg, mode: str, impl: str = "auto",
     ep_axis: mesh axis name when the expert stacks are sharded over
     devices (parallel/ep.py); each device sees only its leading slice of
     the stacks and weights it with its slice of the combine matrix.
-    moe_impl: 'dense' | 'dispatch' | 'auto' (dispatch for N >= 64 --
-    prefill-shaped blocks where the k/E FLOP saving beats the dispatch
-    einsums; dense for decode-shaped blocks).
+    moe_impl: 'dense' | 'dispatch' | 'select' | 'auto' (dispatch for
+    N >= 64 -- prefill-shaped blocks where the k/E FLOP saving beats the
+    dispatch einsums; dense for decode-shaped blocks).
+
+    'select' (N == 1, single-device latency mode; TMAC_MOE_SELECT=1 makes
+    'auto' pick it): gathers only the top-k routed experts' weights by a
+    traced leading-axis index and runs k FFNs instead of E.  The gather
+    materializes a copy, so HBM traffic is ~3 bytes moved per selected-
+    expert byte (read+write at the gather, read in the kernel) vs E/k
+    reads for dense -- a win whenever E/k > 3 (Mixtral 8/2: ~25% less
+    MLP traffic; 64-expert models: ~2.7x).  The zero-copy form (expert
+    index folded into the kernel's weight DMAs) needs the manual-DMA
+    kernel rewrite -- candidate for a future round; scalar-prefetch
+    indexing is NOT an option (runtime-dynamic prefetch stalls ~15 us
+    per launch, see attention_kernel.py).
     """
     B, T, H = x.shape
     from tmac_tpu.models.llama import rms_norm
@@ -173,8 +185,27 @@ def moe_mlp(x: jax.Array, layer: dict, cfg, mode: str, impl: str = "auto",
     else:
         assert E_local == cfg.num_experts, (E_local, cfg.num_experts)
 
+    import os
     if moe_impl == "auto":
-        moe_impl = "dispatch" if N >= 64 else "dense"
+        if N >= 64:
+            moe_impl = "dispatch"
+        elif (N == 1 and ep_axis is None
+              and os.environ.get("TMAC_MOE_SELECT", "0") == "1"):
+            moe_impl = "select"
+        else:
+            moe_impl = "dense"
+
+    if moe_impl == "select":
+        assert N == 1 and ep_axis is None, (N, ep_axis)
+        k = cfg.num_experts_per_tok
+        topw, topi = jax.lax.top_k(cw[0], k)  # (k,) weights already sum to 1
+        acc = jnp.zeros((N, H), jnp.float32)
+        for j in range(k):
+            gu_e = expert_view(gu_stack, topi[j])      # traced gather
+            down_e = expert_view(down_stack, topi[j])
+            ye = _expert_ffn(x2, gu_e, down_e, mode, impl, act_gs)
+            acc = acc + topw[j] * ye.astype(jnp.float32)
+        return acc.reshape(B, T, H).astype(x.dtype)
 
     if moe_impl == "dense":
         acc = jnp.zeros((N, H), jnp.float32)
