@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -146,3 +147,102 @@ def test_bench_serve_mixed_arrivals(server):
     assert len(eng.finished) == 6
     for req in eng.finished.values():
         assert len(req.output) == 6
+
+
+class _ChatTok:
+    """Minimal chat-capable tokenizer stub: token ids are character codes;
+    the chat template concatenates message contents."""
+    eos_token_id = 0
+
+    def encode(self, s):
+        return [ord(c) % 256 + 1 for c in s]
+
+    def decode(self, ids):
+        return "".join(chr((i - 1) % 26 + 97) for i in ids)
+
+    def apply_chat_template(self, messages, add_generation_prompt=True):
+        text = "".join(m["content"] for m in messages)
+        return self.encode(text)
+
+
+@pytest.fixture(scope="module")
+def chat_server():
+    cfg = get_preset("llama-2-7b").scaled(8)
+    params = init_params(cfg, seed=0)
+    eng = InferenceEngine(cfg, params, max_batch=4, max_len=64,
+                          impl="xla", decode_chunk=4)
+    httpd, serving = serve_async(eng, port=0, tokenizer=_ChatTok(),
+                                 model_name="test-model")
+    yield cfg, params, httpd.server_address[1]
+    serving.shutdown()
+    httpd.shutdown()
+
+
+def test_openai_models_endpoint(chat_server):
+    _, _, port = chat_server
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/v1/models",
+                                timeout=10) as r:
+        out = json.loads(r.read())
+    assert out["object"] == "list"
+    assert out["data"][0]["id"] == "test-model"
+
+
+def test_openai_chat_completion(chat_server):
+    cfg, params, port = chat_server
+    out = _post(port, {"messages": [{"role": "user", "content": "hi"}],
+                       "max_tokens": 6}, path="/v1/chat/completions")
+    assert out["object"] == "chat.completion"
+    assert out["model"] == "test-model"
+    ch = out["choices"][0]
+    assert ch["message"]["role"] == "assistant"
+    assert isinstance(ch["message"]["content"], str)
+    assert ch["finish_reason"] in ("stop", "length")
+    assert out["usage"]["prompt_tokens"] == 2
+    assert out["usage"]["total_tokens"] == (out["usage"]["prompt_tokens"]
+                                            + out["usage"]["completion_tokens"])
+    # content must decode the engine's actual greedy tokens
+    tok = _ChatTok()
+    ref = generate(params, cfg, np.asarray([tok.encode("hi")], np.int32),
+                   max_new_tokens=6, impl="xla")
+    ref_ids = [int(t) for t in np.asarray(ref)[0]]
+    gen = [t for t in ref_ids if t != tok.eos_token_id]
+    assert ch["message"]["content"] == tok.decode(gen)
+
+
+def test_openai_chat_stream(chat_server):
+    _, _, port = chat_server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/chat/completions",
+        data=json.dumps({"messages": [{"role": "user", "content": "yo"}],
+                         "max_tokens": 8, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for raw in r:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            body = line[len("data: "):]
+            if body == "[DONE]":
+                events.append("DONE")
+                break
+            events.append(json.loads(body))
+    assert events[-1] == "DONE"
+    chunks = [e for e in events if isinstance(e, dict)]
+    assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+    assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+    text = "".join(c["choices"][0]["delta"].get("content", "")
+                   for c in chunks)
+    assert isinstance(text, str) and len(text) > 0
+
+
+def test_openai_chat_requires_tokenizer(server):
+    _, _, port = server  # the plain fixture has no tokenizer
+    try:
+        _post(port, {"messages": [{"role": "user", "content": "x"}]},
+              path="/v1/chat/completions")
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

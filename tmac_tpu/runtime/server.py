@@ -21,6 +21,16 @@ API (JSON over HTTP):
   GET  /v1/stats      -> engine counters
   GET  /health        -> {"ok": true}
 
+OpenAI-compatible surface (so standard SDKs/tools can point at this
+server directly -- net-new vs the reference's one-shot CLI):
+  GET  /v1/models           -> {"object": "list", "data": [{"id": ...}]}
+  POST /v1/chat/completions {"messages": [{"role", "content"}, ...],
+                             "max_tokens", "temperature", "top_p",
+                             "stream"}  (needs a tokenizer with a chat
+                             template) -> chat.completion object, or an
+                             SSE stream of chat.completion.chunk deltas
+                             terminated by `data: [DONE]`
+
 Requests from concurrent clients are batched together by the engine
 (continuous batching); each HTTP handler thread blocks until its request
 completes (or consumes its stream queue).  A single scheduler thread owns
@@ -160,7 +170,8 @@ def _sampling_from_req(req: dict) -> Optional[dict]:
     return s or None
 
 
-def make_handler(serving: ServingEngine, tokenizer=None):
+def make_handler(serving: ServingEngine, tokenizer=None,
+                 model_name: str = "tmac-tpu"):
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, obj):
             body = json.dumps(obj).encode()
@@ -178,6 +189,10 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                 return self._json(200, {"ok": True})
             if self.path == "/v1/stats":
                 return self._json(200, serving.stats())
+            if self.path == "/v1/models":
+                return self._json(200, {"object": "list", "data": [
+                    {"id": model_name, "object": "model",
+                     "owned_by": "tmac-tpu"}]})
             return self._json(404, {"error": "not found"})
 
         def _stream_response(self, ids, max_tokens, eos_id, sampling):
@@ -201,7 +216,88 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                 # block, which cancels the engine request
                 gen.close()
 
+        def _chat_stream(self, ids, max_tokens, eos_id, sampling, cid):
+            """OpenAI chat.completion.chunk SSE stream."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+
+            def chunk(delta: dict, finish=None):
+                return ("data: " + json.dumps({
+                    "id": cid, "object": "chat.completion.chunk",
+                    "model": model_name,
+                    "choices": [{"index": 0, "delta": delta,
+                                 "finish_reason": finish}],
+                }) + "\n\n").encode()
+
+            gen = serving.stream(ids, max_tokens=max_tokens, eos_id=eos_id,
+                                 sampling=sampling)
+            try:
+                self.wfile.write(chunk({"role": "assistant", "content": ""}))
+                for delta, done in gen:
+                    if delta:
+                        self.wfile.write(
+                            chunk({"content": tokenizer.decode(delta)}))
+                    if done:
+                        self.wfile.write(chunk({}, finish="stop"))
+                        self.wfile.write(b"data: [DONE]\n\n")
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                gen.close()
+
+        def _chat_completions(self, req: dict):
+            """OpenAI-compatible chat endpoint (needs a tokenizer whose
+            chat template renders the message list)."""
+            if tokenizer is None or not hasattr(tokenizer,
+                                                "apply_chat_template"):
+                return self._json(400, {"error": {"message":
+                    "server has no tokenizer with a chat template",
+                    "type": "invalid_request_error"}})
+            msgs = req.get("messages")
+            if not isinstance(msgs, list) or not msgs:
+                return self._json(400, {"error": {"message":
+                    "messages must be a non-empty list",
+                    "type": "invalid_request_error"}})
+            ids = tokenizer.apply_chat_template(msgs,
+                                                add_generation_prompt=True)
+            max_tokens = int(req.get("max_tokens")
+                             or req.get("max_completion_tokens") or 128)
+            eos_id = getattr(tokenizer, "eos_token_id", None)
+            sampling = _sampling_from_req(req)
+            cid = f"chatcmpl-{int(time.time() * 1000):x}"
+            if req.get("stream"):
+                return self._chat_stream(ids, max_tokens, eos_id, sampling,
+                                         cid)
+            uid, out = serving.complete(ids, max_tokens=max_tokens,
+                                        eos_id=eos_id, sampling=sampling)
+            gen_ids = [t for t in out if eos_id is None or t != eos_id]
+            return self._json(200, {
+                "id": cid, "object": "chat.completion",
+                "model": model_name,
+                "choices": [{"index": 0,
+                             "message": {"role": "assistant",
+                                         "content": tokenizer.decode(gen_ids)},
+                             "finish_reason": "stop" if len(out) < max_tokens
+                             or (eos_id is not None and eos_id in out)
+                             else "length"}],
+                "usage": {"prompt_tokens": len(ids),
+                          "completion_tokens": len(out),
+                          "total_tokens": len(ids) + len(out)},
+            })
+
         def do_POST(self):
+            if self.path == "/v1/chat/completions":
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    return self._chat_completions(
+                        json.loads(self.rfile.read(n)))
+                except AssertionError as e:
+                    return self._json(400, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001
+                    return self._json(
+                        500, {"error": f"{type(e).__name__}: {e}"})
             if self.path != "/v1/completions":
                 return self._json(404, {"error": "not found"})
             try:
@@ -234,11 +330,12 @@ def make_handler(serving: ServingEngine, tokenizer=None):
 
 
 def serve(engine: InferenceEngine, host: str = "127.0.0.1", port: int = 8777,
-          tokenizer=None):
+          tokenizer=None, model_name: str = "tmac-tpu"):
     """Blocking serve loop. Returns the (server, serving) pair when used
     programmatically via serve_async."""
     serving = ServingEngine(engine)
-    httpd = ThreadingHTTPServer((host, port), make_handler(serving, tokenizer))
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(serving, tokenizer, model_name))
     print(f"tmac-tpu serving on http://{host}:{port}  "
           f"(batch={engine.B}, max_len={engine.S})", flush=True)
     try:
@@ -248,11 +345,12 @@ def serve(engine: InferenceEngine, host: str = "127.0.0.1", port: int = 8777,
 
 
 def serve_async(engine: InferenceEngine, host: str = "127.0.0.1", port: int = 0,
-                tokenizer=None):
+                tokenizer=None, model_name: str = "tmac-tpu"):
     """Start the server on a background thread; returns (httpd, serving).
     port=0 picks a free port (httpd.server_address[1])."""
     serving = ServingEngine(engine)
-    httpd = ThreadingHTTPServer((host, port), make_handler(serving, tokenizer))
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(serving, tokenizer, model_name))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     return httpd, serving

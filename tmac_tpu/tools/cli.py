@@ -172,7 +172,8 @@ def cmd_serve(args):
                           max_len=args.max_len, sampler=sampler,
                           decode_chunk=args.decode_chunk,
                           speculative=args.speculative)
-    serve(eng, host=args.host, port=args.port, tokenizer=tok)
+    serve(eng, host=args.host, port=args.port, tokenizer=tok,
+          model_name=cfg.name)
 
 
 def cmd_ppl(args):
