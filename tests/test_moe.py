@@ -188,6 +188,45 @@ def test_moe_engine_matches_single_stream():
         assert results[uid] == [int(t) for t in np.asarray(ref)[0]]
 
 
+def test_moe_engine_over_ep_mesh():
+    """Continuous-batching MoE serving over an ep x tp mesh: the engine
+    runs, and a slot-prefill's logits match the single-device slot
+    prefill at float-noise tolerance (same protocol as the dp x tp engine
+    test in test_engine.py)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from tmac_tpu.models.llama import KVCache as KVC
+    from tmac_tpu.runtime.engine import InferenceEngine, _prefill_slot
+    cfg = _tiny_moe_cfg(E=8, k=2)
+    params = init_params(cfg, seed=0, tp=2)
+    mesh = epmod.make_moe_mesh(ep=4, tp=2)
+    sparams = epmod.shard_params_moe(params, mesh)
+    cache = epmod.shard_cache_moe(KVC.create(cfg, 2, 64), mesh)
+    eng = InferenceEngine(
+        cfg, sparams, max_batch=2, max_len=64, impl="xla", decode_chunk=4,
+        step_fns=epmod.make_moe_engine_fns(cfg, mesh, impl="xla"),
+        cache=cache)
+    u1 = eng.submit([1, 2, 3], max_new_tokens=6)
+    u2 = eng.submit([9, 8], max_new_tokens=5)
+    res = eng.run()
+    assert len(res[u1]) == 6 and len(res[u2]) == 5
+    for t in res[u1] + res[u2]:
+        assert 0 <= t < cfg.vocab_size
+
+    toks = np.zeros((1, 16), np.int32)
+    toks[0, :3] = [1, 2, 3]
+    cache_ep = epmod.shard_cache_moe(KVC.create(cfg, 2, 64), mesh)
+    pf_ep = epmod.make_moe_engine_fns(cfg, mesh, impl="xla")[0]
+    last_ep, _ = pf_ep(sparams, jnp.asarray(toks), jnp.int32(3), cache_ep,
+                       jnp.int32(0), jnp.int32(0))
+    last_sc, _ = _prefill_slot(params, cfg, jnp.asarray(toks), jnp.int32(3),
+                               KVC.create(cfg, 2, 64), jnp.int32(0),
+                               jnp.int32(0), impl="xla", bucket=16)
+    np.testing.assert_allclose(np.asarray(last_ep, np.float32),
+                               np.asarray(last_sc, np.float32),
+                               rtol=5e-2, atol=0.08)
+
+
 def test_stack_experts_roundtrip():
     cfg = _tiny_moe_cfg()
     params = init_params(cfg, seed=1)

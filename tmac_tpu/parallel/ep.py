@@ -101,6 +101,84 @@ def shard_cache_moe(cache: KVCache, mesh: Mesh) -> KVCache:
     )
 
 
+def make_moe_engine_fns(cfg: ModelConfig, mesh: Mesh,
+                        sampler: SamplerConfig = SamplerConfig(),
+                        impl: str = "auto"):
+    """(prefill_fn, decode_fn) for runtime/engine.InferenceEngine over an
+    ep x tp mesh -- continuous-batching MoE serving (the EP analog of
+    parallel/tp.make_engine_fns; batch slots replicate over both axes,
+    expert stacks shard over 'ep', attention Megatron-shards over 'tp').
+
+    Usage:
+        mesh = make_moe_mesh(ep=4, tp=2)
+        sparams = shard_params_moe(params, mesh)
+        cache = shard_cache_moe(KVCache.create(cfg, B, S), mesh)
+        eng = InferenceEngine(cfg, sparams, max_batch=B, max_len=S,
+                              step_fns=make_moe_engine_fns(cfg, mesh),
+                              cache=cache)
+    """
+    from tmac_tpu.runtime.engine import _decode_chunk_body, _prefill_slot_body
+
+    ep, tp = mesh.shape["ep"], mesh.shape.get("tp", 1)
+    check_moe_cfg(cfg, ep, tp)
+    lcfg = local_cfg(cfg, tp)
+    cspecs = cache_specs_moe()
+    tp_axis = "tp" if tp > 1 else None
+    ep_axis = "ep" if ep > 1 else None
+
+    def _fwd(params):
+        return lambda t, c, active=None: forward(
+            params, lcfg, t, c, impl=impl, tp_axis=tp_axis, ep_axis=ep_axis,
+            active=active)
+
+    def _prefill(params, tokens, true_len, cache, slot, start_pos):
+        params = _localize_params(params, tp)
+        return _prefill_slot_body(_fwd(params), tokens, true_len, cache,
+                                  slot, start_pos)
+
+    def _decode(params, last, cache, keys, active, eos_ids, remaining,
+                state=None):
+        params = _localize_params(params, tp)
+        return _decode_chunk_body(_fwd(params), sampler, last, cache, keys,
+                                  active, eos_ids=eos_ids,
+                                  remaining=remaining, state=state)
+
+    # shard_maps built lazily on first call (param_specs needs the pytree;
+    # decode keyed by whether a per-slot SamplerState rides along)
+    _prefill_sm = None
+    _decode_sms = {}
+
+    def prefill_fn(params, tokens, true_len, cache, slot, start_pos):
+        nonlocal _prefill_sm
+        if _prefill_sm is None:
+            pspecs = param_specs_moe(params)
+            _prefill_sm = jax.jit(shard_map(
+                _prefill, mesh,
+                in_specs=(pspecs, REP, REP, cspecs, REP, REP),
+                out_specs=(REP, cspecs)))
+        return _prefill_sm(params, tokens, true_len, cache, slot, start_pos)
+
+    def decode_fn(params, last, cache, keys, active, eos_ids=None,
+                  remaining=None, state=None):
+        B = int(last.shape[0])
+        if eos_ids is None:
+            eos_ids = jnp.full((B,), -1, jnp.int32)
+        if remaining is None:
+            remaining = jnp.full((B,), keys.shape[0], jnp.int32)
+        key_sm = state is not None
+        if key_sm not in _decode_sms:
+            pspecs = param_specs_moe(params)
+            st_spec = jax.tree.map(lambda _: REP, state) if key_sm else None
+            _decode_sms[key_sm] = jax.jit(shard_map(
+                _decode, mesh,
+                in_specs=(pspecs, REP, cspecs, REP, REP, REP, REP, st_spec),
+                out_specs=(REP, cspecs)), donate_argnums=(2,))
+        return _decode_sms[key_sm](params, last, cache, keys, active,
+                                   eos_ids, remaining, state)
+
+    return prefill_fn, decode_fn
+
+
 def make_ep_step(cfg: ModelConfig, mesh: Mesh, params,
                  sampler: SamplerConfig = SamplerConfig(),
                  impl: str = "auto"):
