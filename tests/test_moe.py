@@ -146,6 +146,32 @@ def test_moe_dispatch_drops_overflow_tokens():
     assert row_zero.sum() > 0 and row_match.sum() >= 16
 
 
+def test_moe_dispatch_padding_does_not_steal_capacity():
+    """Right-padded rows (engine prefill buckets) must not consume
+    dispatch capacity: with a valid mask, the real rows' outputs match the
+    dense form even when the padded batch would overflow capacity."""
+    cfg = _tiny_moe_cfg(E=2, k=1)
+    params = init_params(cfg, seed=13)
+    layer = params["layers"][0]
+    rng = np.random.default_rng(7)
+    n_real, n_pad = 24, 104  # 128 total rows, capacity sized for ~real only
+    x_real = rng.standard_normal((1, n_real, cfg.hidden_size))
+    x = jnp.asarray(np.concatenate(
+        [x_real, np.ones((1, n_pad, cfg.hidden_size))], 1), jnp.bfloat16)
+    valid = jnp.asarray(
+        np.arange(n_real + n_pad)[None, :] < n_real)
+    out = np.asarray(moe_mlp(x, layer, cfg, cfg.quant.mode, impl="xla",
+                             moe_impl="dispatch", capacity=32, valid=valid),
+                     np.float32)
+    dense = np.asarray(moe_mlp(x, layer, cfg, cfg.quant.mode, impl="xla",
+                               moe_impl="dense"), np.float32)
+    # every real row survives (no capacity theft by the 104 pad rows, which
+    # would certainly overflow capacity 32 if they routed); pad rows zero
+    np.testing.assert_allclose(out[0, :n_real], dense[0, :n_real],
+                               rtol=0, atol=1e-4)
+    assert (np.abs(out[0, n_real:]).max() == 0.0)
+
+
 def test_expert_capacity_static():
     cfg = _tiny_moe_cfg(E=4, k=2)
     c = expert_capacity(256, cfg)

@@ -215,8 +215,17 @@ def convert_hf_model(model_dir: str, quant: Optional[QuantConfig] = None,
             "wo": _qt_from_hf_linear(reader, f"{at}.o_proj", quant, gptq_v2, tp, 1),
         }
         if cfg.num_experts > 0:
-            # Mixtral block_sparse_moe (experts.{e}.w1/w3/w2) or
-            # Qwen2-MoE-style mlp.experts.{e}.gate/up/down_proj naming
+            # Mixtral routing semantics ONLY (softmax over the k selected
+            # router logits, no shared expert -- models/moe.route_topk).
+            # Checkpoints with shared experts or all-expert-softmax
+            # routing (Qwen2-MoE, DeepSeek) would silently convert to a
+            # wrong model, so refuse them explicitly.
+            if (f"{p}.mlp.shared_expert.gate_proj.weight" in reader
+                    or f"{p}.mlp.shared_experts.gate_proj.weight" in reader):
+                raise NotImplementedError(
+                    "shared-expert MoE checkpoints (Qwen2-MoE/DeepSeek "
+                    "style) are not supported -- only Mixtral-style "
+                    "top-k routing")
             from tmac_tpu.models.llama import padded_moe_intermediate
             from tmac_tpu.models.moe import stack_experts
             Iep = padded_moe_intermediate(cfg, tp)
@@ -224,6 +233,7 @@ def convert_hf_model(model_dir: str, quant: Optional[QuantConfig] = None,
                 moe, gname = f"{p}.block_sparse_moe", "gate"
                 names = ("w1", "w3", "w2")
             else:
+                # per-expert gate/up/down_proj naming, Mixtral routing
                 moe, gname = f"{p}.mlp", "gate"
                 names = ("gate_proj", "up_proj", "down_proj")
             router = np.asarray(_bf16(reader, f"{moe}.{gname}.weight"),

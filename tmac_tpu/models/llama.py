@@ -231,18 +231,21 @@ def padded_intermediate(cfg: ModelConfig, tp: int) -> int:
     aligned lane slices.  Cost: e.g. bitnet-3b 8640 -> 8704 (+0.74 %
     gate/up/down weight bytes); every other preset is already aligned.
     """
-    from tmac_tpu.utils import round_up
-    gs = cfg.quant.group_size
-    align = int(np.lcm(tp * max(gs, 1), 128))
-    return round_up(cfg.intermediate_size, align)
+    return _padded_ffn_width(cfg.intermediate_size, cfg, tp)
 
 
 def padded_moe_intermediate(cfg: ModelConfig, tp: int) -> int:
     """padded_intermediate for the per-expert FFN width (MoE models)."""
+    return _padded_ffn_width(cfg.moe_intermediate_size, cfg, tp)
+
+
+def _padded_ffn_width(size: int, cfg: ModelConfig, tp: int) -> int:
+    """One alignment rule for every FFN width (see padded_intermediate's
+    docstring for the rationale)."""
     from tmac_tpu.utils import round_up
     gs = cfg.quant.group_size
     align = int(np.lcm(tp * max(gs, 1), 128))
-    return round_up(cfg.moe_intermediate_size, align)
+    return round_up(size, align)
 
 
 def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16,
@@ -432,7 +435,8 @@ def _write_kv_stacked(buf: jax.Array, li: int, kv: jax.Array,
 def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             impl: str = "auto", tp_axis: Optional[str] = None,
             active: Optional[jax.Array] = None,
-            ep_axis: Optional[str] = None):
+            ep_axis: Optional[str] = None,
+            valid: Optional[jax.Array] = None):
     """Run T tokens (prefill or single-step decode) starting at cache.pos.
 
     tokens: (B, T) int32. Returns (logits (B, T, vocab), updated cache).
@@ -450,6 +454,10 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
     (tmac_gemm_wrapper.h:197-228) lifted to chips + ICI collectives.
     ep_axis: mesh axis the MoE expert stacks are sharded over
     (parallel/ep.py); ignored for dense models.
+    valid: optional (B, T) bool marking real (non-padding) tokens; only
+    the MoE capacity-dispatch path consumes it (padding must not steal
+    expert capacity -- models/moe.py); dense compute on padded rows is
+    discarded downstream as usual.
     """
     B, T = tokens.shape
     mode = cfg.quant.mode
@@ -555,7 +563,7 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             # both the row-parallel down partials and the expert partials.
             from tmac_tpu.models.moe import moe_mlp
             d = moe_mlp(x, layer, cfg, mode, impl, act_gs=ags,
-                        ep_axis=ep_axis)
+                        ep_axis=ep_axis, valid=valid)
             axes = tuple(a for a in (tp_axis, ep_axis) if a is not None)
             if axes:
                 d = jax.lax.psum(d, axes)

@@ -98,9 +98,14 @@ def route_topk(x2: jax.Array, router: jax.Array, k: int) -> jax.Array:
     return jnp.sum(onehot * w[..., None], axis=1)  # (N, E)
 
 
-def expert_capacity(n_tokens: int, cfg, capacity_factor: float = 1.25) -> int:
+def expert_capacity(n_tokens: int, cfg, capacity_factor: float = 2.0) -> int:
     """Static per-expert token capacity for the dispatch path (multiple of
-    8 so expert blocks stay sublane-aligned)."""
+    8 so expert blocks stay sublane-aligned).
+
+    The 2.0 default tolerates expert load up to 2x uniform before
+    dropping -- Mixtral-class routers are trained near-balanced, and
+    inference exactness matters more than the last factor-of-two FLOP
+    saving (the dense form is always available as the exact fallback)."""
     import math
     c = math.ceil(n_tokens * cfg.num_experts_per_tok * capacity_factor
                   / cfg.num_experts)
@@ -139,8 +144,8 @@ def _expert_ffn(x2: jax.Array, gu_qt: QuantizedTensor,
 
 def moe_mlp(x: jax.Array, layer: dict, cfg, mode: str, impl: str = "auto",
             act_gs: int = 0, ep_axis: Optional[str] = None,
-            moe_impl: str = "auto", capacity: Optional[int] = None
-            ) -> jax.Array:
+            moe_impl: str = "auto", capacity: Optional[int] = None,
+            valid: Optional[jax.Array] = None) -> jax.Array:
     """The MoE replacement for the gate_up/down block.
 
     x (B, T, H) pre-norm hidden states.  Returns the (B, T, H) expert-
@@ -153,9 +158,15 @@ def moe_mlp(x: jax.Array, layer: dict, cfg, mode: str, impl: str = "auto",
     ep_axis: mesh axis name when the expert stacks are sharded over
     devices (parallel/ep.py); each device sees only its leading slice of
     the stacks and weights it with its slice of the combine matrix.
-    moe_impl: 'dense' | 'dispatch' | 'select' | 'auto' (dispatch for
-    N >= 64 -- prefill-shaped blocks where the k/E FLOP saving beats the
-    dispatch einsums; dense for decode-shaped blocks).
+    moe_impl: 'dense' | 'dispatch' | 'select' | 'auto'.  Auto picks
+    dispatch only for PREFILL-shaped blocks (T > 1 and N >= 64, where the
+    k/E FLOP saving beats the dispatch einsums); decode (T == 1) always
+    uses the exact dense-masked form no matter the batch -- capacity
+    dispatch on a decode batch would let stale/inactive engine slots
+    steal expert capacity from live ones.
+    valid: optional (B, T) bool -- rows marked False (e.g. right-padding
+    in an engine prefill bucket) get zero combine weight, so they neither
+    consume dispatch capacity nor contribute output.
 
     'select' (N == 1, single-device latency mode; TMAC_MOE_SELECT=1 makes
     'auto' pick it): gathers only the top-k routed experts' weights by a
@@ -176,6 +187,8 @@ def moe_mlp(x: jax.Array, layer: dict, cfg, mode: str, impl: str = "auto",
     N = x2.shape[0]
 
     cw = route_topk(x2, layer["moe_router"], cfg.num_experts_per_tok)
+    if valid is not None:
+        cw = cw * valid.reshape(-1, 1).astype(cw.dtype)
     gu_stack: QuantizedTensor = layer["experts_gate_up"]
     down_stack: QuantizedTensor = layer["experts_down"]
     E_local = num_local_experts(gu_stack)
@@ -187,7 +200,7 @@ def moe_mlp(x: jax.Array, layer: dict, cfg, mode: str, impl: str = "auto",
 
     import os
     if moe_impl == "auto":
-        if N >= 64:
+        if T > 1 and N >= 64:
             moe_impl = "dispatch"
         elif (N == 1 and ep_axis is None
               and os.environ.get("TMAC_MOE_SELECT", "0") == "1"):

@@ -45,10 +45,7 @@ def make_moe_mesh(ep: int, tp: int = 1, devices=None) -> Mesh:
 def check_moe_cfg(cfg: ModelConfig, ep: int, tp: int = 1):
     assert cfg.num_experts > 0, "ep sharding needs an MoE model"
     assert cfg.num_experts % ep == 0, (cfg.num_experts, ep)
-    check_cfg(cfg, tp)
-    gs = cfg.quant.group_size
-    if gs != -1 and tp > 1:
-        assert (cfg.moe_intermediate_size // tp) % gs == 0
+    check_cfg(cfg, tp)  # includes the MoE FFN-width group-size rule
 
 
 def param_specs_moe(params) -> dict:
@@ -127,9 +124,9 @@ def make_moe_engine_fns(cfg: ModelConfig, mesh: Mesh,
     ep_axis = "ep" if ep > 1 else None
 
     def _fwd(params):
-        return lambda t, c, active=None: forward(
+        return lambda t, c, active=None, valid=None: forward(
             params, lcfg, t, c, impl=impl, tp_axis=tp_axis, ep_axis=ep_axis,
-            active=active)
+            active=active, valid=valid)
 
     def _prefill(params, tokens, true_len, cache, slot, start_pos):
         params = _localize_params(params, tp)

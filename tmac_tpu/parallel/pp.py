@@ -72,6 +72,9 @@ def stack_params_pp(params: Dict[str, Any], pp: int, tp: int = 1):
     """
     L = len(params["layers"])
     assert L % pp == 0, f"num_layers {L} must divide pp={pp}"
+    assert "experts_gate_up" not in params["layers"][0], \
+        "MoE models are not supported under pp (stack/shard experts " \
+        "over 'ep' instead -- parallel/ep.py)"
     Lp = L // pp
     names = params["layers"][0].keys()
     stages = {}

@@ -240,6 +240,9 @@ def make_sp_prefill(cfg: ModelConfig, mesh: Mesh, impl: str = "auto",
     is bounded by `attn_chunk` (online softmax), so long contexts don't
     materialize O(T^2) f32 scores.
     """
+    assert cfg.num_experts == 0, (
+        "MoE models are not supported under sp (expert stacks would "
+        "replicate; shard them over 'ep' instead -- parallel/ep.py)")
     sp = mesh.shape["sp"]
     tp = mesh.shape.get("tp", 1)
     tp_axis = "tp" if tp > 1 else None

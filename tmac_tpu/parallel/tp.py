@@ -67,6 +67,11 @@ def check_cfg(cfg: ModelConfig, tp: int):
         # row-parallel wo: scale groups must not straddle shard boundaries
         assert (cfg.q_dim // tp) % gs == 0, (
             f"q_dim/tp ({cfg.q_dim}/{tp}) must be a multiple of group_size {gs}")
+        if cfg.num_experts > 0 and tp > 1:
+            # row-parallel experts_down: same rule for the expert FFN width
+            assert (cfg.moe_intermediate_size // tp) % gs == 0, (
+                f"moe_intermediate/tp ({cfg.moe_intermediate_size}/{tp}) "
+                f"must be a multiple of group_size {gs}")
 
 
 def local_cfg(cfg: ModelConfig, tp: int) -> ModelConfig:
@@ -194,9 +199,9 @@ def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
     cspecs = cache_specs()
 
     def _fwd(params):
-        return lambda t, c, active=None: forward(
+        return lambda t, c, active=None, valid=None: forward(
             params, lcfg, t, c, impl=impl,
-            tp_axis="tp" if tp > 1 else None, active=active)
+            tp_axis="tp" if tp > 1 else None, active=active, valid=valid)
 
     def _prefill(params, tokens, true_len, cache, slot, start_pos):
         params = _localize_params(params, tp)

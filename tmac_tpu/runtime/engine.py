@@ -88,7 +88,9 @@ def _prefill_slot_body(forward_fn, tokens, true_len, cache: KVCache, slot,
         v=jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1),
         pos=start_pos[None].astype(jnp.int32),
     )
-    logits, sub = forward_fn(tokens, sub)
+    # right-padding mask: padded rows must not steal MoE dispatch capacity
+    valid = (jnp.arange(tokens.shape[1]) < true_len)[None, :]
+    logits, sub = forward_fn(tokens, sub, valid=valid)
     k = jax.lax.dynamic_update_slice_in_dim(cache.k, sub.k, slot, axis=1)
     v = jax.lax.dynamic_update_slice_in_dim(cache.v, sub.v, slot, axis=1)
     pos = jax.lax.dynamic_update_slice(
@@ -155,8 +157,8 @@ def _prefill_slot(params, cfg: ModelConfig, tokens, true_len, cache: KVCache,
     """Single-chip prefill-into-slot. One compile per bucket."""
     del bucket
     return _prefill_slot_body(
-        lambda t, c, active=None: forward(params, cfg, t, c, impl=impl,
-                                          active=active),
+        lambda t, c, active=None, valid=None: forward(
+            params, cfg, t, c, impl=impl, active=active, valid=valid),
         tokens, true_len, cache, slot, start_pos)
 
 
@@ -173,8 +175,8 @@ def _decode_chunk(params, cfg: ModelConfig, last_tokens, cache: KVCache,
     """Single-chip decode chunk: `steps` tokens for every active slot."""
     del steps
     return _decode_chunk_body(
-        lambda t, c, active=None: forward(params, cfg, t, c, impl=impl,
-                                          active=active),
+        lambda t, c, active=None, valid=None: forward(
+            params, cfg, t, c, impl=impl, active=active, valid=valid),
         sampler, last_tokens, cache, keys, active, eos_ids=eos_ids,
         remaining=remaining, state=state)
 

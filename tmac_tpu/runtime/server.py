@@ -234,14 +234,21 @@ def make_handler(serving: ServingEngine, tokenizer=None,
 
             gen = serving.stream(ids, max_tokens=max_tokens, eos_id=eos_id,
                                  sampling=sampling)
+            saw_eos = False
             try:
                 self.wfile.write(chunk({"role": "assistant", "content": ""}))
                 for delta, done in gen:
+                    if eos_id is not None and eos_id in delta:
+                        # keep the streamed text identical to the
+                        # non-stream path, which strips eos
+                        saw_eos = True
+                        delta = [t for t in delta if t != eos_id]
                     if delta:
                         self.wfile.write(
                             chunk({"content": tokenizer.decode(delta)}))
                     if done:
-                        self.wfile.write(chunk({}, finish="stop"))
+                        self.wfile.write(chunk(
+                            {}, finish="stop" if saw_eos else "length"))
                         self.wfile.write(b"data: [DONE]\n\n")
                     self.wfile.flush()
             except (BrokenPipeError, ConnectionResetError):
