@@ -140,40 +140,9 @@ def make_moe_engine_fns(cfg: ModelConfig, mesh: Mesh,
                                   active, eos_ids=eos_ids,
                                   remaining=remaining, state=state)
 
-    # shard_maps built lazily on first call (param_specs needs the pytree;
-    # decode keyed by whether a per-slot SamplerState rides along)
-    _prefill_sm = None
-    _decode_sms = {}
-
-    def prefill_fn(params, tokens, true_len, cache, slot, start_pos):
-        nonlocal _prefill_sm
-        if _prefill_sm is None:
-            pspecs = param_specs_moe(params)
-            _prefill_sm = jax.jit(shard_map(
-                _prefill, mesh,
-                in_specs=(pspecs, REP, REP, cspecs, REP, REP),
-                out_specs=(REP, cspecs)))
-        return _prefill_sm(params, tokens, true_len, cache, slot, start_pos)
-
-    def decode_fn(params, last, cache, keys, active, eos_ids=None,
-                  remaining=None, state=None):
-        B = int(last.shape[0])
-        if eos_ids is None:
-            eos_ids = jnp.full((B,), -1, jnp.int32)
-        if remaining is None:
-            remaining = jnp.full((B,), keys.shape[0], jnp.int32)
-        key_sm = state is not None
-        if key_sm not in _decode_sms:
-            pspecs = param_specs_moe(params)
-            st_spec = jax.tree.map(lambda _: REP, state) if key_sm else None
-            _decode_sms[key_sm] = jax.jit(shard_map(
-                _decode, mesh,
-                in_specs=(pspecs, REP, cspecs, REP, REP, REP, REP, st_spec),
-                out_specs=(REP, cspecs)), donate_argnums=(2,))
-        return _decode_sms[key_sm](params, last, cache, keys, active,
-                                   eos_ids, remaining, state)
-
-    return prefill_fn, decode_fn
+    from tmac_tpu.parallel.tp import _lazy_engine_wrappers
+    return _lazy_engine_wrappers(mesh, param_specs_moe, cspecs,
+                                 _prefill, _decode)
 
 
 def make_ep_step(cfg: ModelConfig, mesh: Mesh, params,

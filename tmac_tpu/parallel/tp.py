@@ -245,16 +245,27 @@ def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
                                   active, eos_ids=eos_ids,
                                   remaining=remaining, state=state)
 
-    # shard_maps built lazily on first call (param_specs needs the pytree;
-    # decode keyed by whether a per-slot SamplerState rides along)
+    return _lazy_engine_wrappers(
+        mesh, param_specs, cspecs, _prefill, _decode,
+        b_spec=P("dp") if dp > 1 else REP,
+        out_tok_spec=P("dp", None) if dp > 1 else REP)
+
+
+def _lazy_engine_wrappers(mesh, specs_fn, cspecs, _prefill, _decode,
+                          b_spec=REP, out_tok_spec=REP):
+    """Shared (prefill_fn, decode_fn) plumbing for mesh engine fns
+    (make_engine_fns here, parallel/ep.make_moe_engine_fns): shard_maps
+    built lazily on first call (the param-spec pytree needs the params),
+    decode keyed by whether a per-slot SamplerState rides along, with
+    eos/remaining defaults filled.  b_spec: how per-slot (B,) vectors
+    shard (P('dp') when the batch is dp-sharded, replicated otherwise)."""
     _prefill_sm = None
     _decode_sms = {}
-    B_SPEC = P("dp") if dp > 1 else REP
 
     def prefill_fn(params, tokens, true_len, cache, slot, start_pos):
         nonlocal _prefill_sm
         if _prefill_sm is None:
-            pspecs = param_specs(params)
+            pspecs = specs_fn(params)
             _prefill_sm = jax.jit(shard_map(
                 _prefill, mesh,
                 in_specs=(pspecs, REP, REP, cspecs, REP, REP),
@@ -270,14 +281,14 @@ def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
             remaining = jnp.full((B,), keys.shape[0], jnp.int32)
         key_sm = state is not None
         if key_sm not in _decode_sms:
-            pspecs = param_specs(params)
-            st_spec = jax.tree.map(lambda _: B_SPEC, state) \
+            pspecs = specs_fn(params)
+            st_spec = jax.tree.map(lambda _: b_spec, state) \
                 if key_sm else None
             _decode_sms[key_sm] = jax.jit(shard_map(
                 _decode, mesh,
-                in_specs=(pspecs, B_SPEC, cspecs, REP, B_SPEC, B_SPEC,
-                          B_SPEC, st_spec),
-                out_specs=(P("dp", None) if dp > 1 else REP, cspecs)),
+                in_specs=(pspecs, b_spec, cspecs, REP, b_spec, b_spec,
+                          b_spec, st_spec),
+                out_specs=(out_tok_spec, cspecs)),
                 donate_argnums=(2,))
         return _decode_sms[key_sm](params, last, cache, keys, active,
                                    eos_ids, remaining, state)
