@@ -168,3 +168,60 @@ def test_hw_flash_decode_vs_oracle(D, S):
                 o = p @ vb[li, b, h, :n, :D]
                 got = np.asarray(out).reshape(B, KV, rep, -1)[b, h, r, :D]
                 assert nmse(o, got) < 1e-3, (b, h, r)
+
+
+def test_hw_moe_mlp_pallas_vs_xla():
+    """MoE MLP through the compiled pallas expert kernels (dense, select,
+    and dispatch forms) vs the XLA dequant path on the same weights."""
+    import dataclasses
+
+    from tmac_tpu.models.config import get_preset
+    from tmac_tpu.models.llama import init_params, rms_norm
+    from tmac_tpu.models.moe import moe_mlp
+
+    cfg = dataclasses.replace(
+        get_preset("mixtral-8x7b").scaled(8), num_experts=4,
+        num_experts_per_tok=2, num_kv_heads=2, moe_intermediate_size=1024)
+    params = init_params(cfg, seed=0)
+    layer = params["layers"][0]
+    rng = np.random.default_rng(0)
+
+    # decode-shaped (dense + select) and prefill-shaped (dispatch) blocks
+    for T, moe_impl in ((1, "dense"), (1, "select"), (96, "dispatch")):
+        x = jnp.asarray(rng.standard_normal((1, T, cfg.hidden_size)) * 0.5,
+                        jnp.bfloat16)
+        got = np.asarray(moe_mlp(x, layer, cfg, cfg.quant.mode,
+                                 impl="pallas", moe_impl=moe_impl),
+                         np.float32)
+        want = np.asarray(moe_mlp(x, layer, cfg, cfg.quant.mode,
+                                  impl="xla", moe_impl="dense"), np.float32)
+        assert nmse(want, got) < 5e-4, (moe_impl, nmse(want, got))
+
+
+def test_hw_moe_forward_decode():
+    """Full MoE model forward on the chip: prefill + 3 greedy decode steps
+    through the flash-decode attention and pallas expert kernels."""
+    import dataclasses
+
+    from tmac_tpu.models.config import get_preset
+    from tmac_tpu.models.llama import KVCache, forward, init_params
+
+    cfg = dataclasses.replace(
+        get_preset("mixtral-8x7b").scaled(8), num_experts=4,
+        num_experts_per_tok=2, num_kv_heads=2, moe_intermediate_size=1024)
+    params = init_params(cfg, seed=1)
+    rng = np.random.default_rng(2)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)))
+    cache = KVCache.create(cfg, 1, 128)
+    logits, cache = forward(params, cfg, toks, cache)
+    ref_logits, _ = forward(params, cfg, toks, KVCache.create(cfg, 1, 128),
+                            impl="xla")
+    e = nmse(np.asarray(ref_logits, np.float32),
+             np.asarray(logits, np.float32))
+    assert e < 2e-3, e
+    tok = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
+    for _ in range(3):
+        lg, cache = forward(params, cfg, tok[:, None], cache)
+        tok = jnp.argmax(lg[:, -1, :], -1).astype(jnp.int32)
+    assert int(cache.pos[0]) == 11
+    assert np.isfinite(np.asarray(lg, np.float32)).all()
