@@ -67,3 +67,64 @@ def test_forward_decode_uses_flash_path_equivalence():
     ref = _oracle(np.asarray(qb, np.float32), np.asarray(kb, np.float32),
                   np.asarray(vb, np.float32), lens)
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_decode_append_matches_stacked():
+    """The append variant (current token's k/v as operands, cache holding
+    only the prefix) must equal flash_decode over a cache that already
+    contains the current token -- including a fresh slot (cached len 0)."""
+    from tmac_tpu.ops.pallas.attention_kernel import (
+        flash_decode_stacked, flash_decode_stacked_append)
+    rng = np.random.default_rng(4)
+    B, KV, rep, D, S, L = 3, 2, 4, 128, 64, 2
+    q = jnp.asarray(rng.standard_normal((B, KV, rep, D)), jnp.float32)
+    kc = rng.standard_normal((L, B, KV, S, D)).astype(np.float32)
+    vc = rng.standard_normal((L, B, KV, S, D)).astype(np.float32)
+    cached = np.array([0, 17, S - 1])  # fresh slot, mid, full-minus-one
+    ck = rng.standard_normal((B, KV, D)).astype(np.float32)
+    cv = rng.standard_normal((B, KV, D)).astype(np.float32)
+    li = 1
+
+    # reference: write the current token at position `cached` then run the
+    # plain stacked kernel with lens = cached + 1
+    kw, vw = kc.copy(), vc.copy()
+    for b in range(B):
+        kw[li, b, :, cached[b], :] = ck[b]
+        vw[li, b, :, cached[b], :] = cv[b]
+    want = np.asarray(flash_decode_stacked(
+        q, jnp.asarray(kw), jnp.asarray(vw), jnp.asarray(cached + 1),
+        jnp.int32(li), blk=32, interpret=True))
+
+    got = np.asarray(flash_decode_stacked_append(
+        q, jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(cached),
+        jnp.int32(li), jnp.asarray(ck), jnp.asarray(cv), blk=32,
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_decode_append_unpadded_head_dim():
+    """Append variant with logical head_dim below the padded cache dim."""
+    from tmac_tpu.ops.pallas.attention_kernel import (
+        flash_decode_stacked, flash_decode_stacked_append)
+    rng = np.random.default_rng(5)
+    B, KV, rep, Dl, Dp, S = 2, 2, 2, 100, 128, 32
+    q = jnp.asarray(rng.standard_normal((B, KV, rep, Dl)), jnp.float32)
+    kc = np.zeros((1, B, KV, S, Dp), np.float32)
+    vc = np.zeros((1, B, KV, S, Dp), np.float32)
+    kc[..., :Dl] = rng.standard_normal((1, B, KV, S, Dl))
+    vc[..., :Dl] = rng.standard_normal((1, B, KV, S, Dl))
+    cached = np.array([5, 12])
+    ck = rng.standard_normal((B, KV, Dl)).astype(np.float32)
+    cv = rng.standard_normal((B, KV, Dl)).astype(np.float32)
+    kw, vw = kc.copy(), vc.copy()
+    for b in range(B):
+        kw[0, b, :, cached[b], :Dl] = ck[b]
+        vw[0, b, :, cached[b], :Dl] = cv[b]
+    want = np.asarray(flash_decode_stacked(
+        q, jnp.asarray(kw), jnp.asarray(vw), jnp.asarray(cached + 1),
+        jnp.int32(0), blk=32, interpret=True))
+    got = np.asarray(flash_decode_stacked_append(
+        q, jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(cached),
+        jnp.int32(0), jnp.asarray(ck), jnp.asarray(cv), blk=32,
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

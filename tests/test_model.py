@@ -159,3 +159,36 @@ def test_block_kernel_decode_matches_xla(monkeypatch):
     lb2, _ = forward(params, cfg, step, cache_b, impl="pallas")  # block path
     from tmac_tpu.utils import nmse
     assert nmse(np.asarray(la2, np.float32), np.asarray(lb2, np.float32)) < 2e-3
+
+
+def test_deferred_kv_decode_matches_default():
+    """The deferred-KV decode mode (flash append attention + one batched
+    cache commit) must match the default per-layer-write step: same
+    logits (to float tolerance) and a bit-identical committed cache."""
+    from tmac_tpu.utils import nmse
+    cfg = get_preset("llama-2-7b").scaled(8)
+    params = init_params(cfg, seed=4)
+    B = 2
+    cache_a = KVCache.create(cfg, B, 64)
+    cache_b = KVCache.create(cfg, B, 64)
+    toks = jnp.asarray([[1, 2, 3], [7, 5, 2]])
+    _, cache_a = forward(params, cfg, toks, cache_a, impl="xla")
+    _, cache_b = forward(params, cfg, toks, cache_b, impl="xla")
+
+    step = jnp.asarray([[9], [11]])
+    la, cache_a = forward(params, cfg, step, cache_a, impl="xla",
+                          deferred_kv=False)
+    lb, cache_b = forward(params, cfg, step, cache_b, impl="xla",
+                          deferred_kv=True)  # interpret-mode flash append
+    assert nmse(np.asarray(la, np.float32), np.asarray(lb, np.float32)) < 1e-4
+    np.testing.assert_array_equal(np.asarray(cache_a.k), np.asarray(cache_b.k))
+    np.testing.assert_array_equal(np.asarray(cache_a.v), np.asarray(cache_b.v))
+    np.testing.assert_array_equal(np.asarray(cache_a.pos),
+                                  np.asarray(cache_b.pos))
+
+    # a further default step from each cache stays consistent
+    la2, _ = forward(params, cfg, jnp.asarray([[4], [6]]), cache_a,
+                     impl="xla")
+    lb2, _ = forward(params, cfg, jnp.asarray([[4], [6]]), cache_b,
+                     impl="xla")
+    np.testing.assert_array_equal(np.asarray(la2), np.asarray(lb2))

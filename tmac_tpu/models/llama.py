@@ -436,7 +436,8 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             impl: str = "auto", tp_axis: Optional[str] = None,
             active: Optional[jax.Array] = None,
             ep_axis: Optional[str] = None,
-            valid: Optional[jax.Array] = None):
+            valid: Optional[jax.Array] = None,
+            deferred_kv: Optional[bool] = None):
     """Run T tokens (prefill or single-step decode) starting at cache.pos.
 
     tokens: (B, T) int32. Returns (logits (B, T, vocab), updated cache).
@@ -458,6 +459,12 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
     the MoE capacity-dispatch path consumes it (padding must not steal
     expert capacity -- models/moe.py); dense compute on padded rows is
     discarded downstream as usual.
+    deferred_kv: decode-only (T == 1) KV-write batching: attention takes
+    the current token's k/v as kernel operands (flash append variant) so
+    the per-layer cache writes defer to ONE batched update pair after the
+    layer loop -- 2 dynamic_update_slices per step instead of 2 per
+    layer.  None = env default (TMAC_DEFERRED_KV=1 on the TPU flash
+    path; opt-in until measured on hardware).
     """
     B, T = tokens.shape
     mode = cfg.quant.mode
@@ -479,6 +486,15 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
     S = cache.max_len
     kv_len_mask = jnp.arange(S)[None, :] < (cache.pos[:, None] + T)  # (B,S)
     rope_cs = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+
+    if deferred_kv is None:
+        deferred_kv = (
+            T == 1 and impl != "xla" and jax.default_backend() == "tpu"
+            and cache.k.shape[-1] % 128 == 0 and S % 8 == 0
+            and _os.environ.get("TMAC_FLASH", "1") != "0"
+            and _os.environ.get("TMAC_DEFERRED_KV", "0") == "1")
+    assert not (deferred_kv and T != 1), "deferred_kv is decode-only"
+    pend_k, pend_v = [], []
 
     new_k, new_v = cache.k, cache.v
     for li, layer in enumerate(params["layers"]):
@@ -504,11 +520,28 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
         v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
 
         if "kvwrite" not in _skip:
-            new_k = _write_kv_stacked(new_k, li, k.astype(new_k.dtype), cache.pos)
-            new_v = _write_kv_stacked(new_v, li, v.astype(new_v.dtype), cache.pos)
+            if deferred_kv:
+                pend_k.append(k.astype(new_k.dtype))
+                pend_v.append(v.astype(new_v.dtype))
+            else:
+                new_k = _write_kv_stacked(new_k, li, k.astype(new_k.dtype),
+                                          cache.pos)
+                new_v = _write_kv_stacked(new_v, li, v.astype(new_v.dtype),
+                                          cache.pos)
 
         if "attn" in _skip:
             attn = q.reshape(B, T, cfg.q_dim) * 0.5
+        elif deferred_kv:
+            # flash append: cache holds only the prefix (cache.pos
+            # entries); the current token's k/v ride as operands
+            from tmac_tpu.ops.pallas.attention_kernel import \
+                flash_decode_stacked_append
+            KVn, repn, D = (cfg.num_kv_heads, cfg.num_heads //
+                            cfg.num_kv_heads, cfg.head_dim)
+            attn = flash_decode_stacked_append(
+                q.reshape(B, KVn, repn, D), new_k, new_v, cache.pos,
+                jnp.int32(li), k.reshape(B, KVn, D), v.reshape(B, KVn, D),
+            ).reshape(B, T, cfg.q_dim)
         else:
             attn = _attention(q, new_k, new_v, li, positions, kv_len_mask,
                               cfg, impl=impl)
@@ -590,6 +623,22 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             x = x + d
         else:
             x = d
+
+    if deferred_kv and pend_k:
+        # batched cache commit: one stacked (L, 1, KV, 1, Dp) update per
+        # batch row and buffer instead of 2 updates per layer
+        Dp = new_k.shape[-1]
+        kst = jnp.stack(pend_k)  # (L, B, 1, KV, D)
+        vst = jnp.stack(pend_v)
+        kst = jnp.transpose(kst, (0, 1, 3, 2, 4))  # (L, B, KV, 1, D)
+        vst = jnp.transpose(vst, (0, 1, 3, 2, 4))
+        if kst.shape[-1] != Dp:
+            padw = ((0, 0),) * 4 + ((0, Dp - kst.shape[-1]),)
+            kst, vst = jnp.pad(kst, padw), jnp.pad(vst, padw)
+        for b in range(B):
+            idx = (0, b, 0, cache.pos[b], 0)
+            new_k = jax.lax.dynamic_update_slice(new_k, kst[:, b:b + 1], idx)
+            new_v = jax.lax.dynamic_update_slice(new_v, vst[:, b:b + 1], idx)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")

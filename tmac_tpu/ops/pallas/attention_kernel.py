@@ -32,13 +32,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, o_ref, *, blk: int,
-            scale: float, dp: int):
+def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
+            scale: float, dp: int, append: bool = False):
     """Grid (B,). k_ref/v_ref are FULL HBM-resident (L, B, KV, S, Dp) refs
     (memory_space=HBM, DMA'd manually); q_ref (1, KV, rep, Dl) and o_ref in
     VMEM; lens/li are scalar-prefetch.  Dl (logical head_dim) may be below
     the cache's lane-padded Dp: q is zero-extended and the output sliced
-    IN-KERNEL, so the caller needs no pad/slice glue ops."""
+    IN-KERNEL, so the caller needs no pad/slice glue ops.
+
+    append: rest = (ck_ref, cv_ref, o_ref) -- the CURRENT token's k/v
+    (1, KV, Dl) arrive as separate VMEM operands and are folded in as a
+    final online-softmax step, so the cache read covers only lens[b]
+    ALREADY-WRITTEN entries.  This is what lets the model defer (and
+    batch) the per-layer cache writes: attention no longer needs the
+    current token to be in HBM first."""
+    if append:
+        ck_ref, cv_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     b = pl.program_id(0)
     li = li_ref[0]
     KV, rep, Dl = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
@@ -104,6 +115,22 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, o_ref, *, blk: int,
         l0 = jnp.zeros((KV, rep, 1), jnp.float32)
         a0 = jnp.zeros((KV, rep, D), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, nblk, step, (m0, l0, a0))
+        if append:
+            # final online step over the current token (always valid --
+            # a fresh sequence has L == 0 and skips the loop entirely)
+            ck = ck_ref[0].astype(jnp.float32)  # (KV, Dl)
+            cv = cv_ref[0].astype(jnp.float32)
+            if Dl != D:
+                pad = jnp.zeros((KV, D - Dl), jnp.float32)
+                ck = jnp.concatenate([ck, pad], axis=-1)
+                cv = jnp.concatenate([cv, pad], axis=-1)
+            s_c = jnp.sum(q * ck[:, None, :], axis=-1,
+                          keepdims=True)                  # (KV, rep, 1)
+            m_new = jnp.maximum(m, s_c)
+            p_c = jnp.exp(s_c - m_new)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + p_c
+            acc = acc * corr + p_c * cv[:, None, :]
         o = acc / l
         if Dl != D:
             o = o[..., :Dl]
@@ -204,6 +231,72 @@ def flash_decode_stacked(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
         interpret=interpret,
     )(kv_lens.astype(jnp.int32),
       jnp.asarray(layer, jnp.int32).reshape(1), q, k_all, v_all)
+
+
+@functools.partial(jax.jit, static_argnames=("blk", "interpret", "scale"))
+def flash_decode_stacked_append(q: jax.Array, k_all: jax.Array,
+                                v_all: jax.Array, cached_lens: jax.Array,
+                                layer: jax.Array, cur_k: jax.Array,
+                                cur_v: jax.Array, blk: int = 0,
+                                interpret: bool | None = None,
+                                scale: float | None = None) -> jax.Array:
+    """flash_decode_stacked where the CURRENT token's k/v ride as operands
+    (cur_k/cur_v (B, KV, Dl)) instead of being read back from the cache.
+
+    cached_lens (B,) counts ALREADY-WRITTEN entries (the slot position,
+    EXCLUDING the current token).  This decouples attention from the cache
+    write, so the model can defer all layers' writes and commit them in
+    one batched update per step (models/llama.forward deferred-KV mode)
+    instead of 2 dynamic_update_slices per layer."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, KV, rep, Dl = q.shape
+    S = k_all.shape[3]
+    Dp = k_all.shape[4]
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(Dl))
+    assert Dl <= Dp, (Dl, Dp)
+    assert cur_k.shape == (B, KV, Dl), (cur_k.shape, (B, KV, Dl))
+    assert interpret or Dp % 128 == 0, (
+        f"cache head_dim {Dp} must be lane-aligned (KVCache.create pads)")
+    if not blk:
+        blk = _pick_blk(S, KV, Dp, k_all.dtype.itemsize)
+    else:
+        blk = min(blk, S)
+        if S % blk:
+            blk = int(np.gcd(blk, S))
+
+    grid_spec = pl.GridSpec(
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # cached_lens (B,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # li (1,)
+            pl.BlockSpec((1, KV, rep, Dl), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec(memory_space=pltpu.HBM),    # k: full ref, stays HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),    # v
+            pl.BlockSpec((1, KV, Dl), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # cur_k
+            pl.BlockSpec((1, KV, Dl), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # cur_v
+        ],
+        out_specs=pl.BlockSpec((1, KV, rep, Dl), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    cost = pl.CostEstimate(
+        flops=2 * 2 * B * KV * rep * S * Dp,
+        bytes_accessed=2 * B * KV * S * Dp * k_all.dtype.itemsize,
+        transcendentals=B * KV * rep * S,
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, blk=blk, scale=scale, dp=Dp, append=True),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KV, rep, Dl), q.dtype),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(cached_lens.astype(jnp.int32),
+      jnp.asarray(layer, jnp.int32).reshape(1), q, k_all, v_all,
+      cur_k, cur_v)
 
 
 def flash_decode(q: jax.Array, k: jax.Array, v: jax.Array,
