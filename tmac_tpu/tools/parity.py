@@ -308,6 +308,11 @@ def run_gate(configs=None, scale: int = 0, impl: str = "auto",
         cfg = get_preset(name, **quant_kw)
         if scale:
             cfg = cfg.scaled(scale)
+        elif cfg.num_experts > 0:
+            # full-size MoE: the dense f32 oracle would materialize every
+            # expert (~187 GB for 8x7B) -- run this row scaled and label it
+            cfg = cfg.scaled(4)
+            label = f"{label}(/4)"
         r = model_parity(cfg, seed=seed, impl=impl)
         r["preset"] = label
         r["quant"] = f"b{cfg.quant.bits}/{cfg.quant.mode}/gs{cfg.quant.group_size}"
