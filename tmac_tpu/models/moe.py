@@ -169,16 +169,14 @@ def moe_mlp(x: jax.Array, layer: dict, cfg, mode: str, impl: str = "auto",
     consume dispatch capacity nor contribute output.
 
     'select' (N == 1, single-device latency mode; TMAC_MOE_SELECT=1 makes
-    'auto' pick it): gathers only the top-k routed experts' weights by a
-    traced leading-axis index and runs k FFNs instead of E.  The gather
-    materializes a copy, so HBM traffic is ~3 bytes moved per selected-
-    expert byte (read+write at the gather, read in the kernel) vs E/k
-    reads for dense -- a win whenever E/k > 3 (Mixtral 8/2: ~25% less
-    MLP traffic; 64-expert models: ~2.7x).  The zero-copy form (expert
-    index folded into the kernel's weight DMAs) needs the manual-DMA
-    kernel rewrite -- candidate for a future round; scalar-prefetch
-    indexing is NOT an option (runtime-dynamic prefetch stalls ~15 us
-    per launch, see attention_kernel.py).
+    'auto' pick it): runs only the top-k routed experts.  On the pallas
+    path this is ZERO-COPY: the expert index rides into the kernel and
+    the weight DMAs read expert e's blocks straight from the HBM stack
+    (ops/pallas/expert_kernel.py) -- HBM traffic is exactly k experts'
+    bytes, E/k times less than dense (4x on Mixtral 8x2).  Outside the
+    kernel's scope (bits 3/8, k-padded shapes, CPU) it falls back to a
+    traced leading-axis gather, which materializes a copy (~3 bytes
+    moved per selected byte -- still a win whenever E/k > 3).
     """
     B, T, H = x.shape
     from tmac_tpu.models.llama import rms_norm
@@ -212,6 +210,22 @@ def moe_mlp(x: jax.Array, layer: dict, cfg, mode: str, impl: str = "auto",
         assert N == 1 and ep_axis is None, (N, ep_axis)
         k = cfg.num_experts_per_tok
         topw, topi = jax.lax.top_k(cw[0], k)  # (k,) weights already sum to 1
+        use_pallas = impl == "pallas" or (
+            impl == "auto" and jax.default_backend() == "tpu")
+        from tmac_tpu.ops.pallas.expert_kernel import (
+            expert_kernel_supported, qgemm_expert_pallas)
+        if (use_pallas and expert_kernel_supported(gu_stack, act_gs)
+                and expert_kernel_supported(down_stack, act_gs)):
+            # zero-copy form: the expert index rides into the kernel and
+            # the weight DMAs read expert e's blocks straight from the
+            # HBM stack -- exactly k experts' bytes move per token
+            acc = jnp.zeros((N, H), jnp.float32)
+            for j in range(k):
+                gu = qgemm_expert_pallas(x2, gu_stack, topi[j])
+                ye = qgemm_expert_pallas(gu.astype(x2.dtype), down_stack,
+                                         topi[j], glu=True)
+                acc = acc + topw[j] * ye
+            return acc.reshape(B, T, H).astype(x.dtype)
         acc = jnp.zeros((N, H), jnp.float32)
         for j in range(k):
             gu_e = expert_view(gu_stack, topi[j])      # traced gather

@@ -75,13 +75,15 @@ class QuantizedTensor:
 
     @property
     def mdim_padded(self) -> int:
-        return self.packed.shape[1]
+        # negative index: also correct for STACKED expert tensors, whose
+        # arrays carry a leading E axis (models/moe.stack_experts)
+        return self.packed.shape[-1]
 
     @property
     def kdim_padded(self) -> int:
         """Total K after per-shard zero padding (see from_quantized)."""
         p = 4 if self.bits == 3 else 8 // self.bits
-        return self.packed.shape[0] * p
+        return self.packed.shape[-2] * p
 
     @property
     def bytes_per_weight(self) -> float:
