@@ -289,6 +289,98 @@ def test_convert_hf_moe_end_to_end(tmp_path):
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
 
+def test_convert_hf_qwen2moe_end_to_end(tmp_path):
+    """Qwen2-MoE-style checkpoint: mlp.experts.{e} naming, an always-on
+    sigmoid-gated shared expert, norm_topk_prob=False routing, qkv bias.
+    Converts, round-trips, and the shared-expert weights land."""
+    rng = np.random.default_rng(14)
+    H, Ie, Is, V, L, E = 128, 128, 128, 512, 2, 4
+    tensors = {}
+
+    def fp(name, shape, scale=0.02):
+        t = (rng.standard_normal(shape) * scale).astype(np.float32)
+        tensors[name] = t.astype(np.float16)
+        return t
+
+    def gptq(name, K, M):
+        w = (rng.standard_normal((K, M)) / np.sqrt(K)).astype(np.float32)
+        qw, sc, qz = quantize_gptq_like(w, 2, 64)
+        tensors[f"{name}.qweight"] = qw
+        tensors[f"{name}.scales"] = sc
+        tensors[f"{name}.qzeros"] = qz
+        return w
+
+    fp("model.embed_tokens.weight", (V, H))
+    shared_ref = {}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        fp(f"{p}.input_layernorm.weight", (H,), 1.0)
+        fp(f"{p}.post_attention_layernorm.weight", (H,), 1.0)
+        for n, shp in (("q_proj", (256, H)), ("k_proj", (256, H)),
+                       ("v_proj", (256, H)), ("o_proj", (H, 256))):
+            gptq(f"{p}.self_attn.{n}", shp[1], shp[0])
+        for n in ("q_proj", "k_proj", "v_proj"):
+            fp(f"{p}.self_attn.{n}.bias", (256,))
+        fp(f"{p}.mlp.gate.weight", (E, H))
+        for e in range(E):
+            ep = f"{p}.mlp.experts.{e}"
+            gptq(f"{ep}.gate_proj", H, Ie)
+            gptq(f"{ep}.up_proj", H, Ie)
+            gptq(f"{ep}.down_proj", Ie, H)
+        se = f"{p}.mlp.shared_expert"
+        shared_ref[i] = gptq(f"{se}.gate_proj", H, Is)
+        gptq(f"{se}.up_proj", H, Is)
+        gptq(f"{se}.down_proj", Is, H)
+        fp(f"{p}.mlp.shared_expert_gate.weight", (1, H))
+    fp("model.norm.weight", (H,), 1.0)
+    fp("lm_head.weight", (V, H))
+
+    save_file(tensors, os.path.join(str(tmp_path), "model.safetensors"))
+    with open(os.path.join(str(tmp_path), "config.json"), "w") as f:
+        json.dump({
+            "model_type": "qwen2_moe",
+            "vocab_size": V, "hidden_size": H, "intermediate_size": Ie,
+            "num_hidden_layers": L, "num_attention_heads": 2,
+            "num_key_value_heads": 2, "head_dim": 128,
+            "rope_theta": 1e6, "rms_norm_eps": 1e-6,
+            "num_experts": E, "num_experts_per_tok": 2,
+            "moe_intermediate_size": Ie,
+            "shared_expert_intermediate_size": Is,
+            "norm_topk_prob": False,
+            "tie_word_embeddings": False,
+            "quantization_config": {
+                "bits": 2, "group_size": 64, "sym": False,
+                "desc_act": False, "checkpoint_format": "gptq_v2",
+                "quant_method": "gptq",
+            },
+        }, f)
+
+    cfg, params = convert_hf_model(str(tmp_path), name="tiny-qwen2moe")
+    assert cfg.num_experts == E and not cfg.moe_norm_topk
+    assert cfg.moe_shared_intermediate_size == Is and cfg.moe_shared_gate
+    assert cfg.attention_bias
+    layer = params["layers"][0]
+    assert "shared_gate_up" in layer and "shared_gate" in layer
+    assert layer["shared_gate"].shape == (cfg.hidden_size,)
+
+    # shared gate_proj slice matches the original to 2-bit quant noise
+    x = np.random.default_rng(15).standard_normal((2, H)).astype(np.float32)
+    got = np.asarray(qgemm_xla(jnp.asarray(x), layer["shared_gate_up"],
+                               out_dtype=jnp.float32))
+    assert nmse(x @ shared_ref[0], got[:, :Is]) < 0.5
+
+    # model runs + checkpoint round-trip
+    cache = KVCache.create(cfg, 1, 8)
+    l1, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]]), cache, impl="xla")
+    assert np.isfinite(np.asarray(l1, np.float32)).all()
+    ckpt.save_checkpoint(str(tmp_path / "ck"), cfg, params)
+    cfg2, params2 = ckpt.load_checkpoint(str(tmp_path / "ck"))
+    assert cfg2 == cfg
+    l2, _ = forward(params2, cfg2, jnp.asarray([[1, 2, 3]]),
+                    KVCache.create(cfg2, 1, 8), impl="xla")
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = get_preset("bitnet-3b").scaled(8)
     params = init_params(cfg, seed=0)

@@ -381,3 +381,73 @@ def test_convert_gguf_moe_end_to_end(tmp_path):
     logits, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]]), cache,
                         impl="xla")
     assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
+def test_convert_gguf_qwen2moe_shared_expert(tmp_path):
+    """qwen2moe arch: shared-expert tensors (ffn_*_shexp + gate vector)
+    and norm_topk=False routing come through the reader."""
+    rng = np.random.default_rng(13)
+    H, Ie, Is, V, L, E = 128, 128, 128, 512, 1, 4
+    path = str(tmp_path / "q2moe.gguf")
+    md = {
+        "general.architecture": "qwen2moe",
+        "qwen2moe.embedding_length": H,
+        "qwen2moe.block_count": L,
+        "qwen2moe.attention.head_count": 2,
+        "qwen2moe.attention.head_count_kv": 2,
+        "qwen2moe.feed_forward_length": Ie,
+        "qwen2moe.vocab_size": V,
+        "qwen2moe.rope.freq_base": 1e6,
+        "qwen2moe.attention.layer_norm_rms_epsilon": 1e-6,
+        "qwen2moe.attention.key_length": 64,
+        "qwen2moe.expert_count": E,
+        "qwen2moe.expert_used_count": 2,
+        "qwen2moe.expert_feed_forward_length": Ie,
+        "qwen2moe.expert_shared_feed_forward_length": Is,
+    }
+    tensors = {
+        "token_embd.weight": (gguf.GGML_F16,
+                              rng.standard_normal((V, H)) * 0.02),
+        "output_norm.weight": (gguf.GGML_F32, np.ones((H,))),
+        "output.weight": (gguf.GGML_F16, rng.standard_normal((V, H)) * 0.02),
+    }
+    p = "blk.0"
+    std = 1 / np.sqrt(H)
+    tensors[f"{p}.attn_norm.weight"] = (gguf.GGML_F32, np.ones((H,)))
+    tensors[f"{p}.ffn_norm.weight"] = (gguf.GGML_F32, np.ones((H,)))
+    for n, shp in (("attn_q", (128, H)), ("attn_k", (128, H)),
+                   ("attn_v", (128, H)), ("attn_output", (H, 128))):
+        tensors[f"{p}.{n}.weight"] = (
+            gguf.GGML_Q4_0, (rng.standard_normal(shp) * std))
+    tensors[f"{p}.ffn_gate_inp.weight"] = (
+        gguf.GGML_F32, rng.standard_normal((E, H)) * 0.02)
+    for n, shp in (("ffn_gate_exps", (E, Ie, H)),
+                   ("ffn_up_exps", (E, Ie, H)),
+                   ("ffn_down_exps", (E, H, Ie))):
+        tensors[f"{p}.{n}.weight"] = (
+            gguf.GGML_Q4_0, rng.standard_normal(shp) * std)
+    shex_gate = (rng.standard_normal((Is, H)) * std)
+    tensors[f"{p}.ffn_gate_shexp.weight"] = (gguf.GGML_Q4_0, shex_gate)
+    tensors[f"{p}.ffn_up_shexp.weight"] = (
+        gguf.GGML_Q4_0, rng.standard_normal((Is, H)) * std)
+    tensors[f"{p}.ffn_down_shexp.weight"] = (
+        gguf.GGML_Q4_0, rng.standard_normal((H, Is)) * std)
+    tensors[f"{p}.ffn_gate_inp_shexp.weight"] = (
+        gguf.GGML_F32, rng.standard_normal((1, H)) * 0.02)
+    gguf.write_gguf(path, md, tensors)
+
+    cfg, params = gguf.convert_gguf_model(path, name="tiny-q2moe-gguf")
+    assert cfg.num_experts == E and not cfg.moe_norm_topk
+    assert cfg.moe_shared_intermediate_size == Is and cfg.moe_shared_gate
+    layer = params["layers"][0]
+    assert "shared_gate_up" in layer and "shared_gate" in layer
+    assert layer["shared_gate"].shape == (H,)
+    x = rng.standard_normal((2, H)).astype(np.float32)
+    got = np.asarray(qgemm_xla(jnp.asarray(x), layer["shared_gate_up"],
+                               out_dtype=jnp.float32))
+    assert nmse(x @ shex_gate.T, got[:, :Is]) < 2e-2
+
+    cache = KVCache.create(cfg, 1, 8)
+    logits, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]]), cache,
+                        impl="xla")
+    assert np.isfinite(np.asarray(logits, np.float32)).all()

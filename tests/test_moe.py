@@ -36,25 +36,40 @@ def _dequant(qt) -> np.ndarray:
 
 
 def _oracle_moe(x2: np.ndarray, layer, cfg) -> np.ndarray:
-    """Per-token numpy f32 MoE MLP: top-k over router logits, softmax over
-    the selected logits (Mixtral), weighted sum of dequant-expert FFNs."""
+    """Per-token numpy f32 MoE MLP: top-k over router logits with either
+    normalization form (models/moe.route_topk), weighted sum of
+    dequant-expert FFNs, plus the optional gated shared expert."""
     router = np.asarray(layer["moe_router"], np.float32)
     E, k = cfg.num_experts, cfg.num_experts_per_tok
     gus = [_dequant(expert_view(layer["experts_gate_up"], e)) for e in range(E)]
     downs = [_dequant(expert_view(layer["experts_down"], e)) for e in range(E)]
     Ie = downs[0].shape[0]
 
+    def _ffn(v, wgu, wdn, ihalf):
+        gu = v @ wgu
+        g, u = gu[..., :ihalf], gu[..., ihalf:]
+        return ((g / (1.0 + np.exp(-g))) * u) @ wdn
+
     logits = x2 @ router  # (N, E)
     out = np.zeros_like(x2)
     for n in range(x2.shape[0]):
         sel = np.argsort(-logits[n], kind="stable")[:k]
-        w = np.exp(logits[n, sel] - logits[n, sel].max())
-        w = w / w.sum()
+        if cfg.moe_norm_topk:
+            w = np.exp(logits[n, sel] - logits[n, sel].max())
+            w = w / w.sum()
+        else:
+            p_all = np.exp(logits[n] - logits[n].max())
+            w = (p_all / p_all.sum())[sel]
         for j, e in enumerate(sel):
-            gu = x2[n] @ gus[e]
-            g, u = gu[:Ie], gu[Ie:]
-            act = (g / (1.0 + np.exp(-g))) * u
-            out[n] += w[j] * (act @ downs[e])
+            out[n] += w[j] * _ffn(x2[n], gus[e], downs[e], Ie)
+    if "shared_gate_up" in layer:
+        wgu = _dequant(layer["shared_gate_up"])
+        wdn = _dequant(layer["shared_down"])
+        ys = _ffn(x2, wgu, wdn, wdn.shape[0])
+        if "shared_gate" in layer:
+            sg = np.asarray(layer["shared_gate"], np.float32)
+            ys = ys * (1.0 / (1.0 + np.exp(-(x2 @ sg))))[:, None]
+        out = out + ys
     return out
 
 
@@ -73,6 +88,78 @@ def test_moe_mlp_matches_oracle():
     want = _oracle_moe(xn, layer, cfg)
     np.testing.assert_allclose(np.asarray(got).reshape(want.shape), want,
                                rtol=2e-4, atol=2e-4)
+
+
+def _tiny_qwen2moe_cfg(E=4, k=2):
+    import dataclasses
+    cfg = get_preset("qwen2-moe-a14b").scaled(16)
+    return dataclasses.replace(
+        cfg, num_experts=E, num_experts_per_tok=k, num_kv_heads=2,
+        moe_intermediate_size=512, moe_shared_intermediate_size=512)
+
+
+def test_qwen2moe_mlp_matches_oracle():
+    """The shared-expert family: all-expert-softmax routing
+    (norm_topk=False), unrenormalized top-k weights, plus the sigmoid-
+    gated always-on shared expert."""
+    cfg = _tiny_qwen2moe_cfg()
+    assert not cfg.moe_norm_topk and cfg.moe_shared_gate
+    params = init_params(cfg, seed=21)
+    layer = params["layers"][0]
+    assert "shared_gate_up" in layer and "shared_gate" in layer
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 12, cfg.hidden_size)) * 0.5,
+                    jnp.float32)
+    got = moe_mlp(x, layer, cfg, cfg.quant.mode, impl="xla")
+    xn = np.asarray(
+        rms_norm(x.reshape(-1, cfg.hidden_size),
+                 layer["mlp_norm"], cfg.rms_norm_eps), np.float32)
+    want = _oracle_moe(xn, layer, cfg)
+    np.testing.assert_allclose(np.asarray(got).reshape(want.shape), want,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_route_topk_norm_flag():
+    """norm_topk=False keeps the all-expert softmax mass: top-k weights
+    don't sum to 1 and match the full softmax at the selected entries."""
+    rng = np.random.default_rng(9)
+    x2 = jnp.asarray(rng.standard_normal((16, 64)), jnp.float32)
+    router = jnp.asarray(rng.standard_normal((64, 8)), jnp.float32)
+    cw = np.asarray(route_topk(x2, router, 2, norm_topk=False))
+    logits = np.asarray(x2) @ np.asarray(router)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    assert ((cw > 0).sum(-1) == 2).all()
+    # mass outside the top-2 is NOT renormalized in: sums stay <= 1 and
+    # are meaningfully below 1 for typical rows
+    assert (cw.sum(-1) <= 1.0 + 1e-6).all()
+    assert (cw.sum(-1) < 0.99).any()
+    nz = cw > 0
+    np.testing.assert_allclose(cw[nz], p[nz], rtol=1e-5)
+
+
+def test_qwen2moe_forward_and_ep():
+    """Full forward with the shared expert + EP equality over an ep x tp
+    mesh (the shared expert replicates over ep and is pre-divided by the
+    group size before the joint psum)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = _tiny_qwen2moe_cfg(E=8, k=2)
+    params = init_params(cfg, seed=22, tp=2)
+    B, T, steps = 1, 4, 3
+    rng = np.random.default_rng(10)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)))
+    mesh = epmod.make_moe_mesh(ep=4, tp=2)
+    sparams = epmod.shard_params_moe(params, mesh)
+    cache = epmod.shard_cache_moe(KVCache.create(cfg, B, T + steps), mesh)
+    prefill_fn, decode_fn = epmod.make_ep_step(cfg, mesh, params,
+                                               SamplerConfig(), impl="xla")
+    logits, cache = prefill_fn(sparams, toks, cache)
+    ref_logits, _ = forward(params, cfg, toks,
+                            KVCache.create(cfg, B, T + steps), impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(logits, np.float32),
+        np.asarray(ref_logits[:, -1, :], np.float32), rtol=5e-2, atol=0.1)
 
 
 def test_route_topk_rows_sum_to_one():

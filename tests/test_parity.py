@@ -42,6 +42,20 @@ def test_model_parity_gate(label, preset, quant_kw):
     assert r["ppl_rel_delta"] < 0.05, r
 
 
+def test_model_parity_gate_qwen2moe():
+    """The shared-expert MoE family (all-expert-softmax routing + gated
+    shared expert) through the same gate, at a CI-sized expert count."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        get_preset("qwen2-moe-a14b").scaled(8), num_experts=8,
+        num_experts_per_tok=2, num_heads=4, num_kv_heads=2,
+        moe_intermediate_size=512, moe_shared_intermediate_size=512)
+    r = parity.model_parity(cfg, seed=0, impl="xla")
+    assert r["nmse"] < 2e-3, r
+    assert r["agree_tie_aware"] == 1.0, r
+    assert r["nll_delta_median"] < 0.01, r
+
+
 def test_oracle_catches_corruption():
     """The gate must actually FAIL on a corrupted model -- flip a few
     packed weight bytes and require a large NMSE."""

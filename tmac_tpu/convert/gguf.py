@@ -508,6 +508,14 @@ def model_config_from_gguf(r: GGUFReader, name: str = "gguf-model"):
         moe_intermediate_size=int(
             md.get(f"{arch}.expert_feed_forward_length",
                    g("feed_forward_length"))) if n_expert else 0,
+        # qwen2moe: all-expert-softmax routing (norm_topk_prob=False) + a
+        # gated shared expert (ffn_*_shexp tensors)
+        moe_norm_topk=arch != "qwen2moe",
+        moe_shared_intermediate_size=int(
+            md.get(f"{arch}.expert_shared_feed_forward_length", 0) or 0)
+        if n_expert else 0,
+        moe_shared_gate=arch == "qwen2moe" and bool(
+            md.get(f"{arch}.expert_shared_feed_forward_length", 0)),
         quant=quant,
     )
 
@@ -600,6 +608,18 @@ def convert_gguf_model(path: str, tp: int = 1, name: str = "gguf-model"):
                 _qt_from_gguf(r, dv[e], 1, tp)
                 for e in range(cfg.num_experts)
             ])
+            if f"{p}.ffn_gate_shexp.weight" in r.tensors:
+                # qwen2moe shared expert (+ its sigmoid gate vector)
+                layer["shared_gate_up"] = fuse_m([
+                    _qt_from_gguf(r, f"{p}.ffn_gate_shexp.weight", tp, 1),
+                    _qt_from_gguf(r, f"{p}.ffn_up_shexp.weight", tp, 1),
+                ])
+                layer["shared_down"] = _qt_from_gguf(
+                    r, f"{p}.ffn_down_shexp.weight", 1, tp)
+                sg = f"{p}.ffn_gate_inp_shexp.weight"
+                if sg in r.tensors:
+                    layer["shared_gate"] = jnp.asarray(
+                        r.dequantized(sg), jnp.bfloat16).reshape(-1)
         else:
             layer["gate_up"] = fuse_m([
                 _qt_from_gguf(r, f"{p}.ffn_gate.weight", tp, 1),

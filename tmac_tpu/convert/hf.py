@@ -72,15 +72,22 @@ def read_hf_config(model_dir: str) -> dict:
 
 def model_config_from_hf(hf: dict, quant: QuantConfig, name: str = "hf-model") -> ModelConfig:
     head_dim = hf.get("head_dim") or hf["hidden_size"] // hf["num_attention_heads"]
-    # MoE (Mixtral: num_local_experts + top-k routing; Qwen2-MoE style
-    # configs use num_experts + moe_intermediate_size)
+    # MoE (Mixtral: num_local_experts + top-k routing; Qwen2-MoE:
+    # num_experts + moe_intermediate_size + an always-on gated shared
+    # expert + norm_topk_prob=False routing)
     num_experts = hf.get("num_local_experts") or hf.get("num_experts") or 0
+    shared = hf.get("shared_expert_intermediate_size", 0) if num_experts \
+        else 0
     return ModelConfig(
         num_experts=num_experts,
         num_experts_per_tok=hf.get("num_experts_per_tok", 2),
         moe_intermediate_size=(hf.get("moe_intermediate_size")
                                or hf["intermediate_size"])
         if num_experts else 0,
+        moe_norm_topk=bool(hf.get("norm_topk_prob", True)),
+        moe_shared_intermediate_size=shared,
+        moe_shared_gate=bool(shared)
+        and hf.get("model_type") == "qwen2_moe",
         name=name,
         vocab_size=hf["vocab_size"],
         hidden_size=hf["hidden_size"],
@@ -93,7 +100,7 @@ def model_config_from_hf(hf: dict, quant: QuantConfig, name: str = "hf-model") -
         rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
         attention_bias=hf.get("attention_bias", False)
-        or hf.get("model_type") == "qwen2",
+        or str(hf.get("model_type", "")).startswith("qwen2"),
         quant=quant,
     )
 
@@ -215,17 +222,16 @@ def convert_hf_model(model_dir: str, quant: Optional[QuantConfig] = None,
             "wo": _qt_from_hf_linear(reader, f"{at}.o_proj", quant, gptq_v2, tp, 1),
         }
         if cfg.num_experts > 0:
-            # Mixtral routing semantics ONLY (softmax over the k selected
-            # router logits, no shared expert -- models/moe.route_topk).
-            # Checkpoints with shared experts or all-expert-softmax
-            # routing (Qwen2-MoE, DeepSeek) would silently convert to a
-            # wrong model, so refuse them explicitly.
-            if (f"{p}.mlp.shared_expert.gate_proj.weight" in reader
-                    or f"{p}.mlp.shared_experts.gate_proj.weight" in reader):
+            # Mixtral (block_sparse_moe, w1/w3/w2, softmax over selected)
+            # or Qwen2-MoE (mlp.experts.{e}.gate/up/down_proj, all-expert
+            # softmax + gated shared expert -- both routing forms live in
+            # models/moe.route_topk via cfg.moe_norm_topk).  DeepSeek's
+            # grouped routing (mlp.shared_experts, plural) differs and is
+            # refused rather than silently mis-converted.
+            if f"{p}.mlp.shared_experts.gate_proj.weight" in reader:
                 raise NotImplementedError(
-                    "shared-expert MoE checkpoints (Qwen2-MoE/DeepSeek "
-                    "style) are not supported -- only Mixtral-style "
-                    "top-k routing")
+                    "DeepSeek-style grouped-routing MoE checkpoints are "
+                    "not supported")
             from tmac_tpu.models.llama import padded_moe_intermediate
             from tmac_tpu.models.moe import stack_experts
             Iep = padded_moe_intermediate(cfg, tp)
@@ -233,7 +239,7 @@ def convert_hf_model(model_dir: str, quant: Optional[QuantConfig] = None,
                 moe, gname = f"{p}.block_sparse_moe", "gate"
                 names = ("w1", "w3", "w2")
             else:
-                # per-expert gate/up/down_proj naming, Mixtral routing
+                # Qwen2-MoE-style per-expert gate/up/down_proj naming
                 moe, gname = f"{p}.mlp", "gate"
                 names = ("gate_proj", "up_proj", "down_proj")
             router = np.asarray(_bf16(reader, f"{moe}.{gname}.weight"),
@@ -253,6 +259,24 @@ def convert_hf_model(model_dir: str, quant: Optional[QuantConfig] = None,
                                    quant, gptq_v2, tp, 1, pad_k=Iep)
                 for e in range(cfg.num_experts)
             ])
+            if cfg.moe_shared_intermediate_size:
+                from tmac_tpu.models.llama import _padded_ffn_width
+                Isp = _padded_ffn_width(cfg.moe_shared_intermediate_size,
+                                        cfg, tp)
+                se = f"{p}.mlp.shared_expert"
+                layer["shared_gate_up"] = fuse_m([
+                    _qt_from_hf_linear(reader, f"{se}.gate_proj", quant,
+                                       gptq_v2, 1, tp, pad_m=Isp),
+                    _qt_from_hf_linear(reader, f"{se}.up_proj", quant,
+                                       gptq_v2, 1, tp, pad_m=Isp),
+                ])
+                layer["shared_down"] = _qt_from_hf_linear(
+                    reader, f"{se}.down_proj", quant, gptq_v2, tp, 1,
+                    pad_k=Isp)
+                sg = f"{p}.mlp.shared_expert_gate.weight"
+                if cfg.moe_shared_gate and sg in reader:
+                    layer["shared_gate"] = jnp.asarray(
+                        _bf16(reader, sg)).reshape(-1)  # (1, H) -> (H,)
         else:
             layer["gate_up"] = fuse_m([
                 _qt_from_hf_linear(reader, f"{p}.mlp.gate_proj", quant,

@@ -72,6 +72,15 @@ class ModelConfig:
     num_experts: int = 0
     num_experts_per_tok: int = 2
     moe_intermediate_size: int = 0
+    # routing normalization: True = softmax over the k SELECTED logits
+    # (Mixtral); False = softmax over ALL experts, then take the top-k
+    # weights unrenormalized (Qwen2-MoE norm_topk_prob=False default)
+    moe_norm_topk: bool = True
+    # optional always-on shared expert (Qwen2-MoE/DeepSeek family): a
+    # dense FFN of this width added to every token, sigmoid-gated by a
+    # (H, 1) shared_expert_gate when moe_shared_gate is set
+    moe_shared_intermediate_size: int = 0
+    moe_shared_gate: bool = False
     quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
 
     @property
@@ -101,6 +110,9 @@ class ModelConfig:
             moe_intermediate_size=(
                 _r256(self.moe_intermediate_size // factor)
                 if self.moe_intermediate_size else 0),
+            moe_shared_intermediate_size=(
+                _r256(self.moe_shared_intermediate_size // factor)
+                if self.moe_shared_intermediate_size else 0),
         )
 
     def to_json(self) -> str:
@@ -193,6 +205,18 @@ PRESETS = {
         head_dim=128, rope_theta=1000000.0, rms_norm_eps=1e-5,
         num_experts=8, num_experts_per_tok=2, moe_intermediate_size=14336,
         quant=QuantConfig(bits=2, group_size=128, zero_point=True),
+    ),
+    # Qwen2-57B-A14B (the shared-expert MoE family: 64 experts top-8 with
+    # all-expert-softmax routing, norm_topk_prob=False, plus an always-on
+    # sigmoid-gated shared expert)
+    "qwen2-moe-a14b": ModelConfig(
+        name="qwen2-moe-a14b", vocab_size=151936, hidden_size=3584,
+        intermediate_size=2560, num_layers=28, num_heads=28, num_kv_heads=4,
+        head_dim=128, rope_theta=1000000.0, rms_norm_eps=1e-6,
+        attention_bias=True, num_experts=64, num_experts_per_tok=8,
+        moe_intermediate_size=2560, moe_norm_topk=False,
+        moe_shared_intermediate_size=20480, moe_shared_gate=True,
+        quant=QuantConfig(bits=4, group_size=128, zero_point=True),
     ),
     # reference "trilm-3.9b"
     "trilm-3.9b": ModelConfig(

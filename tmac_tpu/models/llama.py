@@ -292,6 +292,17 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16,
                 _rand_qt(rng, Ie, H, cfg, k_shards=tp)
                 for _ in range(cfg.num_experts)
             ])
+            if cfg.moe_shared_intermediate_size:
+                Is = _padded_ffn_width(cfg.moe_shared_intermediate_size,
+                                       cfg, tp)
+                layer["shared_gate_up"] = fuse_m([
+                    _rand_qt(rng, H, Is, cfg, m_shards=tp),
+                    _rand_qt(rng, H, Is, cfg, m_shards=tp),
+                ])
+                layer["shared_down"] = _rand_qt(rng, Is, H, cfg, k_shards=tp)
+                if cfg.moe_shared_gate:
+                    layer["shared_gate"] = jnp.asarray(
+                        rng.standard_normal((H,)) * 0.02, dtype)
         else:
             layer["gate_up"] = fuse_m([
                 _rand_qt(rng, H, I, cfg, m_shards=tp),

@@ -80,20 +80,27 @@ def num_local_experts(stacked: QuantizedTensor) -> int:
 # Routing
 # ---------------------------------------------------------------------------
 
-def route_topk(x2: jax.Array, router: jax.Array, k: int) -> jax.Array:
+def route_topk(x2: jax.Array, router: jax.Array, k: int,
+               norm_topk: bool = True) -> jax.Array:
     """Top-k routing -> dense combine weights.
 
     x2 (N, H) tokens, router (H, E).  Returns (N, E) f32 where row n has
-    k nonzero entries: softmax over the k selected router logits
-    (Mixtral's normalization).  Dense by design -- downstream code indexes
-    experts statically, never gathers by traced expert id.
+    k nonzero entries.  norm_topk=True: softmax over the k selected
+    router logits (Mixtral); False: softmax over ALL experts, top-k
+    weights kept unrenormalized (Qwen2-MoE norm_topk_prob=False).  Dense
+    by design -- downstream code indexes experts statically, never
+    gathers by traced expert id.
     """
     logits = jnp.einsum("nh,he->ne", x2.astype(jnp.float32),
                         router.astype(jnp.float32),
                         preferred_element_type=jnp.float32)
     E = router.shape[1]
-    topv, topi = jax.lax.top_k(logits, k)          # (N, k)
-    w = jax.nn.softmax(topv, axis=-1)              # (N, k) f32
+    if norm_topk:
+        topv, topi = jax.lax.top_k(logits, k)      # (N, k)
+        w = jax.nn.softmax(topv, axis=-1)          # (N, k) f32
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)    # (N, E)
+        w, topi = jax.lax.top_k(probs, k)
     onehot = (topi[..., None] == jnp.arange(E)[None, None, :])  # (N, k, E)
     return jnp.sum(onehot * w[..., None], axis=1)  # (N, E)
 
@@ -184,7 +191,8 @@ def moe_mlp(x: jax.Array, layer: dict, cfg, mode: str, impl: str = "auto",
     x2 = xn.reshape(-1, H)
     N = x2.shape[0]
 
-    cw = route_topk(x2, layer["moe_router"], cfg.num_experts_per_tok)
+    cw = route_topk(x2, layer["moe_router"], cfg.num_experts_per_tok,
+                    norm_topk=cfg.moe_norm_topk)
     if valid is not None:
         cw = cw * valid.reshape(-1, 1).astype(cw.dtype)
     gu_stack: QuantizedTensor = layer["experts_gate_up"]
@@ -209,32 +217,30 @@ def moe_mlp(x: jax.Array, layer: dict, cfg, mode: str, impl: str = "auto",
     if moe_impl == "select":
         assert N == 1 and ep_axis is None, (N, ep_axis)
         k = cfg.num_experts_per_tok
-        topw, topi = jax.lax.top_k(cw[0], k)  # (k,) weights already sum to 1
+        topw, topi = jax.lax.top_k(cw[0], k)  # the k routed weights
         use_pallas = impl == "pallas" or (
             impl == "auto" and jax.default_backend() == "tpu")
         from tmac_tpu.ops.pallas.expert_kernel import (
             expert_kernel_supported, qgemm_expert_pallas)
+        acc = jnp.zeros((N, H), jnp.float32)
         if (use_pallas and expert_kernel_supported(gu_stack, act_gs)
                 and expert_kernel_supported(down_stack, act_gs)):
             # zero-copy form: the expert index rides into the kernel and
             # the weight DMAs read expert e's blocks straight from the
             # HBM stack -- exactly k experts' bytes move per token
-            acc = jnp.zeros((N, H), jnp.float32)
             for j in range(k):
                 gu = qgemm_expert_pallas(x2, gu_stack, topi[j])
                 ye = qgemm_expert_pallas(gu.astype(x2.dtype), down_stack,
                                          topi[j], glu=True)
                 acc = acc + topw[j] * ye
-            return acc.reshape(B, T, H).astype(x.dtype)
-        acc = jnp.zeros((N, H), jnp.float32)
-        for j in range(k):
-            gu_e = expert_view(gu_stack, topi[j])      # traced gather
-            down_e = expert_view(down_stack, topi[j])
-            ye = _expert_ffn(x2, gu_e, down_e, mode, impl, act_gs)
-            acc = acc + topw[j] * ye.astype(jnp.float32)
-        return acc.reshape(B, T, H).astype(x.dtype)
-
-    if moe_impl == "dense":
+        else:
+            for j in range(k):
+                gu_e = expert_view(gu_stack, topi[j])  # traced gather
+                down_e = expert_view(down_stack, topi[j])
+                ye = _expert_ffn(x2, gu_e, down_e, mode, impl, act_gs)
+                acc = acc + topw[j] * ye.astype(jnp.float32)
+        out = acc
+    elif moe_impl == "dense":
         acc = jnp.zeros((N, H), jnp.float32)
         for e in range(E_local):
             ye = _expert_ffn(x2, expert_view(gu_stack, e),
@@ -264,4 +270,21 @@ def moe_mlp(x: jax.Array, layer: dict, cfg, mode: str, impl: str = "auto",
         # Switch semantics; capacity_factor 1.25 over uniform load).
         out = jnp.einsum("nec,ech->nh",
                          disp.astype(jnp.float32) * cw[:, :, None], ye)
+
+    if "shared_gate_up" in layer:
+        # always-on shared expert (Qwen2-MoE/DeepSeek family): a dense FFN
+        # every token takes, optionally sigmoid-gated.  tp-sharded like
+        # the dense MLP (partials merged by the caller's psum); under ep
+        # every device computes it identically, so pre-divide by the ep
+        # group size to survive the same psum.
+        ys = _expert_ffn(x2, layer["shared_gate_up"], layer["shared_down"],
+                         mode, impl, act_gs).astype(jnp.float32)
+        if "shared_gate" in layer:
+            gate = jax.nn.sigmoid(jnp.einsum(
+                "nh,h->n", x2.astype(jnp.float32),
+                layer["shared_gate"].astype(jnp.float32)))
+            ys = ys * gate[:, None]
+        if ep_axis is not None:
+            ys = ys / jax.lax.axis_size(ep_axis)
+        out = out + ys
     return out.reshape(B, T, H).astype(x.dtype)

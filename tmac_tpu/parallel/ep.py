@@ -63,6 +63,14 @@ def param_specs_moe(params) -> dict:
             "experts_gate_up": P("ep", None, "tp"),
             "experts_down": P("ep", "tp", None),
         }
+        if "shared_gate_up" in layer:
+            # shared expert: tp-sharded, replicated over ep (every device
+            # computes it; moe_mlp pre-divides by the ep size so the joint
+            # psum stays correct)
+            s["shared_gate_up"] = COL
+            s["shared_down"] = ROW
+        if "shared_gate" in layer:
+            s["shared_gate"] = REP
         for b in ("bq", "bk", "bv"):
             if b in layer:
                 s[b] = P("tp")

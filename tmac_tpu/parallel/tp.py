@@ -82,6 +82,7 @@ def local_cfg(cfg: ModelConfig, tp: int) -> ModelConfig:
         num_kv_heads=cfg.num_kv_heads // tp,
         intermediate_size=cfg.intermediate_size // tp,
         moe_intermediate_size=cfg.moe_intermediate_size // tp,
+        moe_shared_intermediate_size=cfg.moe_shared_intermediate_size // tp,
     )
 
 
@@ -97,6 +98,11 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
             s["moe_router"] = REP
             s["experts_gate_up"] = P(None, None, "tp")
             s["experts_down"] = P(None, "tp", None)
+            if "shared_gate_up" in layer:
+                s["shared_gate_up"] = COL
+                s["shared_down"] = ROW
+            if "shared_gate" in layer:
+                s["shared_gate"] = REP
         else:
             s["gate_up"] = COL
             s["down"] = ROW
@@ -129,10 +135,10 @@ def _localize_params(params, tp: int):
 
     def fix_layer(layer):
         out = dict(layer)
-        for name in ("wqkv", "gate_up", "experts_gate_up"):
+        for name in ("wqkv", "gate_up", "experts_gate_up", "shared_gate_up"):
             if name in layer:
                 out[name] = layer[name].localized(tp, axis=1)
-        for name in ("wo", "down", "experts_down"):
+        for name in ("wo", "down", "experts_down", "shared_down"):
             if name in layer:
                 out[name] = layer[name].localized(tp, axis=0)
         return out

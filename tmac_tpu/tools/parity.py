@@ -79,6 +79,11 @@ def dense_params(params: Dict[str, Any]) -> Dict[str, Any]:
             dl["experts_down"] = [
                 dense_weight(expert_view(layer["experts_down"], e))
                 for e in range(E)]
+            if "shared_gate_up" in layer:
+                dl["shared_gate_up"] = dense_weight(layer["shared_gate_up"])
+                dl["shared_down"] = dense_weight(layer["shared_down"])
+            if "shared_gate" in layer:
+                dl["shared_gate"] = arr(layer["shared_gate"])
         else:
             dl["gate_up"] = dense_weight(layer["gate_up"])
             dl["down"] = dense_weight(layer["down"])
@@ -150,22 +155,40 @@ def oracle_forward(dense: Dict[str, Any], cfg: ModelConfig,
         x = x + attn @ layer["wo"]
         h = _oracle_rms(x, layer["mlp_norm"], eps)
         if "moe_router" in layer:
-            # Mixtral top-k MoE: softmax over the k selected router logits
-            # (matches models/moe.route_topk), per-token expert FFN sum
+            # top-k MoE (matches models/moe.route_topk): softmax over the
+            # k SELECTED logits (Mixtral, moe_norm_topk) or over ALL
+            # experts with unnormalized top-k weights (Qwen2-MoE); plus
+            # the optional always-on gated shared expert
             h2 = h.reshape(-1, h.shape[-1])
             rl = h2 @ layer["moe_router"]  # (N, E)
             k = cfg.num_experts_per_tok
+
+            def _ffn(v, wgu, wdn):
+                gu = v @ wgu
+                ihalf = gu.shape[-1] // 2
+                g, u = gu[..., :ihalf], gu[..., ihalf:]
+                return ((g / (1.0 + np.exp(-g))) * u) @ wdn
+
             moe = np.zeros_like(h2)
             for n in range(h2.shape[0]):
                 sel = np.argsort(-rl[n], kind="stable")[:k]
-                w = np.exp(rl[n, sel] - rl[n, sel].max())
-                w = w / w.sum()
+                if cfg.moe_norm_topk:
+                    w = np.exp(rl[n, sel] - rl[n, sel].max())
+                    w = w / w.sum()
+                else:
+                    p_all = np.exp(rl[n] - rl[n].max())
+                    w = (p_all / p_all.sum())[sel]
                 for j, e in enumerate(sel):
-                    gu = h2[n] @ layer["experts_gate_up"][e]
-                    ihalf = gu.shape[-1] // 2
-                    g, u = gu[:ihalf], gu[ihalf:]
-                    silu = g / (1.0 + np.exp(-g))
-                    moe[n] += w[j] * ((silu * u) @ layer["experts_down"][e])
+                    moe[n] += w[j] * _ffn(h2[n],
+                                          layer["experts_gate_up"][e],
+                                          layer["experts_down"][e])
+            if "shared_gate_up" in layer:
+                ys = _ffn(h2, layer["shared_gate_up"],
+                          layer["shared_down"])
+                if "shared_gate" in layer:
+                    gate = 1.0 / (1.0 + np.exp(-(h2 @ layer["shared_gate"])))
+                    ys = ys * gate[:, None]
+                moe = moe + ys
             x = x + moe.reshape(x.shape)
         else:
             gu = h @ layer["gate_up"]
@@ -291,10 +314,11 @@ GATE_CONFIGS = [
     ("phi-3-mini-w2", "phi-3-mini", {}),
     ("trilm-3.9b-w2", "trilm-3.9b", {}),
     ("qwen2-7b-w4", "qwen2-7b", {}),
-    # MoE family (net-new vs the reference).  NOTE for full-size runs: the
-    # f32 dense oracle materializes every expert (~187 GB for 8x7B) -- run
-    # this row scaled (the CI gate does) or exclude it via --presets.
+    # MoE families (net-new vs the reference).  NOTE for full-size runs:
+    # the f32 dense oracle materializes every expert (~187 GB for 8x7B) --
+    # run_gate auto-scales these rows at scale=0.
     ("mixtral-8x7b-w2", "mixtral-8x7b", {}),
+    ("qwen2-moe-w4", "qwen2-moe-a14b", {}),
 ]
 
 
