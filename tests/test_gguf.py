@@ -419,6 +419,12 @@ def test_convert_gguf_qwen2moe_shared_expert(tmp_path):
                    ("attn_v", (128, H)), ("attn_output", (H, 128))):
         tensors[f"{p}.{n}.weight"] = (
             gguf.GGML_Q4_0, (rng.standard_normal(shp) * std))
+    bq_ref = rng.standard_normal((128,)).astype(np.float32) * 0.1
+    tensors[f"{p}.attn_q.bias"] = (gguf.GGML_F32, bq_ref)
+    tensors[f"{p}.attn_k.bias"] = (
+        gguf.GGML_F32, rng.standard_normal((128,)) * 0.1)
+    tensors[f"{p}.attn_v.bias"] = (
+        gguf.GGML_F32, rng.standard_normal((128,)) * 0.1)
     tensors[f"{p}.ffn_gate_inp.weight"] = (
         gguf.GGML_F32, rng.standard_normal((E, H)) * 0.02)
     for n, shp in (("ffn_gate_exps", (E, Ie, H)),
@@ -439,9 +445,14 @@ def test_convert_gguf_qwen2moe_shared_expert(tmp_path):
     cfg, params = gguf.convert_gguf_model(path, name="tiny-q2moe-gguf")
     assert cfg.num_experts == E and not cfg.moe_norm_topk
     assert cfg.moe_shared_intermediate_size == Is and cfg.moe_shared_gate
+    assert cfg.attention_bias
     layer = params["layers"][0]
     assert "shared_gate_up" in layer and "shared_gate" in layer
     assert layer["shared_gate"].shape == (H,)
+    # QKV biases land (qwen-family artifacts carry them as tensors)
+    assert "bq" in layer and "bk" in layer and "bv" in layer
+    np.testing.assert_allclose(np.asarray(layer["bq"], np.float32), bq_ref,
+                               rtol=1e-2, atol=1e-3)
     x = rng.standard_normal((2, H)).astype(np.float32)
     got = np.asarray(qgemm_xla(jnp.asarray(x), layer["shared_gate_up"],
                                out_dtype=jnp.float32))

@@ -155,11 +155,27 @@ def test_qwen2moe_forward_and_ep():
     prefill_fn, decode_fn = epmod.make_ep_step(cfg, mesh, params,
                                                SamplerConfig(), impl="xla")
     logits, cache = prefill_fn(sparams, toks, cache)
-    ref_logits, _ = forward(params, cfg, toks,
-                            KVCache.create(cfg, B, T + steps), impl="xla")
+    ref_cache = KVCache.create(cfg, B, T + steps)
+    ref_logits, ref_cache = forward(params, cfg, toks, ref_cache, impl="xla")
     np.testing.assert_allclose(
         np.asarray(logits, np.float32),
         np.asarray(ref_logits[:, -1, :], np.float32), rtol=5e-2, atol=0.1)
+
+    # decode through the ep x tp mesh (shared-expert ep pre-division must
+    # survive the per-step psum): teacher-forced single-device agreement
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+    toks_out, cache = decode_fn(sparams, first, cache,
+                                jax.random.PRNGKey(0), steps - 1)
+    got = np.concatenate([np.asarray(first)[:, None],
+                          np.asarray(toks_out)], 1)
+    refs = [np.asarray(ref_logits[:, -1, :], np.float32)]
+    for t in range(steps - 1):
+        lg, ref_cache = forward(params, cfg, jnp.asarray(got[:, t:t + 1]),
+                                ref_cache, impl="xla")
+        refs.append(np.asarray(lg[:, -1, :], np.float32))
+    ref = np.stack(refs, 1)
+    agree = (ref.argmax(-1) == got).mean()
+    assert agree >= 0.75, (ref.argmax(-1), got)
 
 
 def test_route_topk_rows_sum_to_one():

@@ -503,6 +503,8 @@ def model_config_from_gguf(r: GGUFReader, name: str = "gguf-model"):
         rope_theta=float(md.get(f"{arch}.rope.freq_base", 10000.0)),
         rms_norm_eps=float(g("attention.layer_norm_rms_epsilon", 1e-5)),
         tie_word_embeddings="output.weight" not in r.tensors,
+        # qwen-family artifacts carry QKV biases as separate tensors
+        attention_bias="blk.0.attn_q.bias" in r.tensors,
         num_experts=n_expert,
         num_experts_per_tok=int(md.get(f"{arch}.expert_used_count", 2)),
         moe_intermediate_size=int(
@@ -590,6 +592,12 @@ def convert_gguf_model(path: str, tp: int = 1, name: str = "gguf-model"):
             ]),
             "wo": _qt_from_gguf(r, f"{p}.attn_output.weight", 1, tp),
         }
+        if cfg.attention_bias:
+            for gg, ours in (("attn_q", "bq"), ("attn_k", "bk"),
+                             ("attn_v", "bv")):
+                bn = f"{p}.{gg}.bias"
+                if bn in r.tensors:
+                    layer[ours] = bf16(bn).reshape(-1)
         if cfg.num_experts > 0:
             # llama.cpp MoE: router ffn_gate_inp (E, H) + 3-D stacked
             # expert tensors ffn_{gate,up,down}_exps (models/moe.py)

@@ -84,7 +84,12 @@ def model_config_from_hf(hf: dict, quant: QuantConfig, name: str = "hf-model") -
         moe_intermediate_size=(hf.get("moe_intermediate_size")
                                or hf["intermediate_size"])
         if num_experts else 0,
-        moe_norm_topk=bool(hf.get("norm_topk_prob", True)),
+        # default per architecture, matching HF's config classes: Mixtral
+        # always renormalizes; Qwen2MoeConfig defaults norm_topk_prob to
+        # FALSE -- a checkpoint whose config omits the key must not
+        # silently convert with the wrong routing
+        moe_norm_topk=bool(hf.get(
+            "norm_topk_prob", hf.get("model_type") != "qwen2_moe")),
         moe_shared_intermediate_size=shared,
         moe_shared_gate=bool(shared)
         and hf.get("model_type") == "qwen2_moe",

@@ -340,6 +340,15 @@ def make_head(head_km: np.ndarray, cfg: ModelConfig, dtype=jnp.bfloat16):
 # Forward
 # ---------------------------------------------------------------------------
 
+def _flash_decode_ok(T: int, S: int, Dp: int, impl: str) -> bool:
+    """The ONE flash-decode eligibility gate, shared by _attention and
+    forward's deferred-KV mode so the two can never drift apart."""
+    import os
+    return (T == 1 and impl != "xla" and jax.default_backend() == "tpu"
+            and Dp % 128 == 0 and S % 8 == 0
+            and os.environ.get("TMAC_FLASH", "1") != "0")
+
+
 def _attention(q, k_all, v_all, li: int, q_positions, kv_len_mask,
                cfg: ModelConfig, impl: str = "auto"):
     """q (B,T,H,D), k_all/v_all (L,B,KV,S,D) stacked cache, li layer index;
@@ -360,10 +369,7 @@ def _attention(q, k_all, v_all, li: int, q_positions, kv_len_mask,
     # call, see attention_kernel.py) the kernel wins at every size:
     # B=1 ctx256 542 vs 524 tok/s; B=8 2361 vs 2220; S=2048 5.5 vs 92
     # us/layer.  TMAC_FLASH=0 forces the XLA einsum path.
-    import os
-    if (T == 1 and impl != "xla" and jax.default_backend() == "tpu"
-            and Dp % 128 == 0 and S % 8 == 0
-            and os.environ.get("TMAC_FLASH", "1") != "0"):
+    if _flash_decode_ok(T, S, Dp, impl):
         from tmac_tpu.ops.pallas.attention_kernel import flash_decode_stacked
         kv_lens = q_positions[:, 0] + 1  # (B,) valid entries incl. current
         # pad/slice between logical D and the padded cache Dp happens
@@ -412,13 +418,19 @@ def _attention(q, k_all, v_all, li: int, q_positions, kv_len_mask,
 def _write_kv(buf: jax.Array, kv: jax.Array, pos: jax.Array) -> jax.Array:
     """Write kv (B, T, KV, D) into buf (B, KV, S, Dp) at per-slot start
     pos (B,), zero-padding D up to the buffer's padded head_dim."""
-    kv = jnp.swapaxes(kv, 1, 2)  # (B, KV, T, D)
-    dp = buf.shape[-1]
-    if kv.shape[-1] != dp:
-        kv = jnp.pad(kv, ((0, 0), (0, 0), (0, 0), (0, dp - kv.shape[-1])))
+    kv = _pad_head_dim(jnp.swapaxes(kv, 1, 2), buf.shape[-1])  # (B,KV,T,Dp)
     return jax.vmap(
         lambda b, u, p: jax.lax.dynamic_update_slice(b, u, (0, p, 0))
     )(buf, kv, pos)
+
+
+def _pad_head_dim(kv: jax.Array, dp: int) -> jax.Array:
+    """Zero-pad the trailing head_dim up to the cache's lane-padded Dp --
+    the ONE place the pad convention lives for every cache writer."""
+    if kv.shape[-1] != dp:
+        kv = jnp.pad(kv, ((0, 0),) * (kv.ndim - 1)
+                     + ((0, dp - kv.shape[-1]),))
+    return kv
 
 
 def _write_kv_stacked(buf: jax.Array, li: int, kv: jax.Array,
@@ -432,14 +444,27 @@ def _write_kv_stacked(buf: jax.Array, li: int, kv: jax.Array,
     measured ~0.4 ms/token of pure copy traffic on bitnet-3b decode at
     S=384 (ablation in BENCH.md).  B is small and static, so one update
     per slot keeps everything in-place."""
-    kv = jnp.swapaxes(kv, 1, 2)  # (B, KV, T, D)
-    dp = buf.shape[-1]
-    if kv.shape[-1] != dp:
-        kv = jnp.pad(kv, ((0, 0), (0, 0), (0, 0), (0, dp - kv.shape[-1])))
+    kv = _pad_head_dim(jnp.swapaxes(kv, 1, 2), buf.shape[-1])  # (B,KV,T,Dp)
     B = kv.shape[0]
     for b in range(B):
         buf = jax.lax.dynamic_update_slice(
             buf, kv[b][None, None], (li, b, 0, pos[b], 0))
+    return buf
+
+
+def _write_kv_all_layers(buf: jax.Array, per_layer: list,
+                         pos: jax.Array) -> jax.Array:
+    """Commit every layer's decode-step kv at once (deferred-KV mode):
+    per_layer is L entries of (B, 1, KV, D); one stacked
+    (L, 1, KV, 1, Dp) dynamic_update_slice per batch slot instead of 2
+    updates per layer -- same write convention as _write_kv_stacked,
+    batched over the leading layer axis."""
+    kst = jnp.stack(per_layer)                      # (L, B, 1, KV, D)
+    kst = _pad_head_dim(jnp.transpose(kst, (0, 1, 3, 2, 4)), buf.shape[-1])
+    B = kst.shape[1]
+    for b in range(B):
+        buf = jax.lax.dynamic_update_slice(
+            buf, kst[:, b:b + 1], (0, b, 0, pos[b], 0))
     return buf
 
 
@@ -500,9 +525,7 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
 
     if deferred_kv is None:
         deferred_kv = (
-            T == 1 and impl != "xla" and jax.default_backend() == "tpu"
-            and cache.k.shape[-1] % 128 == 0 and S % 8 == 0
-            and _os.environ.get("TMAC_FLASH", "1") != "0"
+            _flash_decode_ok(T, S, cache.k.shape[-1], impl)
             and _os.environ.get("TMAC_DEFERRED_KV", "0") == "1")
     assert not (deferred_kv and T != 1), "deferred_kv is decode-only"
     pend_k, pend_v = [], []
@@ -636,20 +659,8 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             x = d
 
     if deferred_kv and pend_k:
-        # batched cache commit: one stacked (L, 1, KV, 1, Dp) update per
-        # batch row and buffer instead of 2 updates per layer
-        Dp = new_k.shape[-1]
-        kst = jnp.stack(pend_k)  # (L, B, 1, KV, D)
-        vst = jnp.stack(pend_v)
-        kst = jnp.transpose(kst, (0, 1, 3, 2, 4))  # (L, B, KV, 1, D)
-        vst = jnp.transpose(vst, (0, 1, 3, 2, 4))
-        if kst.shape[-1] != Dp:
-            padw = ((0, 0),) * 4 + ((0, Dp - kst.shape[-1]),)
-            kst, vst = jnp.pad(kst, padw), jnp.pad(vst, padw)
-        for b in range(B):
-            idx = (0, b, 0, cache.pos[b], 0)
-            new_k = jax.lax.dynamic_update_slice(new_k, kst[:, b:b + 1], idx)
-            new_v = jax.lax.dynamic_update_slice(new_v, vst[:, b:b + 1], idx)
+        new_k = _write_kv_all_layers(new_k, pend_k, cache.pos)
+        new_v = _write_kv_all_layers(new_v, pend_v, cache.pos)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")

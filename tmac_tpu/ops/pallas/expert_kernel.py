@@ -159,19 +159,20 @@ def _expert_kernel(e_ref, x_ref, wp_hbm, sc_hbm, sb_hbm, o_ref, *,
 def _pick_bm(Mp: int, KP: int, G: int, sdt_size: int,
              budget: int = 8 << 20) -> int:
     """Largest 128-multiple divisor of Mp whose double-buffered scratch
-    (2 x (packed + scales + sub)) fits the VMEM budget, preferring >= 2
-    blocks so the DMA pipeline overlaps compute."""
+    (2 x (packed + scales + sub)) fits the VMEM budget AND leaves >= 2
+    blocks, so the next block's DMA overlaps the current block's
+    unpack+MXU work (a single block serializes DMA then compute -- the
+    ~40% decode penalty measured for the main qgemm kernel).  Only
+    Mp = 128 has no 2-block divisor and runs as one block."""
     per_lane = 2 * (KP + 2 * G * sdt_size)
     best = 128
     for d in range(1, Mp // 128 + 1):
         bm = 128 * d
         if Mp % bm:
             continue
-        if bm * per_lane <= budget and (Mp // bm >= 2 or bm == Mp):
+        if bm * per_lane <= budget and Mp // bm >= 2:
             best = max(best, bm)
-    if Mp * per_lane <= budget and best < Mp and Mp // best < 2:
-        best = Mp
-    return best
+    return min(best, Mp)
 
 
 @functools.partial(jax.jit, static_argnames=(
