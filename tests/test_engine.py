@@ -327,3 +327,51 @@ def test_chunked_prefill_matches_oneshot(model):
     results = eng.run()
     assert eng.stats["prefills"] == 1 and eng.stats["prefill_tokens"] == 40
     assert results[uid] == _reference(cfg, params, prompt, 6)
+
+
+def test_prefix_cache_reuse_and_equality(model):
+    """Prompt-prefix KV cache: a second request sharing a prefix skips
+    prefilling the shared part and still produces exactly the tokens of a
+    cold run (KV at position i depends only on tokens[0:i+1])."""
+    cfg, params = model
+    rng = np.random.default_rng(11)
+    shared = [int(t) for t in rng.integers(1, cfg.vocab_size, 24)]
+    pa = shared + [3, 1, 4, 1, 5]
+    pb = shared + [9, 2, 6, 5, 3]
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=128, impl="xla",
+                          decode_chunk=4, prefill_chunk=16,
+                          prefix_cache_size=4, prefix_cache_min_reuse=4)
+    ua = eng.submit(pa, max_new_tokens=6)
+    ra = eng.run()[ua]
+    assert eng.stats["prefix_hits"] == 0
+    ub = eng.submit(pb, max_new_tokens=6)
+    rb = eng.run()[ub]
+    assert eng.stats["prefix_hits"] == 1
+    assert eng.stats["prefix_tokens_reused"] == len(shared)
+    # resubmitting pa reuses all but the last prompt token
+    ua2 = eng.submit(pa, max_new_tokens=6)
+    ra2 = eng.run()[ua2]
+    assert eng.stats["prefix_hits"] == 2
+    assert eng.stats["prefix_tokens_reused"] == len(shared) + len(pa) - 1
+    assert ra == _reference(cfg, params, pa, 6)
+    assert rb == _reference(cfg, params, pb, 6)
+    assert ra2 == ra
+
+
+def test_prefix_cache_lru_eviction(model):
+    cfg, params = model
+    eng = InferenceEngine(cfg, params, max_batch=1, max_len=64, impl="xla",
+                          decode_chunk=4, prefix_cache_size=2,
+                          prefix_cache_min_reuse=2)
+    rng = np.random.default_rng(3)
+    prompts = [[int(t) for t in rng.integers(1, cfg.vocab_size, 8)]
+               for _ in range(3)]
+    for p in prompts:
+        eng.submit(p, max_new_tokens=2)
+        eng.run()
+    assert len(eng._prefixes) == 2  # oldest evicted
+    # evicted prompt re-runs cold; freshest still hits
+    u = eng.submit(prompts[2], max_new_tokens=2)
+    r = eng.run()[u]
+    assert eng.stats["prefix_hits"] == 1
+    assert r == _reference(cfg, params, prompts[2], 2)

@@ -27,7 +27,7 @@ import dataclasses
 import functools
 import itertools
 import time
-from collections import deque
+from collections import OrderedDict, deque
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -150,6 +150,40 @@ def _decode_chunk_body(forward_fn, sampler: SamplerConfig, last_tokens,
     return jnp.moveaxis(toks, 0, 1), cache  # (B, steps)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _extract_prefix(k, v, slot, n: int):
+    """Copy the first `n` cache positions of `slot` out as a prefix block.
+
+    k/v: (L, B, KV, S, D).  Returns (L, 1, KV, n, D) pairs.  `n` is static
+    (padded to a 128 multiple by the caller) so compile count stays bounded.
+    """
+    L, _, KV, _, D = k.shape
+    z = jnp.int32(0)
+    idx = (z, slot.astype(jnp.int32), z, z, z)
+    return (jax.lax.dynamic_slice(k, idx, (L, 1, KV, n, D)),
+            jax.lax.dynamic_slice(v, idx, (L, 1, KV, n, D)))
+
+
+@functools.partial(jax.jit, donate_argnames=("k", "v"))
+def _insert_prefix(k, v, pk, pv, slot):
+    """Write a stored prefix block into `slot`'s cache region (donating the
+    cache so XLA updates in place).  Positions beyond the matched prefix
+    length hold stale K/V from the donor prompt, but every attention reader
+    is pos-bounded and the remainder prefill overwrites from the match
+    point onward, so they are never observed."""
+    z = jnp.int32(0)
+    idx = (z, slot.astype(jnp.int32), z, z, z)
+    return (jax.lax.dynamic_update_slice(k, pk, idx),
+            jax.lax.dynamic_update_slice(v, pv, idx))
+
+
+@dataclasses.dataclass
+class _PrefixEntry:
+    tokens: tuple          # the prefix token ids (true length = len(tokens))
+    k: jax.Array           # (L, 1, KV, Pb, D), Pb = padded store length
+    v: jax.Array
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "impl", "bucket"),
                    donate_argnames=("cache",))
 def _prefill_slot(params, cfg: ModelConfig, tokens, true_len, cache: KVCache,
@@ -200,7 +234,9 @@ class InferenceEngine:
                  step_fns=None, cache: Optional[KVCache] = None,
                  prefill_chunk: int = 256, prefill_budget: int = 1,
                  speculative: bool = False, spec_k: int = 8,
-                 spec_ngram: int = 3):
+                 spec_ngram: int = 3, prefix_cache_size: int = 0,
+                 prefix_cache_max_len: int = 256,
+                 prefix_cache_min_reuse: int = 16):
         """step_fns: optional (prefill_fn, decode_fn) pair replacing the
         single-chip jitted steps -- e.g. parallel/tp.make_engine_fns for a
         tensor-parallel mesh (pass pre-sharded params and a sharded cache):
@@ -220,6 +256,17 @@ class InferenceEngine:
         lookup-speculation loop (runtime/speculative.py) -- lossless, and
         several tokens per forward on self-repetitive contexts.  Requests
         with non-greedy sampling fall back to the normal chunked path.
+        prefix_cache_size: keep the KV blocks of the last N distinct
+        prompt prefixes (LRU) and, when a new prompt shares a prefix with
+        one, skip prefilling the shared part -- the role of llama.cpp's
+        --prompt-cache (reference context: tools/run_pipeline.py:222-277
+        drives llama-cli, whose repeated system prompts re-prefill every
+        run).  KV at position i depends only on tokens[0:i+1], so any
+        common prefix of a stored entry is reusable, not just exact hits.
+        0 disables.  Single-chip engines only (a mesh cache is sharded;
+        step_fns engines ignore it).  prefix_cache_max_len bounds stored
+        bytes per entry; prefix_cache_min_reuse is the shortest match
+        worth the block copy.
         """
         self.cfg = cfg
         self.params = params
@@ -263,11 +310,17 @@ class InferenceEngine:
         self._slot_topk = np.full((max_batch,), sampler.top_k, np.int32)
         self._slot_topp = np.full((max_batch,), sampler.top_p, np.float32)
         self.finished: Dict[int, Request] = {}
+        # prompt-prefix KV cache (LRU over _PrefixEntry); see __init__ doc
+        self.prefix_cache_size = (prefix_cache_size if step_fns is None else 0)
+        self.prefix_cache_max_len = prefix_cache_max_len
+        self.prefix_cache_min_reuse = max(prefix_cache_min_reuse, 1)
+        self._prefixes: "OrderedDict[tuple, _PrefixEntry]" = OrderedDict()
         # counters (observability; served by runtime/server.py /v1/stats)
         self.stats = {"prefill_tokens": 0, "decode_tokens": 0,
                       "chunks": 0, "prefills": 0,
                       "decode_s": 0.0, "prefill_s": 0.0,
-                      "requests_finished": 0}
+                      "requests_finished": 0,
+                      "prefix_hits": 0, "prefix_tokens_reused": 0}
 
     # ------------------------------------------------------------------ API
     def submit(self, prompt, max_new_tokens: int = 128,
@@ -326,6 +379,52 @@ class InferenceEngine:
                                      else req.temperature)
             self._slot_topk[slot] = s.top_k if req.top_k is None else req.top_k
             self._slot_topp[slot] = s.top_p if req.top_p is None else req.top_p
+            if self.prefix_cache_size:
+                self._apply_prefix(slot, req)
+
+    # --------------------------------------------------- prompt-prefix cache
+    def _apply_prefix(self, slot: int, req: Request):
+        """Longest-common-prefix lookup at admission: copy the best stored
+        KV block into the slot and start prefill at the match point.  At
+        least one prompt token always remains to prefill (the last-token
+        logits seed the first sample)."""
+        best_key, best_m = None, 0
+        for key, entry in self._prefixes.items():
+            m = 0
+            for a, b in zip(entry.tokens, req.prompt):
+                if a != b:
+                    break
+                m += 1
+            m = min(m, req.prompt_len - 1)
+            if m > best_m:
+                best_key, best_m = key, m
+        if best_key is None or best_m < self.prefix_cache_min_reuse:
+            return
+        self._prefixes.move_to_end(best_key)
+        entry = self._prefixes[best_key]
+        k, v = _insert_prefix(self.cache.k, self.cache.v, entry.k, entry.v,
+                              jnp.int32(slot))
+        self.cache = KVCache(k=k, v=v, pos=self.cache.pos)
+        req.prefill_off = best_m
+        self.stats["prefix_hits"] += 1
+        self.stats["prefix_tokens_reused"] += best_m
+
+    def _store_prefix(self, slot: int, req: Request):
+        """Snapshot the freshly prefilled prompt's KV (capped at
+        prefix_cache_max_len positions) into the LRU."""
+        n = min(req.prompt_len, self.prefix_cache_max_len, self.S)
+        if n <= self.prefix_cache_min_reuse:
+            return
+        key = tuple(req.prompt[:n])
+        if key in self._prefixes:
+            self._prefixes.move_to_end(key)
+            return
+        from tmac_tpu.utils import round_up
+        pb = min(round_up(n, 128), self.cache.max_len)
+        k, v = _extract_prefix(self.cache.k, self.cache.v, jnp.int32(slot), pb)
+        self._prefixes[key] = _PrefixEntry(tokens=key, k=k, v=v)
+        while len(self._prefixes) > self.prefix_cache_size:
+            self._prefixes.popitem(last=False)
 
     def _prefill_one_chunk(self, slot: int, req: Request):
         """Advance one prefill chunk for the request in `slot`."""
@@ -346,6 +445,8 @@ class InferenceEngine:
         req.prefill_off = off + n
         req.last_logits = last
         if not req.prefilling:  # prompt fully ingested -> first token
+            if self.prefix_cache_size:
+                self._store_prefix(slot, req)
             k = self._next_key()
             if self._dynamic_sampling:
                 st = SamplerState.make(self._slot_temp[slot:slot + 1],

@@ -171,7 +171,8 @@ def cmd_serve(args):
     eng = InferenceEngine(cfg, params, max_batch=args.max_batch,
                           max_len=args.max_len, sampler=sampler,
                           decode_chunk=args.decode_chunk,
-                          speculative=args.speculative)
+                          speculative=args.speculative,
+                          prefix_cache_size=args.prefix_cache)
     serve(eng, host=args.host, port=args.port, tokenizer=tok,
           model_name=cfg.name)
 
@@ -353,6 +354,10 @@ def main():
     s.add_argument("--speculative", action="store_true",
                    help="single-stream lookup-speculation latency mode "
                         "(requires --max-batch 1)")
+    s.add_argument("--prefix-cache", type=int, default=8,
+                   help="prompt-prefix KV cache entries (LRU; 0 disables). "
+                        "Repeated system prompts skip re-prefill "
+                        "(llama.cpp --prompt-cache role)")
     s.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("ppl", help="perplexity over a token file")
