@@ -84,6 +84,90 @@ def cmd_generate(args):
         print(tok.decode(out.tolist()))
 
 
+def cmd_chat(args):
+    """Interactive streaming chat on the continuous-batching engine -- the
+    reference's `llama-cli` conversational role (tools/run_pipeline.py:
+    222-277 runs it with a fixed prompt; `-i` is its interactive mode).
+    Each turn resubmits the full conversation, and the engine's
+    prompt-prefix KV cache makes that incremental: only the newest turn is
+    prefilled, the rest is reused from the previous turn's KV."""
+    from tmac_tpu.models.config import get_preset
+    from tmac_tpu.models.llama import init_params
+    from tmac_tpu.runtime.engine import InferenceEngine
+    from tmac_tpu.runtime.sampling import SamplerConfig
+
+    if args.ckpt:
+        cfg, params = _load(args)
+    else:
+        cfg = get_preset(args.model)
+        if args.scale:
+            cfg = cfg.scaled(args.scale)
+        params = init_params(cfg, seed=0)
+    tok = None
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(args.tokenizer)
+    sampler = SamplerConfig(temperature=args.temperature, top_k=args.top_k,
+                            top_p=args.top_p)
+    eng = InferenceEngine(cfg, params, max_batch=1, max_len=args.max_len,
+                          sampler=sampler, decode_chunk=args.decode_chunk,
+                          prefix_cache_size=2,
+                          prefix_cache_max_len=args.max_len)
+    printed = {"n": 0}
+
+    def cb(uid, toks_so_far, done):
+        if tok is None:
+            new = toks_so_far[printed["n"]:]
+            if new:
+                print(("," if printed["n"] else "") + ",".join(map(str, new)),
+                      end="", flush=True)
+            printed["n"] = len(toks_so_far)
+        else:
+            text = tok.decode(toks_so_far, skip_special_tokens=True)
+            print(text[printed["n"]:], end="", flush=True)
+            printed["n"] = len(text)
+        if done:
+            print(flush=True)
+
+    eng.stream_cb = cb
+    eos = tok.eos_token_id if tok is not None else None
+    msgs, ids_hist = [], []
+    print("chat ready (empty line or /exit quits; raw token-id mode)"
+          if tok is None else
+          "chat ready (empty line or /exit quits)", file=sys.stderr)
+    while True:
+        try:
+            user = input("user> ")
+        except EOFError:
+            break
+        if not user.strip() or user.strip() in ("/exit", "/quit"):
+            break
+        if tok is not None and getattr(tok, "chat_template", None):
+            msgs.append({"role": "user", "content": user})
+            prompt_ids = tok.apply_chat_template(msgs,
+                                                 add_generation_prompt=True)
+        elif tok is not None:
+            msgs.append({"role": "user", "content": user})
+            text = "".join(f"{m['role']}: {m['content']}\n"
+                           for m in msgs) + "assistant:"
+            prompt_ids = tok.encode(text)
+        else:  # raw ids: whitespace/comma-separated ints (tokenizer-free)
+            ids_hist += [int(t) for t in user.replace(",", " ").split()]
+            prompt_ids = list(ids_hist)
+        printed["n"] = 0
+        t0 = time.time()
+        uid = eng.submit(prompt_ids, max_new_tokens=args.n, eos_id=eos)
+        out = eng.run()[uid]
+        if tok is not None:
+            msgs.append({"role": "assistant",
+                         "content": tok.decode(out, skip_special_tokens=True)})
+        else:
+            ids_hist += [int(t) for t in out]
+        print(f"[{len(out)} tokens in {time.time() - t0:.1f}s; prefix "
+              f"tokens reused so far: {eng.stats['prefix_tokens_reused']}]",
+              file=sys.stderr)
+
+
 def cmd_bench_e2e(args):
     """Decode + prefill throughput sweep -> CSV on stdout."""
     import jax
@@ -231,10 +315,17 @@ def cmd_bench_serve(args):
         params = init_params(cfg, seed=0)
     eng = InferenceEngine(cfg, params, max_batch=args.max_batch,
                           max_len=args.max_len,
-                          decode_chunk=args.decode_chunk)
+                          decode_chunk=args.decode_chunk,
+                          prefix_cache_size=args.prefix_cache)
     rng = np.random.default_rng(0)
-    prompts = [[int(t) for t in rng.integers(1, cfg.vocab_size,
-                                             args.prompt_len)]
+    # --shared-prefix simulates a common system prompt: with
+    # --prefix-cache > 0 the engine skips re-prefilling it per request
+    shared = ([int(t) for t in rng.integers(1, cfg.vocab_size,
+                                            args.shared_prefix)]
+              if args.shared_prefix else [])
+    tail = max(args.prompt_len - len(shared), 1)
+    prompts = [shared + [int(t) for t in rng.integers(1, cfg.vocab_size,
+                                                      tail)]
                for _ in range(args.requests)]
     # warm the compiled programs so arrival timing isn't compile-skewed
     warm = eng.submit(prompts[0], max_new_tokens=2)
@@ -243,6 +334,8 @@ def cmd_bench_serve(args):
     for k in eng.stats:
         eng.stats[k] = 0 if not isinstance(eng.stats[k], float) else 0.0
     r = run_serve_bench(eng, prompts, args.max_new, args.rate)
+    r["prefix_hits"] = eng.stats["prefix_hits"]
+    r["prefix_tokens_reused"] = eng.stats["prefix_tokens_reused"]
     print(json.dumps(r))
 
 
@@ -311,6 +404,22 @@ def main():
                    help="lookup speculative decoding (greedy; lossless)")
     g.set_defaults(fn=cmd_generate)
 
+    ch = sub.add_parser("chat", help="interactive streaming chat "
+                                     "(llama-cli conversational role)")
+    ch.add_argument("--ckpt", default="")
+    ch.add_argument("--model", default="bitnet-3b")
+    ch.add_argument("--tokenizer", default="",
+                    help="HF tokenizer dir (omit for raw token-id mode)")
+    ch.add_argument("-n", type=int, default=256)
+    ch.add_argument("--max-len", type=int, default=2048)
+    ch.add_argument("--decode-chunk", type=int, default=8)
+    ch.add_argument("--temperature", type=float, default=0.7)
+    ch.add_argument("--top-k", type=int, default=0)
+    ch.add_argument("--top-p", type=float, default=1.0)
+    ch.add_argument("--scale", type=int, default=0,
+                    help="shrink preset by this factor (smoke tests)")
+    ch.set_defaults(fn=cmd_chat)
+
     b = sub.add_parser("bench-e2e", help="tokens/s sweep")
     b.add_argument("--ckpt", default="")
     b.add_argument("--model", default="bitnet-3b")
@@ -337,6 +446,10 @@ def main():
     bs.add_argument("--prompt-len", type=int, default=128)
     bs.add_argument("--max-new", type=int, default=64)
     bs.add_argument("--decode-chunk", type=int, default=8)
+    bs.add_argument("--shared-prefix", type=int, default=0,
+                    help="tokens of common system-prompt prefix per request")
+    bs.add_argument("--prefix-cache", type=int, default=0,
+                    help="engine prompt-prefix KV cache entries (0 = off)")
     bs.set_defaults(fn=cmd_bench_serve)
 
     s = sub.add_parser("serve", help="HTTP serving (continuous batching)")
