@@ -125,7 +125,8 @@ def test_ternary_nonuniform_blocks_grouped():
 
 
 @pytest.mark.parametrize("ttype,bound", [
-    (gguf.GGML_Q4_K, 8e-3), (gguf.GGML_Q5_K, 2e-3), (gguf.GGML_Q6_K, 5e-4)])
+    (gguf.GGML_Q4_K, 8e-3), (gguf.GGML_Q5_K, 2e-3), (gguf.GGML_Q6_K, 5e-4),
+    (gguf.GGML_Q5_0, 3e-3), (gguf.GGML_Q5_1, 2e-3)])
 def test_kquant_roundtrip(ttype, bound, tmp_path):
     """K-quant super-block types (llama.cpp's default output.weight /
     Q4_K_M mixes; VERDICT gap #4): write -> read -> dequant within the
@@ -141,6 +142,23 @@ def test_kquant_roundtrip(ttype, bound, tmp_path):
     assert wdq.shape == (M, K)
     e = nmse(w, wdq)
     assert e < bound, e
+    r.close()
+
+
+def test_q5_0_code_roundtrip(tmp_path):
+    """Q5_0/Q5_1 5th-bit placement: codes survive write -> read exactly
+    (bit i of the little-endian qh word is element i's high bit)."""
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 32, (4, 64)).astype(np.float32)
+    path = str(tmp_path / "t.gguf")
+    # values chosen so quantization is exact: w = (q - 16) * 1.0 needs
+    # d = 1, i.e. a -16 in every 32-block (index 0 forced below)
+    w0 = codes - 16.0
+    w0[:, 0::32] = -16.0
+    gguf.write_gguf(path, {}, {"w": (gguf.GGML_Q5_0, w0)})
+    r = gguf.GGUFReader(path)
+    back = r.dequantized("w")
+    np.testing.assert_array_equal(back, w0)
     r.close()
 
 

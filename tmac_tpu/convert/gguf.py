@@ -43,7 +43,7 @@ _SCALAR_FMT = {
 
 # ggml tensor types (subset)
 GGML_F32, GGML_F16, GGML_Q4_0, GGML_Q4_1 = 0, 1, 2, 3
-GGML_Q8_0 = 8
+GGML_Q5_0, GGML_Q5_1, GGML_Q8_0 = 6, 7, 8
 # K-quants (QK_K = 256 super-blocks): llama.cpp's default mixes store
 # output.weight / token_embd as Q6_K and attn_v/ffn_down as Q6_K/Q4_K even
 # in "Q4_0" conversions (reference run_pipeline.py:164-175 relies on
@@ -57,7 +57,8 @@ GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 12, 13, 14
 GGML_TQ1_0, GGML_TQ2_0, GGML_I2_S = 34, 35, 36
 
 _TYPE_NAMES = {GGML_F32: "F32", GGML_F16: "F16", GGML_Q4_0: "Q4_0",
-               GGML_Q4_1: "Q4_1", GGML_Q8_0: "Q8_0", GGML_Q4_K: "Q4_K",
+               GGML_Q4_1: "Q4_1", GGML_Q5_0: "Q5_0", GGML_Q5_1: "Q5_1",
+               GGML_Q8_0: "Q8_0", GGML_Q4_K: "Q4_K",
                GGML_Q5_K: "Q5_K", GGML_Q6_K: "Q6_K", GGML_TQ1_0: "TQ1_0",
                GGML_TQ2_0: "TQ2_0", GGML_I2_S: "I2_S"}
 
@@ -72,6 +73,10 @@ def _block_layout(ggml_type: int) -> Tuple[int, int]:
         return 1, 2
     if ggml_type == GGML_Q4_0:
         return 32, 18
+    if ggml_type == GGML_Q5_0:
+        return 32, 22  # d + qh[4] + qs[16]
+    if ggml_type == GGML_Q5_1:
+        return 32, 24  # d + m + qh[4] + qs[16]
     if ggml_type == GGML_Q8_0:
         return 32, 34
     if ggml_type == GGML_Q4_K:
@@ -195,6 +200,14 @@ class GGUFReader:
             wq, d = self._q4_0_fields(raw)
             return ((wq.astype(np.float32) - 8.0)
                     * d.astype(np.float32)[:, None]).reshape(shape)
+        if t == GGML_Q5_0:
+            codes, d = self._q5_0_fields(raw)
+            return ((codes.astype(np.float32) - 16.0)
+                    * d.astype(np.float32)[:, None]).reshape(shape)
+        if t == GGML_Q5_1:
+            codes, d, m = self._q5_1_fields(raw)
+            return (codes.astype(np.float32) * d.astype(np.float32)[:, None]
+                    + m.astype(np.float32)[:, None]).reshape(shape)
         if t == GGML_Q8_0:
             blk = raw.reshape(-1, 34)
             d = blk[:, :2].copy().view(np.float16).reshape(-1)
@@ -429,6 +442,32 @@ class GGUFReader:
         hi = qs >> 4            # elements 16..31
         return np.concatenate([lo, hi], axis=1), d
 
+    @staticmethod
+    def _q5_0_fields(raw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Q5_0 blocks -> (codes (nblocks, 32) uint8 0..31, d fp16).
+        Element i's 5th bit is bit i of the little-endian qh word
+        (dequantize_row_q5_0: xh_0 = (qh >> j) & 1, xh_1 = bit j+16)."""
+        blk = raw.reshape(-1, 22)
+        d = blk[:, :2].copy().view(np.float16).reshape(-1)
+        qh = blk[:, 2:6].copy().view(np.uint32).reshape(-1)
+        qs = blk[:, 6:]
+        lo = np.concatenate([qs & 0x0F, qs >> 4], axis=1)  # element order
+        hi = ((qh[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1)
+        return (lo | (hi.astype(np.uint8) << 4)), d
+
+    @staticmethod
+    def _q5_1_fields(raw: np.ndarray):
+        """Q5_1 blocks -> (codes (nblocks, 32) uint8 0..31, d fp16, m fp16);
+        w = q * d + m (affine, min offset stored directly)."""
+        blk = raw.reshape(-1, 24)
+        d = blk[:, :2].copy().view(np.float16).reshape(-1)
+        m = blk[:, 2:4].copy().view(np.float16).reshape(-1)
+        qh = blk[:, 4:8].copy().view(np.uint32).reshape(-1)
+        qs = blk[:, 8:]
+        lo = np.concatenate([qs & 0x0F, qs >> 4], axis=1)
+        hi = ((qh[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1)
+        return (lo | (hi.astype(np.uint8) << 4)), d, m
+
     def q4_0_to_quantized(self, name: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Q4_0 matmul weight -> (wq (K, M) uint8, scales (K/32, M) f32,
         sub (K/32, M) f32) in this framework's kernel layout, exactly
@@ -555,7 +594,7 @@ def _qt_from_gguf(r: GGUFReader, name: str, tp_m: int, tp_k: int):
             wq, scales, sub, bits=4, group_size=32,
             k_shards=tp_k, m_shards=tp_m, scale_dtype=jnp.float32)
     # fall back: dequantize then requantize at 4 bits (zero_point affine).
-    # Covers Q5_K/Q6_K matmul tensors (llama.cpp's Q4_K_M mixes store
+    # Covers Q5_0/Q5_1/Q5_K/Q6_K matmul tensors (llama.cpp's Q4_K_M mixes store
     # ffn_down/attn_v this way): 5/6-bit codes don't map onto the kernel's
     # supported bit-widths, so they re-quantize to the model's 4-bit class
     # (~1e-3 NMSE on top of the original quantization -- measured in
@@ -716,6 +755,48 @@ def _pack_tq2_0(w_mk: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def _pack_q5_0(w_mk: np.ndarray) -> bytes:
+    """(M, K) float -> Q5_0 blocks (quantize_row_q5_0: d = signed absmax
+    / -16, q = clip(trunc(w/d + 16.5), 0, 31), bit 4 in the qh word)."""
+    M, K = w_mk.shape
+    assert K % 32 == 0
+    blocks = w_mk.reshape(M * K // 32, 32).astype(np.float32)
+    amax_idx = np.argmax(np.abs(blocks), axis=1)
+    maxv = blocks[np.arange(len(blocks)), amax_idx]
+    d = maxv / -16.0
+    inv = np.where(d == 0, 0.0, 1.0 / np.where(d == 0, 1.0, d))
+    q = np.clip(np.trunc(blocks * inv[:, None] + 16.5), 0, 31).astype(np.uint8)
+    qh = np.zeros((len(blocks),), np.uint32)
+    for i in range(32):
+        qh |= ((q[:, i] >> 4).astype(np.uint32)) << np.uint32(i)
+    out = np.empty((len(blocks), 22), np.uint8)
+    out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:6] = qh[:, None].view(np.uint8)
+    out[:, 6:] = (q[:, :16] & 0x0F) | ((q[:, 16:] & 0x0F) << 4)
+    return out.tobytes()
+
+
+def _pack_q5_1(w_mk: np.ndarray) -> bytes:
+    """(M, K) float -> Q5_1 blocks (affine: d = (max-min)/31, m = min)."""
+    M, K = w_mk.shape
+    assert K % 32 == 0
+    blocks = w_mk.reshape(M * K // 32, 32).astype(np.float32)
+    mn, mx = blocks.min(axis=1), blocks.max(axis=1)
+    d = (mx - mn) / 31.0
+    inv = np.where(d == 0, 0.0, 1.0 / np.where(d == 0, 1.0, d))
+    q = np.clip(np.trunc((blocks - mn[:, None]) * inv[:, None] + 0.5),
+                0, 31).astype(np.uint8)
+    qh = np.zeros((len(blocks),), np.uint32)
+    for i in range(32):
+        qh |= ((q[:, i] >> 4).astype(np.uint32)) << np.uint32(i)
+    out = np.empty((len(blocks), 24), np.uint8)
+    out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = mn.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:8] = qh[:, None].view(np.uint8)
+    out[:, 8:] = (q[:, :16] & 0x0F) | ((q[:, 16:] & 0x0F) << 4)
+    return out.tobytes()
+
+
 def _kq_pack_scales(sc6: np.ndarray, m6: np.ndarray) -> np.ndarray:
     """Inverse of GGUFReader._kq_scale_min: (nb, 8) 6-bit values ->
     (nb, 12) packed bytes."""
@@ -861,6 +942,10 @@ def write_gguf(path: str, metadata: Dict[str, Any], tensors: Dict[str, tuple]):
             arr = arr.reshape(-1, arr.shape[-1])
         if ttype == GGML_Q4_0:
             data = _pack_q4_0(arr)
+        elif ttype == GGML_Q5_0:
+            data = _pack_q5_0(arr)
+        elif ttype == GGML_Q5_1:
+            data = _pack_q5_1(arr)
         elif ttype == GGML_Q4_K:
             data = _pack_q4_k(arr)
         elif ttype == GGML_Q5_K:
