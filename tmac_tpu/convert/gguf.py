@@ -73,6 +73,8 @@ def _block_layout(ggml_type: int) -> Tuple[int, int]:
         return 1, 2
     if ggml_type == GGML_Q4_0:
         return 32, 18
+    if ggml_type == GGML_Q4_1:
+        return 32, 20  # d + m + qs[16]
     if ggml_type == GGML_Q5_0:
         return 32, 22  # d + qh[4] + qs[16]
     if ggml_type == GGML_Q5_1:
@@ -200,6 +202,10 @@ class GGUFReader:
             wq, d = self._q4_0_fields(raw)
             return ((wq.astype(np.float32) - 8.0)
                     * d.astype(np.float32)[:, None]).reshape(shape)
+        if t == GGML_Q4_1:
+            codes, d, m = self._q4_1_fields(raw)
+            return (codes.astype(np.float32) * d.astype(np.float32)[:, None]
+                    + m.astype(np.float32)[:, None]).reshape(shape)
         if t == GGML_Q5_0:
             codes, d = self._q5_0_fields(raw)
             return ((codes.astype(np.float32) - 16.0)
@@ -443,6 +449,16 @@ class GGUFReader:
         return np.concatenate([lo, hi], axis=1), d
 
     @staticmethod
+    def _q4_1_fields(raw: np.ndarray):
+        """Q4_1 blocks -> (codes (nblocks, 32) uint8 0..15, d fp16, m fp16);
+        w = q * d + m."""
+        blk = raw.reshape(-1, 20)
+        d = blk[:, :2].copy().view(np.float16).reshape(-1)
+        m = blk[:, 2:4].copy().view(np.float16).reshape(-1)
+        qs = blk[:, 4:]
+        return np.concatenate([qs & 0x0F, qs >> 4], axis=1), d, m
+
+    @staticmethod
     def _q5_0_fields(raw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Q5_0 blocks -> (codes (nblocks, 32) uint8 0..31, d fp16).
         Element i's 5th bit is bit i of the little-endian qh word
@@ -467,6 +483,19 @@ class GGUFReader:
         lo = np.concatenate([qs & 0x0F, qs >> 4], axis=1)
         hi = ((qh[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1)
         return (lo | (hi.astype(np.uint8) << 4)), d, m
+
+    def q4_1_to_quantized(self, name: str):
+        """Q4_1 matmul weight -> (wq, scales, sub) EXACTLY: the affine
+        block model w = d*q + m IS the framework contract scale*wq - sub
+        with scales = d, sub = -m (cf. q4_0_to_quantized)."""
+        info = self.tensors[name]
+        assert info["type"] == GGML_Q4_1, _TYPE_NAMES.get(info["type"])
+        K, M = info["dims"][0], info["dims"][1]
+        codes, d, m = self._q4_1_fields(self.tensor_bytes(name))
+        wq = codes.reshape(M, K).T.copy()
+        scales = d.astype(np.float32).reshape(M, K // 32).T.copy()
+        sub = -m.astype(np.float32).reshape(M, K // 32).T.copy()
+        return wq.astype(np.uint8), scales, sub
 
     def q4_0_to_quantized(self, name: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Q4_0 matmul weight -> (wq (K, M) uint8, scales (K/32, M) f32,
@@ -583,6 +612,11 @@ def _qt_from_gguf(r: GGUFReader, name: str, tp_m: int, tp_k: int):
         # would NOT round-trip through bf16 (7 bits) -- f32 keeps the exact
         # mapping the module docstring promises; scale memory is 1/8 of the
         # packed nibbles, so the cost is marginal.
+        return QuantizedTensor.from_quantized(
+            wq, scales, sub, bits=4, group_size=32,
+            k_shards=tp_k, m_shards=tp_m, scale_dtype=jnp.float32)
+    if info["type"] == GGML_Q4_1:
+        wq, scales, sub = r.q4_1_to_quantized(name)
         return QuantizedTensor.from_quantized(
             wq, scales, sub, bits=4, group_size=32,
             k_shards=tp_k, m_shards=tp_m, scale_dtype=jnp.float32)
@@ -752,6 +786,23 @@ def _pack_tq2_0(w_mk: np.ndarray) -> bytes:
             q |= t[:, j * 4 + 32 * n:j * 4 + 32 * (n + 1)] << (2 * n)
         out[:, j:j + 32] = q
     out[:, 64:66] = d.astype(np.float16)[:, None].view(np.uint8)
+    return out.tobytes()
+
+
+def _pack_q4_1(w_mk: np.ndarray) -> bytes:
+    """(M, K) float -> Q4_1 blocks (affine: d = (max-min)/15, m = min)."""
+    M, K = w_mk.shape
+    assert K % 32 == 0
+    blocks = w_mk.reshape(M * K // 32, 32).astype(np.float32)
+    mn, mx = blocks.min(axis=1), blocks.max(axis=1)
+    d = (mx - mn) / 15.0
+    inv = np.where(d == 0, 0.0, 1.0 / np.where(d == 0, 1.0, d))
+    q = np.clip(np.trunc((blocks - mn[:, None]) * inv[:, None] + 0.5),
+                0, 15).astype(np.uint8)
+    out = np.empty((len(blocks), 20), np.uint8)
+    out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = mn.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:] = q[:, :16] | (q[:, 16:] << 4)
     return out.tobytes()
 
 
@@ -942,6 +993,8 @@ def write_gguf(path: str, metadata: Dict[str, Any], tensors: Dict[str, tuple]):
             arr = arr.reshape(-1, arr.shape[-1])
         if ttype == GGML_Q4_0:
             data = _pack_q4_0(arr)
+        elif ttype == GGML_Q4_1:
+            data = _pack_q4_1(arr)
         elif ttype == GGML_Q5_0:
             data = _pack_q5_0(arr)
         elif ttype == GGML_Q5_1:
