@@ -146,6 +146,59 @@ def test_kquant_roundtrip(ttype, bound, tmp_path):
     r.close()
 
 
+def test_q8_0_exact_mapping(tmp_path):
+    """Q8_0 matmul weights map losslessly onto the bits=8 int8-MXU path
+    (w = d*q; biased codes + sub = 128*d), not the 4-bit requantize
+    fallback."""
+    rng = np.random.default_rng(17)
+    M, K = 32, 256
+    w = rng.standard_normal((M, K)).astype(np.float32)
+    path = str(tmp_path / "t.gguf")
+    gguf.write_gguf(path, {}, {"w": (gguf.GGML_Q8_0, w)})
+    r = gguf.GGUFReader(path)
+    wdq = r.dequantized("w")
+    assert nmse(w, wdq) < 5e-5  # 8-bit quantization noise only
+    wq, scales, sub = r.q8_0_to_quantized("w")
+    assert wq.shape == (K, M) and wq.dtype == np.uint8
+    from tmac_tpu.ops.packing import dequantize
+    np.testing.assert_allclose(dequantize(wq, scales, sub, 32), wdq.T,
+                               rtol=1e-6, atol=1e-6)
+    # and through QuantizedTensor at bits=8
+    from tmac_tpu.ops.qgemm import QuantizedTensor, qgemm_xla
+    qt = QuantizedTensor.from_quantized(wq, scales, sub, bits=8,
+                                        group_size=32,
+                                        scale_dtype=jnp.float32)
+    x = rng.standard_normal((2, K)).astype(np.float32)
+    got = np.asarray(qgemm_xla(jnp.asarray(x), qt))
+    np.testing.assert_allclose(got, x @ wdq.T, rtol=2e-2, atol=2e-2)
+    r.close()
+
+
+def test_convert_gguf_mixed_bits_fuse(tmp_path):
+    """A Q8_0 attn_v beside Q4_0 attn_q/attn_k: fuse_m needs one
+    bit-width, so the fused QKV re-quantizes uniformly and the model still
+    converts and runs; the standalone Q8_0 ffn_down stays exact bits=8."""
+    cfg0 = get_preset("llama-2-7b").scaled(8)
+    rng = np.random.default_rng(21)
+    path = str(tmp_path / "model.gguf")
+    ref_w = _write_tiny_llama_gguf(
+        path, cfg0, rng,
+        overrides={"attn_v.weight": gguf.GGML_Q8_0,
+                   "ffn_down.weight": gguf.GGML_Q8_0})
+    cfg, params = gguf.convert_gguf_model(path, name="tiny-mixed-gguf")
+    l0 = params["layers"][0]
+    assert l0["wqkv"].bits == 4            # uniform requantized fuse
+    assert l0["down"].bits == 8            # exact 8-bit mapping
+    x = rng.standard_normal((2, cfg.intermediate_size)).astype(np.float32)
+    got = np.asarray(qgemm_xla(jnp.asarray(x), l0["down"]))
+    wd = ref_w["blk.0.ffn_down"].T
+    assert nmse(x @ wd, got) < 1e-4        # 8-bit noise, not 4-bit
+    cache = KVCache.create(cfg, 1, 8)
+    logits, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]]), cache,
+                        impl="xla")
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
 def test_q4_1_exact_mapping(tmp_path):
     """Q4_1's affine block model == the framework contract at gs=32:
     q4_1_to_quantized reproduces reader.dequantized exactly."""

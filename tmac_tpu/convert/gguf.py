@@ -484,6 +484,22 @@ class GGUFReader:
         hi = ((qh[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1)
         return (lo | (hi.astype(np.uint8) << 4)), d, m
 
+    def q8_0_to_quantized(self, name: str):
+        """Q8_0 matmul weight -> (wq, scales, sub) EXACTLY onto the bits=8
+        path (w = d*q; biased codes wq = q + 128, sub = 128*d).  8-bit
+        artifacts then run the int8 MXU kernel losslessly instead of the
+        4-bit requantize fallback."""
+        info = self.tensors[name]
+        assert info["type"] == GGML_Q8_0, _TYPE_NAMES.get(info["type"])
+        K, M = info["dims"][0], info["dims"][1]
+        blk = self.tensor_bytes(name).reshape(-1, 34)
+        d = blk[:, :2].copy().view(np.float16).reshape(-1).astype(np.float32)
+        q = blk[:, 2:].view(np.int8)
+        wq = (q.astype(np.int16) + 128).astype(np.uint8)
+        wq = wq.reshape(M, K).T.copy()
+        scales = d.reshape(M, K // 32).T.copy()
+        return wq, scales, 128.0 * scales
+
     def q4_1_to_quantized(self, name: str):
         """Q4_1 matmul weight -> (wq, scales, sub) EXACTLY: the affine
         block model w = d*q + m IS the framework contract scale*wq - sub
@@ -590,8 +606,22 @@ def model_config_from_gguf(r: GGUFReader, name: str = "gguf-model"):
     )
 
 
-def _qt_from_gguf(r: GGUFReader, name: str, tp_m: int, tp_k: int):
+def _qt_from_gguf(r: GGUFReader, name: str, tp_m: int, tp_k: int,
+                  force_requant: bool = False):
     from tmac_tpu.ops.qgemm import QuantizedTensor
+
+    def _requant():
+        # dequantize then requantize at 4 bits (zero_point affine); see the
+        # fallback comment at the bottom of this function
+        from tmac_tpu.ops.packing import quantize_weights
+        w = r.dequantized(name).T  # (K, M)
+        wq, scales, sub = quantize_weights(w, 4, 32, True)
+        return QuantizedTensor.from_quantized(
+            wq, scales, sub, bits=4, group_size=32,
+            k_shards=tp_k, m_shards=tp_m, scale_dtype=jnp.bfloat16)
+
+    if force_requant:
+        return _requant()
     info = r.tensors[name]
     if info["type"] in TERNARY_TYPES:
         wq, scales, sub, gs, per_tensor = r.ternary_to_quantized(name)
@@ -620,6 +650,11 @@ def _qt_from_gguf(r: GGUFReader, name: str, tp_m: int, tp_k: int):
         return QuantizedTensor.from_quantized(
             wq, scales, sub, bits=4, group_size=32,
             k_shards=tp_k, m_shards=tp_m, scale_dtype=jnp.float32)
+    if info["type"] == GGML_Q8_0:
+        wq, scales, sub = r.q8_0_to_quantized(name)
+        return QuantizedTensor.from_quantized(
+            wq, scales, sub, bits=8, group_size=32,
+            k_shards=tp_k, m_shards=tp_m, scale_dtype=jnp.float32)
     if info["type"] == GGML_Q4_K:
         # exact: Q4_K's affine super-block model == this framework's
         # dequant contract at gs=32 (see q4_k_to_quantized)
@@ -633,19 +668,23 @@ def _qt_from_gguf(r: GGUFReader, name: str, tp_m: int, tp_k: int):
     # supported bit-widths, so they re-quantize to the model's 4-bit class
     # (~1e-3 NMSE on top of the original quantization -- measured in
     # tests/test_gguf.py).
-    from tmac_tpu.ops.packing import quantize_weights
-    w = r.dequantized(name).T  # (K, M)
-    wq, scales, sub = quantize_weights(w, 4, 32, True)
-    return QuantizedTensor.from_quantized(wq, scales, sub, bits=4,
-                                          group_size=32,
-                                          k_shards=tp_k, m_shards=tp_m,
-                                          scale_dtype=jnp.bfloat16)
+    return _requant()
+
+
+def _fuse_qts_from_gguf(r: GGUFReader, names, tp_m: int, tp_k: int):
+    """fuse_m requires one bit-width across the fused components; a
+    mixed-type artifact (e.g. Q8_0 attn_v beside Q4_K attn_q) re-quantizes
+    every component to the uniform 4-bit class instead."""
+    from tmac_tpu.ops.qgemm import fuse_m
+    qts = [_qt_from_gguf(r, n, tp_m, tp_k) for n in names]
+    if len({(q.bits, q.group_size) for q in qts}) > 1:
+        qts = [_qt_from_gguf(r, n, tp_m, tp_k, force_requant=True)
+               for n in names]
+    return fuse_m(qts)
 
 
 def convert_gguf_model(path: str, tp: int = 1, name: str = "gguf-model"):
     """gguf file (Q4_0-quantized llama-family) -> (ModelConfig, params)."""
-    from tmac_tpu.ops.qgemm import fuse_m
-
     r = GGUFReader(path)
     cfg = model_config_from_gguf(r, name=name)
 
@@ -658,11 +697,9 @@ def convert_gguf_model(path: str, tp: int = 1, name: str = "gguf-model"):
         layer = {
             "attn_norm": bf16(f"{p}.attn_norm.weight"),
             "mlp_norm": bf16(f"{p}.ffn_norm.weight"),
-            "wqkv": fuse_m([
-                _qt_from_gguf(r, f"{p}.attn_q.weight", tp, 1),
-                _qt_from_gguf(r, f"{p}.attn_k.weight", tp, 1),
-                _qt_from_gguf(r, f"{p}.attn_v.weight", tp, 1),
-            ]),
+            "wqkv": _fuse_qts_from_gguf(
+                r, [f"{p}.attn_q.weight", f"{p}.attn_k.weight",
+                    f"{p}.attn_v.weight"], tp, 1),
             "wo": _qt_from_gguf(r, f"{p}.attn_output.weight", 1, tp),
         }
         if cfg.attention_bias:
@@ -681,8 +718,7 @@ def convert_gguf_model(path: str, tp: int = 1, name: str = "gguf-model"):
             uv = r.expert_views(f"{p}.ffn_up_exps.weight")
             dv = r.expert_views(f"{p}.ffn_down_exps.weight")
             layer["experts_gate_up"] = stack_experts([
-                fuse_m([_qt_from_gguf(r, gv[e], tp, 1),
-                        _qt_from_gguf(r, uv[e], tp, 1)])
+                _fuse_qts_from_gguf(r, [gv[e], uv[e]], tp, 1)
                 for e in range(cfg.num_experts)
             ])
             layer["experts_down"] = stack_experts([
@@ -691,10 +727,9 @@ def convert_gguf_model(path: str, tp: int = 1, name: str = "gguf-model"):
             ])
             if f"{p}.ffn_gate_shexp.weight" in r.tensors:
                 # qwen2moe shared expert (+ its sigmoid gate vector)
-                layer["shared_gate_up"] = fuse_m([
-                    _qt_from_gguf(r, f"{p}.ffn_gate_shexp.weight", tp, 1),
-                    _qt_from_gguf(r, f"{p}.ffn_up_shexp.weight", tp, 1),
-                ])
+                layer["shared_gate_up"] = _fuse_qts_from_gguf(
+                    r, [f"{p}.ffn_gate_shexp.weight",
+                        f"{p}.ffn_up_shexp.weight"], tp, 1)
                 layer["shared_down"] = _qt_from_gguf(
                     r, f"{p}.ffn_down_shexp.weight", 1, tp)
                 sg = f"{p}.ffn_gate_inp_shexp.weight"
@@ -702,10 +737,8 @@ def convert_gguf_model(path: str, tp: int = 1, name: str = "gguf-model"):
                     layer["shared_gate"] = jnp.asarray(
                         r.dequantized(sg), jnp.bfloat16).reshape(-1)
         else:
-            layer["gate_up"] = fuse_m([
-                _qt_from_gguf(r, f"{p}.ffn_gate.weight", tp, 1),
-                _qt_from_gguf(r, f"{p}.ffn_up.weight", tp, 1),
-            ])
+            layer["gate_up"] = _fuse_qts_from_gguf(
+                r, [f"{p}.ffn_gate.weight", f"{p}.ffn_up.weight"], tp, 1)
             layer["down"] = _qt_from_gguf(r, f"{p}.ffn_down.weight", 1, tp)
         layers.append(layer)
 
@@ -786,6 +819,20 @@ def _pack_tq2_0(w_mk: np.ndarray) -> bytes:
             q |= t[:, j * 4 + 32 * n:j * 4 + 32 * (n + 1)] << (2 * n)
         out[:, j:j + 32] = q
     out[:, 64:66] = d.astype(np.float16)[:, None].view(np.uint8)
+    return out.tobytes()
+
+
+def _pack_q8_0(w_mk: np.ndarray) -> bytes:
+    """(M, K) float -> Q8_0 blocks (quantize_row_q8_0: d = absmax/127)."""
+    M, K = w_mk.shape
+    assert K % 32 == 0
+    blocks = w_mk.reshape(M * K // 32, 32).astype(np.float32)
+    d = np.abs(blocks).max(axis=1) / 127.0
+    inv = np.where(d == 0, 0.0, 1.0 / np.where(d == 0, 1.0, d))
+    q = np.clip(np.rint(blocks * inv[:, None]), -128, 127).astype(np.int8)
+    out = np.empty((len(blocks), 34), np.uint8)
+    out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:] = q.view(np.uint8)
     return out.tobytes()
 
 
@@ -995,6 +1042,8 @@ def write_gguf(path: str, metadata: Dict[str, Any], tensors: Dict[str, tuple]):
             data = _pack_q4_0(arr)
         elif ttype == GGML_Q4_1:
             data = _pack_q4_1(arr)
+        elif ttype == GGML_Q8_0:
+            data = _pack_q8_0(arr)
         elif ttype == GGML_Q5_0:
             data = _pack_q5_0(arr)
         elif ttype == GGML_Q5_1:
