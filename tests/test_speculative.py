@@ -114,3 +114,42 @@ def test_engine_speculative_mode_matches_plain():
     u3 = spec.submit(prompt, max_new_tokens=8, temperature=0.9)
     out3 = spec.run()[u3]
     assert len(out3) == 8 and all(0 <= t < cfg.vocab_size for t in out3)
+
+
+@pytest.mark.parametrize("draft_kind", ["weak", "self"])
+def test_draft_speculative_greedy_lossless(draft_kind):
+    """Two-model (draft) speculation: emitted tokens equal plain greedy
+    decode for any draft; a self-draft accepts (nearly) everything so the
+    target forward count collapses to ~steps/k."""
+    cfg = get_preset("llama-2-7b").scaled(8)
+    params = init_params(cfg, seed=0)
+    if draft_kind == "self":
+        cfg_d, params_d = cfg, params
+    else:  # different weights = a weak draft (vocab shared by scaling)
+        cfg_d = get_preset("llama-2-7b").scaled(16)
+        import dataclasses
+        cfg_d = dataclasses.replace(cfg_d, vocab_size=cfg.vocab_size)
+        params_d = init_params(cfg_d, seed=7)
+    rng = np.random.default_rng(1)
+    T, steps, k = 16, 20, 4
+    prompt = rng.integers(0, cfg.vocab_size, (1, T))
+    toks = jnp.asarray(prompt, jnp.int32)
+    S = 128
+
+    cache = KVCache.create(cfg, 1, S)
+    logits, cache = prefill(params, cfg, toks, cache, impl="xla")
+    first = jnp.argmax(logits.astype(jnp.float32), -1).astype(jnp.int32)
+    ref, _ = decode_loop(params, cfg, first, cache, jax.random.PRNGKey(0),
+                         steps=steps - 1, sampler=SamplerConfig(), impl="xla")
+    want = [int(first[0])] + [int(t) for t in np.asarray(ref)[0]]
+
+    out, nft, nfd = speculative.generate_draft_speculative(
+        params, cfg, params_d, cfg_d, toks, max_new_tokens=steps,
+        max_len=S, k=k, impl="xla")
+    got = [int(t) for t in np.asarray(out)[0]]
+    assert got == want, (got, want)
+    assert nfd == k * nft  # k draft forwards per verification round
+    if draft_kind == "self":
+        # every round accepts k tokens (the draft IS the target)
+        import math
+        assert nft <= math.ceil((steps - 1) / k) + 1, nft

@@ -163,6 +163,127 @@ def decode_loop_speculative(params, cfg: ModelConfig, first_token,
     return out, nf, cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg_t", "cfg_d", "steps", "k",
+                                             "impl"),
+                   donate_argnames=("cache_t", "cache_d"))
+def decode_chunk_draft_speculative(params_t, cfg_t: ModelConfig, params_d,
+                                   cfg_d: ModelConfig, history: jax.Array,
+                                   history_len, cache_t: KVCache,
+                                   cache_d: KVCache, steps: int, k: int = 4,
+                                   impl: str = "auto"):
+    """Greedy decode with a DRAFT MODEL proposing k tokens per round
+    (classic two-model speculative decoding), fully on-device like the
+    lookup variant above: draft loop, verification forward, acceptance
+    scan and both cache rewinds inside one `lax.while_loop`.
+
+    Unlike the n-gram proposal, a small same-family draft accepts well on
+    arbitrary text, at the cost of k draft forwards per round -- worth it
+    when draft weight bytes << target weight bytes (e.g. a W2 700M
+    drafting for a W4 7B: k=4 drafts cost ~0.2 target forwards of HBM
+    traffic).  Lossless: emitted tokens are the target's own greedy
+    choices (verification recomputes argmax at every position).
+
+    Cache invariants on entry (both caches, same max_len): K/V written
+    for history[:history_len-1], pos == history_len - 1.  The acceptance
+    count per round is clamped to k (not k+1): the "bonus" token's draft
+    K/V entry was never computed, so emitting it would leave a hole in
+    the draft cache; capping at k keeps both caches exactly one rewind
+    formula (pos0 + ntok) -- see the lookup variant's docstring for why
+    stale rejected entries are safe.
+
+    Returns (tokens (1, steps) incl. the seed, n_emitted, n_target_fwd,
+    n_draft_fwd, cache_t, cache_d).
+    """
+    B, Sh = history.shape
+    assert B == 1, "speculative decode is single-stream"
+    assert cfg_t.vocab_size == cfg_d.vocab_size, "draft must share the vocab"
+    S = cache_t.max_len
+    buf = jnp.zeros((max(S, Sh),), jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, history[0].astype(jnp.int32),
+                                       (0,))
+    length = jnp.asarray(history_len, jnp.int32)
+    emitted = jnp.int32(1)
+    seed = jax.lax.dynamic_slice(buf, (length - 1,), (1,))
+    out = jnp.zeros((steps + k + 1,), jnp.int32)
+    out = out.at[0].set(seed[0])
+
+    def cond(c):
+        emitted, length, buf, out, cache_t, cache_d, nft, nfd = c
+        return (emitted < steps) & (length + k + 1 <= S)
+
+    def body(c):
+        emitted, length, buf, out, cache_t, cache_d, nft, nfd = c
+        last = jax.lax.dynamic_slice(buf, (length - 1,), (1,))
+
+        def dstep(j, dc):
+            draft, cache_d, tok = dc
+            lg, cache_d = forward(params_d, cfg_d, tok[None, :], cache_d,
+                                  impl=impl)
+            nxt = jnp.argmax(lg[0, -1].astype(jnp.float32)).astype(jnp.int32)
+            draft = jax.lax.dynamic_update_slice(draft, nxt[None], (j,))
+            return draft, cache_d, nxt[None]
+
+        pos0_d = cache_d.pos
+        draft, cache_d, _ = jax.lax.fori_loop(
+            0, k, dstep, (jnp.zeros((k,), jnp.int32), cache_d, last))
+        feed = jnp.concatenate([last, draft])[None, :]     # (1, k+1)
+        pos0_t = cache_t.pos
+        logits, cache_t = forward(params_t, cfg_t, feed, cache_t, impl=impl)
+        targets = jnp.argmax(logits[0].astype(jnp.float32), axis=-1
+                             ).astype(jnp.int32)           # (k+1,)
+        good = draft == targets[:k]
+        a = jnp.argmin(jnp.concatenate([good, jnp.array([False])])
+                       .astype(jnp.int32))
+        ntok = jnp.minimum(a + 1, k)       # cap: keep the draft cache whole
+        ntok = jnp.minimum(ntok, steps - emitted)
+        ntok = jnp.maximum(ntok, 1)
+        emit = jnp.where(jnp.arange(k + 1) < ntok, targets, 0)
+        out = jax.lax.dynamic_update_slice(out, emit, (emitted,))
+        buf = jax.lax.dynamic_update_slice(buf, emit, (length,))
+        cache_t = KVCache(k=cache_t.k, v=cache_t.v, pos=pos0_t + ntok)
+        cache_d = KVCache(k=cache_d.k, v=cache_d.v, pos=pos0_d + ntok)
+        return (emitted + ntok, length + ntok, buf, out, cache_t, cache_d,
+                nft + 1, nfd + k)
+
+    emitted, length, buf, out, cache_t, cache_d, nft, nfd = jax.lax.while_loop(
+        cond, body,
+        (emitted, length, buf, out, cache_t, cache_d, jnp.int32(0),
+         jnp.int32(0)))
+    return out[None, :steps], emitted, nft, nfd, cache_t, cache_d
+
+
+def generate_draft_speculative(params_t, cfg_t: ModelConfig, params_d,
+                               cfg_d: ModelConfig, prompt_tokens,
+                               max_new_tokens: int,
+                               max_len: Optional[int] = None, k: int = 4,
+                               impl: str = "auto"):
+    """Convenience wrapper: prefill both models, then draft-speculative
+    greedy decode.  Returns (tokens (1, max_new_tokens), n_target_fwd,
+    n_draft_fwd)."""
+    import numpy as np
+
+    from tmac_tpu.runtime.generate import prefill
+
+    toks = jnp.asarray(np.asarray(prompt_tokens), jnp.int32)
+    if toks.ndim == 1:
+        toks = toks[None, :]
+    B, T = toks.shape
+    assert B == 1
+    S = max_len or (T + max_new_tokens + k + 1)
+    cache_t = KVCache.create(cfg_t, 1, S)
+    cache_d = KVCache.create(cfg_d, 1, S)
+    logits, cache_t = prefill(params_t, cfg_t, toks, cache_t, impl=impl)
+    _, cache_d = prefill(params_d, cfg_d, toks, cache_d, impl=impl)
+    first = jnp.argmax(logits.astype(jnp.float32), -1).astype(jnp.int32)
+    hist = jnp.zeros((1, S), jnp.int32)
+    hist = jax.lax.dynamic_update_slice(hist, toks, (0, 0))
+    hist = jax.lax.dynamic_update_slice(hist, first[None, :], (0, T))
+    out, _, nft, nfd, _, _ = decode_chunk_draft_speculative(
+        params_t, cfg_t, params_d, cfg_d, hist, T + 1, cache_t, cache_d,
+        steps=max_new_tokens, k=k, impl=impl)
+    return out, int(nft), int(nfd)
+
+
 def generate_speculative(params, cfg: ModelConfig, prompt_tokens,
                          max_new_tokens: int, max_len: Optional[int] = None,
                          ngram: int = 3, k: int = 8, impl: str = "auto"):

@@ -64,7 +64,17 @@ def cmd_generate(args):
     sampler = SamplerConfig(temperature=args.temperature, top_k=args.top_k,
                             top_p=args.top_p)
     t0 = time.time()
-    if getattr(args, "speculative", False):
+    if getattr(args, "draft_ckpt", ""):
+        assert args.temperature <= 0, "--draft-ckpt is greedy-only"
+        from tmac_tpu.convert.checkpoint import load_checkpoint
+        from tmac_tpu.runtime.speculative import generate_draft_speculative
+        cfg_d, params_d = load_checkpoint(args.draft_ckpt)
+        out, nft, nfd = generate_draft_speculative(
+            params, cfg, params_d, cfg_d, np.asarray([ids], np.int32),
+            max_new_tokens=args.n, k=args.spec_k)
+        print(f"[draft-speculative: {args.n} tokens in {nft} target + "
+              f"{nfd} draft forwards]", file=sys.stderr)
+    elif getattr(args, "speculative", False):
         assert args.temperature <= 0, "--speculative is greedy-only"
         from tmac_tpu.runtime.speculative import generate_speculative
         out, nf = generate_speculative(params, cfg,
@@ -402,6 +412,11 @@ def main():
     g.add_argument("--top-p", type=float, default=1.0)
     g.add_argument("--speculative", action="store_true",
                    help="lookup speculative decoding (greedy; lossless)")
+    g.add_argument("--draft-ckpt", default="",
+                   help="packed checkpoint of a small draft model: "
+                        "two-model speculative decoding (greedy; lossless)")
+    g.add_argument("--spec-k", type=int, default=4,
+                   help="draft tokens per verification round")
     g.set_defaults(fn=cmd_generate)
 
     ch = sub.add_parser("chat", help="interactive streaming chat "
