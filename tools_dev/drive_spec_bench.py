@@ -4,6 +4,7 @@ contexts, plus the T=k+1 verify-step cost vs a T=1 decode step.
 Run from /root/repo when the chip is free:
     python tools_dev/drive_spec_bench.py [preset]
 """
+import os
 import sys
 import time
 
@@ -78,3 +79,27 @@ s_rand, p_rand, nf_rand = run(rand_prompt, "random")
 log(f"SUMMARY preset={preset} k={k}: repetitive spec/plain = "
     f"{s_rep/p_rep:.2f}x ({nf_rep} fwd/{steps} tok); random = "
     f"{s_rand/p_rand:.2f}x ({nf_rand} fwd)")
+
+# two-model draft speculation: a 700M BitNet drafting for the target
+# (synthetic weights: acceptance is what it is -- the interesting numbers
+# are the verified tok/s ceiling and the draft-round overhead)
+if os.environ.get("TMAC_SPEC_DRAFT"):
+    import dataclasses
+
+    from tmac_tpu.runtime.speculative import generate_draft_speculative
+    cfg_d = dataclasses.replace(get_preset("bitnet-700m"),
+                                vocab_size=cfg.vocab_size)
+    params_d = jax.device_put(init_params(cfg_d, seed=3))
+    for label, prompt in (("repetitive", rep_prompt), ("random", rand_prompt)):
+        # compile pass then timed pass
+        for timed in (False, True):
+            t1 = time.perf_counter()
+            out, nft, nfd = generate_draft_speculative(
+                params, cfg, params_d, cfg_d, prompt,
+                max_new_tokens=steps, max_len=S, k=4)
+            _ = np.asarray(out)
+            dt = time.perf_counter() - t1
+            if timed:
+                log(f"draft-spec {label}: {steps} tok in {dt*1e3:.0f} ms "
+                    f"({steps/dt:.1f} tok/s), {nft} target + {nfd} draft "
+                    f"forwards ({steps/max(nft,1):.2f} tok/target-forward)")
