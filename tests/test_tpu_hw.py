@@ -170,6 +170,44 @@ def test_hw_flash_decode_vs_oracle(D, S):
                 assert nmse(o, got) < 1e-3, (b, h, r)
 
 
+@pytest.mark.parametrize("KV,S", [(4, 256), (8, 2048)])
+def test_hw_flash_decode_int8_cache(KV, S):
+    """Quantized-cache flash decode on hardware: int8 codes + per-vector
+    scale blocks (the (KV, blk) f32 scale DMA rides beside the code DMA;
+    KV=4 exercises a sub-sublane-tile scale slice like qwen2-7b's GQA).
+    Must equal float attention over the dequantized cache."""
+    from tmac_tpu.ops.pallas.attention_kernel import flash_decode_stacked
+    rng = np.random.default_rng(11)
+    L, B, rep, Dp = 2, 2, 2, 128
+    k = rng.standard_normal((L, B, KV, S, Dp)).astype(np.float32)
+    v = rng.standard_normal((L, B, KV, S, Dp)).astype(np.float32)
+    ksc = (np.abs(k).max(-1) / 127.0).astype(np.float32)
+    vsc = (np.abs(v).max(-1) / 127.0).astype(np.float32)
+    kq = np.clip(np.round(k / ksc[..., None]), -127, 127).astype(np.int8)
+    vq = np.clip(np.round(v / vsc[..., None]), -127, 127).astype(np.int8)
+    q = rng.standard_normal((B, KV, rep, Dp)).astype(np.float32)
+    lens = np.array([S // 3, S - 1], np.int32)
+    li = 1
+    scale = 1.0 / np.sqrt(Dp)
+    out = np.asarray(flash_decode_stacked(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(kq), jnp.asarray(vq),
+        jnp.asarray(lens), jnp.int32(li), scale=scale,
+        k_scale=jnp.asarray(ksc), v_scale=jnp.asarray(vsc)))
+    kdq = kq.astype(np.float32) * ksc[..., None]
+    vdq = vq.astype(np.float32) * vsc[..., None]
+    qb = np.asarray(np.asarray(jnp.asarray(q, jnp.bfloat16), np.float32))
+    for b in range(B):
+        n = lens[b]
+        for h in range(KV):
+            for r in range(rep):
+                sc = (kdq[li, b, h, :n] @ qb[b, h, r]) * scale
+                p = np.exp(sc - sc.max())
+                p /= p.sum()
+                o = p @ vdq[li, b, h, :n]
+                got = np.asarray(out).reshape(B, KV, rep, -1)[b, h, r]
+                assert nmse(o, got) < 1e-3, (b, h, r)
+
+
 def test_hw_moe_mlp_pallas_vs_xla():
     """MoE MLP through the compiled pallas expert kernels (dense, select,
     and dispatch forms) vs the XLA dequant path on the same weights."""

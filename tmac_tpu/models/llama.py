@@ -124,7 +124,7 @@ def rope(x: jax.Array, tables) -> jax.Array:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["k", "v", "pos"],
+    data_fields=["k", "v", "pos", "k_scale", "v_scale"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -138,15 +138,26 @@ class KVCache:
     (ops/pallas/attention_kernel.py) streams it with large sequential DMAs
     bounded by pos -- unlike the reference's llama.cpp attention (and an
     XLA einsum), which reads the full allocation every step.
+
+    Quantized mode (create(..., quant=True)): k/v hold int8 codes and
+    k_scale/v_scale (L, B, KV, S) f32 hold one scale per written vector
+    (absmax/127 over head_dim).  Halves both KV HBM traffic per decode
+    step and cache memory (2x the servable slots/context); the flash
+    kernel folds the scales into the score/prob tensors (rep- and
+    score-sized multiplies, NOT a dequantized KV copy).  The llama.cpp
+    analog is --cache-type-k/v q8_0; this design is TPU-first (scales
+    ride as lane-aligned DMA blocks next to the int8 stream).
     """
 
     k: jax.Array
     v: jax.Array
     pos: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @classmethod
     def create(cls, cfg: ModelConfig, batch: int, max_len: int,
-               dtype=jnp.bfloat16) -> "KVCache":
+               dtype=jnp.bfloat16, quant: bool = False) -> "KVCache":
         # head_dim padded to the 128-lane tile: the flash-decode kernel
         # (the default decode attention on TPU) needs lane-aligned DMA
         # slices, and it reads only pos+1 entries so the padding does not
@@ -160,6 +171,14 @@ class KVCache:
         dp = round_up(cfg.head_dim, 128)
         max_len = round_up(max_len, 128)
         shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, dp)
+        if quant:
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                pos=jnp.zeros((batch,), jnp.int32),
+                k_scale=jnp.zeros(shape[:4], jnp.float32),
+                v_scale=jnp.zeros(shape[:4], jnp.float32),
+            )
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -169,6 +188,10 @@ class KVCache:
     @property
     def max_len(self) -> int:
         return self.k.shape[3]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
 
 # ---------------------------------------------------------------------------
@@ -350,7 +373,8 @@ def _flash_decode_ok(T: int, S: int, Dp: int, impl: str) -> bool:
 
 
 def _attention(q, k_all, v_all, li: int, q_positions, kv_len_mask,
-               cfg: ModelConfig, impl: str = "auto"):
+               cfg: ModelConfig, impl: str = "auto", k_scale=None,
+               v_scale=None):
     """q (B,T,H,D), k_all/v_all (L,B,KV,S,D) stacked cache, li layer index;
     causal within valid kv positions.
 
@@ -376,9 +400,17 @@ def _attention(q, k_all, v_all, li: int, q_positions, kv_len_mask,
         # in-kernel -- no glue ops around the pallas call
         o = flash_decode_stacked(q.reshape(B, KV, rep, D), k_all, v_all,
                                  kv_lens, jnp.int32(li),
-                                 scale=1.0 / float(np.sqrt(D)))
+                                 scale=1.0 / float(np.sqrt(D)),
+                                 k_scale=k_scale, v_scale=v_scale)
         return o.reshape(B, T, H * D)
     k, v = k_all[li], v_all[li]
+    if k_scale is not None:
+        # int8 cache (XLA / prefill path): dequantize the layer slice.
+        # bf16 result on TPU keeps MXU operands narrow; the per-vector
+        # scale is f32 so the product carries its accuracy.
+        dq = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        k = (k.astype(jnp.float32) * k_scale[li][..., None]).astype(dq)
+        v = (v.astype(jnp.float32) * v_scale[li][..., None]).astype(dq)
     on_tpu = jax.default_backend() == "tpu"
     qr = q.reshape(B, T, KV, rep, D)
     if Dp != D:
@@ -450,6 +482,40 @@ def _write_kv_stacked(buf: jax.Array, li: int, kv: jax.Array,
         buf = jax.lax.dynamic_update_slice(
             buf, kv[b][None, None], (li, b, 0, pos[b], 0))
     return buf
+
+
+def _quantize_kv(kv: jax.Array):
+    """kv (..., D) float -> (int8 codes, scales (...,) f32): one absmax
+    scale per vector (the KVCache quantized-mode write convention)."""
+    f = kv.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(f), axis=-1)
+    sc = jnp.maximum(amax, 1e-20) / 127.0
+    q = jnp.clip(jnp.round(f / sc[..., None]), -127, 127).astype(jnp.int8)
+    return q, sc
+
+
+def _write_scale_stacked(sbuf: jax.Array, li: int, sc: jax.Array,
+                         pos: jax.Array) -> jax.Array:
+    """Write per-vector scales sc (B, T, KV) into the stacked scale buffer
+    (L, B, KV, S) at layer li / per-slot pos (the _write_kv_stacked
+    convention, one axis shorter)."""
+    s = jnp.swapaxes(sc, 1, 2)  # (B, KV, T)
+    B = s.shape[0]
+    for b in range(B):
+        sbuf = jax.lax.dynamic_update_slice(
+            sbuf, s[b][None, None], (li, b, 0, pos[b]))
+    return sbuf
+
+
+def _write_scale_all_layers(sbuf: jax.Array, per_layer: list,
+                            pos: jax.Array) -> jax.Array:
+    """Deferred-KV scale commit: per_layer is L entries of (B, 1, KV)."""
+    st = jnp.transpose(jnp.stack(per_layer), (0, 1, 3, 2))  # (L, B, KV, 1)
+    B = st.shape[1]
+    for b in range(B):
+        sbuf = jax.lax.dynamic_update_slice(
+            sbuf, st[:, b:b + 1], (0, b, 0, pos[b]))
+    return sbuf
 
 
 def _write_kv_all_layers(buf: jax.Array, per_layer: list,
@@ -528,9 +594,10 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             _flash_decode_ok(T, S, cache.k.shape[-1], impl)
             and _os.environ.get("TMAC_DEFERRED_KV", "0") == "1")
     assert not (deferred_kv and T != 1), "deferred_kv is decode-only"
-    pend_k, pend_v = [], []
+    pend_k, pend_v, pend_ks, pend_vs = [], [], [], []
 
     new_k, new_v = cache.k, cache.v
+    new_ks, new_vs = cache.k_scale, cache.v_scale
     for li, layer in enumerate(params["layers"]):
         qkv = apply_qlinear(x, layer["wqkv"], mode, None, impl,
                             norm=(layer["attn_norm"], cfg.rms_norm_eps),
@@ -554,7 +621,20 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
         v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
 
         if "kvwrite" not in _skip:
-            if deferred_kv:
+            if cache.quantized:
+                kq, ksc = _quantize_kv(k)
+                vq, vsc = _quantize_kv(v)
+                if deferred_kv:
+                    pend_k.append(kq)
+                    pend_v.append(vq)
+                    pend_ks.append(ksc)
+                    pend_vs.append(vsc)
+                else:
+                    new_k = _write_kv_stacked(new_k, li, kq, cache.pos)
+                    new_v = _write_kv_stacked(new_v, li, vq, cache.pos)
+                    new_ks = _write_scale_stacked(new_ks, li, ksc, cache.pos)
+                    new_vs = _write_scale_stacked(new_vs, li, vsc, cache.pos)
+            elif deferred_kv:
                 pend_k.append(k.astype(new_k.dtype))
                 pend_v.append(v.astype(new_v.dtype))
             else:
@@ -567,7 +647,9 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             attn = q.reshape(B, T, cfg.q_dim) * 0.5
         elif deferred_kv:
             # flash append: cache holds only the prefix (cache.pos
-            # entries); the current token's k/v ride as operands
+            # entries); the current token's k/v ride as operands (always
+            # float -- the current token's attention is exact even in
+            # quantized-cache mode)
             from tmac_tpu.ops.pallas.attention_kernel import \
                 flash_decode_stacked_append
             KVn, repn, D = (cfg.num_kv_heads, cfg.num_heads //
@@ -575,10 +657,11 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             attn = flash_decode_stacked_append(
                 q.reshape(B, KVn, repn, D), new_k, new_v, cache.pos,
                 jnp.int32(li), k.reshape(B, KVn, D), v.reshape(B, KVn, D),
+                k_scale=new_ks, v_scale=new_vs,
             ).reshape(B, T, cfg.q_dim)
         else:
             attn = _attention(q, new_k, new_v, li, positions, kv_len_mask,
-                              cfg, impl=impl)
+                              cfg, impl=impl, k_scale=new_ks, v_scale=new_vs)
         down = layer.get("down")
         use_pallas = impl == "pallas" or (
             impl == "auto" and jax.default_backend() == "tpu")
@@ -661,6 +744,9 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
     if deferred_kv and pend_k:
         new_k = _write_kv_all_layers(new_k, pend_k, cache.pos)
         new_v = _write_kv_all_layers(new_v, pend_v, cache.pos)
+        if pend_ks:
+            new_ks = _write_scale_all_layers(new_ks, pend_ks, cache.pos)
+            new_vs = _write_scale_all_layers(new_vs, pend_vs, cache.pos)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")
@@ -684,5 +770,6 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
         logits = jnp.einsum("bth,hv->btv", x, head,
                             preferred_element_type=jnp.float32)
     adv = T if active is None else T * active.astype(jnp.int32)
-    cache = KVCache(k=new_k, v=new_v, pos=cache.pos + adv)
+    cache = KVCache(k=new_k, v=new_v, pos=cache.pos + adv,
+                    k_scale=new_ks, v_scale=new_vs)
     return logits, cache

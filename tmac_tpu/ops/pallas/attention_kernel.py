@@ -33,19 +33,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
-            scale: float, dp: int, append: bool = False):
+            scale: float, dp: int, append: bool = False,
+            quant: bool = False):
     """Grid (B,). k_ref/v_ref are FULL HBM-resident (L, B, KV, S, Dp) refs
     (memory_space=HBM, DMA'd manually); q_ref (1, KV, rep, Dl) and o_ref in
     VMEM; lens/li are scalar-prefetch.  Dl (logical head_dim) may be below
     the cache's lane-padded Dp: q is zero-extended and the output sliced
     IN-KERNEL, so the caller needs no pad/slice glue ops.
 
-    append: rest = (ck_ref, cv_ref, o_ref) -- the CURRENT token's k/v
-    (1, KV, Dl) arrive as separate VMEM operands and are folded in as a
-    final online-softmax step, so the cache read covers only lens[b]
+    append: rest ends with (ck_ref, cv_ref, o_ref) -- the CURRENT token's
+    k/v (1, KV, Dl) arrive as separate VMEM operands and are folded in as
+    a final online-softmax step, so the cache read covers only lens[b]
     ALREADY-WRITTEN entries.  This is what lets the model defer (and
     batch) the per-layer cache writes: attention no longer needs the
-    current token to be in HBM first."""
+    current token to be in HBM first.
+
+    quant: rest starts with (ks_ref, vs_ref) -- (L, B, KV, S) f32
+    per-vector scales for an int8 cache, DMA'd in (KV, blk) blocks beside
+    the codes.  The k scale folds into the SCORES (s *= ksc) and the v
+    scale into the PROBS (p *= vsc): rep*blk multiplies each, never a
+    dequantized (blk, Dp) KV copy -- the int8 stream is what the MXU dots
+    consume, so the HBM read per step genuinely halves."""
+    if quant:
+        ks_ref, vs_ref, *rest = rest
     if append:
         ck_ref, cv_ref, o_ref = rest
     else:
@@ -61,7 +71,7 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
         q = jnp.concatenate(
             [q, jnp.zeros((KV, rep, D - Dl), jnp.float32)], axis=-1)
 
-    def body(k_sc, v_sc, sem):
+    def body(k_sc, v_sc, sem, ks_sc=None, vs_sc=None, ssem=None):
         # scratch (2, KV, blk, D): one strided DMA per block covers every
         # kv head (head histories are S-major, so this is KV descriptors
         # of blk*D contiguous bytes each -- large and sequential)
@@ -75,6 +85,13 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
                 pltpu.make_async_copy(
                     v_ref.at[li, b, :, pl.ds(off, blk), :], v_sc.at[slot],
                     sem.at[slot, 1]).start()
+                if quant:
+                    pltpu.make_async_copy(
+                        ks_ref.at[li, b, :, pl.ds(off, blk)], ks_sc.at[slot],
+                        ssem.at[slot, 0]).start()
+                    pltpu.make_async_copy(
+                        vs_ref.at[li, b, :, pl.ds(off, blk)], vs_sc.at[slot],
+                        ssem.at[slot, 1]).start()
 
         def wait(slot, i):
             off = pl.multiple_of(i * blk, blk)
@@ -84,6 +101,13 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
             pltpu.make_async_copy(
                 v_ref.at[li, b, :, pl.ds(off, blk), :], v_sc.at[slot],
                 sem.at[slot, 1]).wait()
+            if quant:
+                pltpu.make_async_copy(
+                    ks_ref.at[li, b, :, pl.ds(off, blk)], ks_sc.at[slot],
+                    ssem.at[slot, 0]).wait()
+                pltpu.make_async_copy(
+                    vs_ref.at[li, b, :, pl.ds(off, blk)], vs_sc.at[slot],
+                    ssem.at[slot, 1]).wait()
 
         start(0, 0)
 
@@ -99,14 +123,17 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
                 q, kb.astype(jnp.float32),
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
+            if quant:
+                s = s * ks_sc[slot][:, None, :]          # (KV, 1, blk)
             idx = jax.lax.broadcasted_iota(jnp.int32, (KV, rep, blk), 2) + i * blk
             s = jnp.where(idx < L, s, -jnp.inf)
             m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
             p = jnp.exp(s - m_new)                       # (KV, rep, blk)
             corr = jnp.exp(m - m_new)                    # (KV, rep, 1)
             l = l * corr + jnp.sum(p, axis=2, keepdims=True)
+            pv = p * vs_sc[slot][:, None, :] if quant else p
             acc = acc * corr + jax.lax.dot_general(
-                p, vb.astype(jnp.float32),
+                pv, vb.astype(jnp.float32),
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)      # (KV, rep, D)
             return m_new, l, acc
@@ -136,12 +163,18 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
             o = o[..., :Dl]
         o_ref[0] = o.astype(o_ref.dtype)
 
-    pl.run_scoped(
-        body,
+    scoped = dict(
         k_sc=pltpu.VMEM((2, KV, blk, D), k_ref.dtype),
         v_sc=pltpu.VMEM((2, KV, blk, D), v_ref.dtype),
         sem=pltpu.SemaphoreType.DMA((2, 2)),
     )
+    if quant:
+        scoped.update(
+            ks_sc=pltpu.VMEM((2, KV, blk), jnp.float32),
+            vs_sc=pltpu.VMEM((2, KV, blk), jnp.float32),
+            ssem=pltpu.SemaphoreType.DMA((2, 2)),
+        )
+    pl.run_scoped(body, **scoped)
 
 
 def _pick_blk(S: int, KV: int, D: int, itemsize: int,
@@ -171,7 +204,9 @@ def _pick_blk(S: int, KV: int, D: int, itemsize: int,
 def flash_decode_stacked(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
                          kv_lens: jax.Array, layer: jax.Array, blk: int = 0,
                          interpret: bool | None = None,
-                         scale: float | None = None) -> jax.Array:
+                         scale: float | None = None,
+                         k_scale: jax.Array | None = None,
+                         v_scale: jax.Array | None = None) -> jax.Array:
     """Single-step attention over layer `layer` of a stacked cache.
 
     q (B, KV, rep, Dl); k_all/v_all (L, B, KV, S, Dp); kv_lens (B,) valid
@@ -179,7 +214,8 @@ def flash_decode_stacked(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
     Returns (B, KV, rep, Dl) in q.dtype.  Dl <= Dp: the kernel zero-extends
     q and slices the output in-kernel.  scale: softmax scale; defaults to
     1/sqrt(Dl).  Dp (cache head_dim) must be a lane (128) multiple on
-    hardware (KVCache.create pads).
+    hardware (KVCache.create pads).  k_scale/v_scale (L, B, KV, S) f32:
+    per-vector scales of an int8-quantized cache (KVCache quant mode).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -188,6 +224,7 @@ def flash_decode_stacked(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
     Dp = k_all.shape[4]
     if scale is None:
         scale = 1.0 / float(np.sqrt(Dl))
+    quant = k_scale is not None
     assert Dl <= Dp, (Dl, Dp)
     assert interpret or Dp % 128 == 0, (
         f"cache head_dim {Dp} must be lane-aligned (KVCache.create pads)")
@@ -205,32 +242,39 @@ def flash_decode_stacked(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
     # the grid starts; regular SMEM operands flow with the normal operand
     # pipeline.  Neither value is used in an index_map, so prefetch
     # semantics aren't needed.
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # lens (B,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # li (1,)
+        pl.BlockSpec((1, KV, rep, Dl), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # q
+        pl.BlockSpec(memory_space=pltpu.HBM),    # k: full ref, stays HBM
+        pl.BlockSpec(memory_space=pltpu.HBM),    # v
+    ]
+    operands = [kv_lens.astype(jnp.int32),
+                jnp.asarray(layer, jnp.int32).reshape(1), q, k_all, v_all]
+    if quant:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.HBM),   # k_scale
+                     pl.BlockSpec(memory_space=pltpu.HBM)]   # v_scale
+        operands += [k_scale, v_scale]
     grid_spec = pl.GridSpec(
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # lens (B,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # li (1,)
-            pl.BlockSpec((1, KV, rep, Dl), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),   # q
-            pl.BlockSpec(memory_space=pltpu.HBM),    # k: full ref, stays HBM
-            pl.BlockSpec(memory_space=pltpu.HBM),    # v
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, KV, rep, Dl), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
+    sc_bytes = 2 * B * KV * S * 4 if quant else 0
     cost = pl.CostEstimate(
         flops=2 * 2 * B * KV * rep * S * Dp,
-        bytes_accessed=2 * B * KV * S * Dp * k_all.dtype.itemsize,
+        bytes_accessed=2 * B * KV * S * Dp * k_all.dtype.itemsize + sc_bytes,
         transcendentals=B * KV * rep * S,
     )
     return pl.pallas_call(
-        functools.partial(_kernel, blk=blk, scale=scale, dp=Dp),
+        functools.partial(_kernel, blk=blk, scale=scale, dp=Dp, quant=quant),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KV, rep, Dl), q.dtype),
         cost_estimate=cost,
         interpret=interpret,
-    )(kv_lens.astype(jnp.int32),
-      jnp.asarray(layer, jnp.int32).reshape(1), q, k_all, v_all)
+    )(*operands)
 
 
 @functools.partial(jax.jit, static_argnames=("blk", "interpret", "scale"))
@@ -239,7 +283,9 @@ def flash_decode_stacked_append(q: jax.Array, k_all: jax.Array,
                                 layer: jax.Array, cur_k: jax.Array,
                                 cur_v: jax.Array, blk: int = 0,
                                 interpret: bool | None = None,
-                                scale: float | None = None) -> jax.Array:
+                                scale: float | None = None,
+                                k_scale: jax.Array | None = None,
+                                v_scale: jax.Array | None = None) -> jax.Array:
     """flash_decode_stacked where the CURRENT token's k/v ride as operands
     (cur_k/cur_v (B, KV, Dl)) instead of being read back from the cache.
 
@@ -247,7 +293,9 @@ def flash_decode_stacked_append(q: jax.Array, k_all: jax.Array,
     EXCLUDING the current token).  This decouples attention from the cache
     write, so the model can defer all layers' writes and commit them in
     one batched update per step (models/llama.forward deferred-KV mode)
-    instead of 2 dynamic_update_slices per layer."""
+    instead of 2 dynamic_update_slices per layer.  k_scale/v_scale: int8
+    cache per-vector scales (the CURRENT token's cur_k/cur_v stay float,
+    so its attention contribution is exact)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, KV, rep, Dl = q.shape
@@ -255,6 +303,7 @@ def flash_decode_stacked_append(q: jax.Array, k_all: jax.Array,
     Dp = k_all.shape[4]
     if scale is None:
         scale = 1.0 / float(np.sqrt(Dl))
+    quant = k_scale is not None
     assert Dl <= Dp, (Dl, Dp)
     assert cur_k.shape == (B, KV, Dl), (cur_k.shape, (B, KV, Dl))
     assert interpret or Dp % 128 == 0, (
@@ -266,37 +315,47 @@ def flash_decode_stacked_append(q: jax.Array, k_all: jax.Array,
         if S % blk:
             blk = int(np.gcd(blk, S))
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # cached_lens (B,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # li (1,)
+        pl.BlockSpec((1, KV, rep, Dl), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # q
+        pl.BlockSpec(memory_space=pltpu.HBM),    # k: full ref, stays HBM
+        pl.BlockSpec(memory_space=pltpu.HBM),    # v
+    ]
+    operands = [cached_lens.astype(jnp.int32),
+                jnp.asarray(layer, jnp.int32).reshape(1), q, k_all, v_all]
+    if quant:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.HBM),   # k_scale
+                     pl.BlockSpec(memory_space=pltpu.HBM)]   # v_scale
+        operands += [k_scale, v_scale]
+    in_specs += [
+        pl.BlockSpec((1, KV, Dl), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),   # cur_k
+        pl.BlockSpec((1, KV, Dl), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),   # cur_v
+    ]
+    operands += [cur_k, cur_v]
     grid_spec = pl.GridSpec(
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # cached_lens (B,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # li (1,)
-            pl.BlockSpec((1, KV, rep, Dl), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),   # q
-            pl.BlockSpec(memory_space=pltpu.HBM),    # k: full ref, stays HBM
-            pl.BlockSpec(memory_space=pltpu.HBM),    # v
-            pl.BlockSpec((1, KV, Dl), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),   # cur_k
-            pl.BlockSpec((1, KV, Dl), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),   # cur_v
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, KV, rep, Dl), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
+    sc_bytes = 2 * B * KV * S * 4 if quant else 0
     cost = pl.CostEstimate(
         flops=2 * 2 * B * KV * rep * S * Dp,
-        bytes_accessed=2 * B * KV * S * Dp * k_all.dtype.itemsize,
+        bytes_accessed=2 * B * KV * S * Dp * k_all.dtype.itemsize + sc_bytes,
         transcendentals=B * KV * rep * S,
     )
     return pl.pallas_call(
-        functools.partial(_kernel, blk=blk, scale=scale, dp=Dp, append=True),
+        functools.partial(_kernel, blk=blk, scale=scale, dp=Dp, append=True,
+                          quant=quant),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KV, rep, Dl), q.dtype),
         cost_estimate=cost,
         interpret=interpret,
-    )(cached_lens.astype(jnp.int32),
-      jnp.asarray(layer, jnp.int32).reshape(1), q, k_all, v_all,
-      cur_k, cur_v)
+    )(*operands)
 
 
 def flash_decode(q: jax.Array, k: jax.Array, v: jax.Array,

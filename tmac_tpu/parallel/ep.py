@@ -97,6 +97,7 @@ def shard_params_moe(params, mesh: Mesh):
 
 
 def shard_cache_moe(cache: KVCache, mesh: Mesh) -> KVCache:
+    assert not cache.quantized, "int8 KV cache: supported on the tp/dp mesh path only (parallel/tp.py)"
     from jax.sharding import NamedSharding
     cs = cache_specs_moe()
     return KVCache(

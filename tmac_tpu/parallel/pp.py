@@ -121,6 +121,7 @@ def shard_params_pp(params_pp, specs, mesh: Mesh):
 def shard_cache_pp(cache: KVCache, mesh: Mesh) -> KVCache:
     """Layer axis over 'pp' (each stage holds only its layers' cache);
     kv-heads additionally over 'tp' when the mesh composes with TP."""
+    assert not cache.quantized, "int8 KV cache: supported on the tp/dp mesh path only (parallel/tp.py)"
     tp = mesh.shape.get("tp", 1)
     kv = NamedSharding(mesh, P("pp", None, "tp", None, None) if tp > 1
                        else P("pp"))

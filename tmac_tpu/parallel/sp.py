@@ -307,6 +307,7 @@ def shard_cache_sp_tp(cache: KVCache, mesh: Mesh) -> KVCache:
     """device_put a KVCache for the ('sp', 'tp') mesh: kv-heads sharded
     over 'tp', everything replicated over 'sp' (cf. tp.shard_cache, whose
     specs assume a ('dp', 'tp') mesh)."""
+    assert not cache.quantized, "int8 KV cache: supported on the tp/dp mesh path only (parallel/tp.py)"
     kv = NamedSharding(mesh, P(None, None, "tp", None, None))
     return KVCache(k=jax.device_put(cache.k, kv),
                    v=jax.device_put(cache.v, kv),

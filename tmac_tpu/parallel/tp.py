@@ -121,10 +121,12 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     return specs
 
 
-def cache_specs() -> KVCache:
-    # cache layout (L, B, KV, S, D): kv-heads on 'tp', batch on 'dp'
-    return KVCache(k=P(None, "dp", "tp", None, None),
-                   v=P(None, "dp", "tp", None, None), pos=P("dp"))
+def cache_specs(kv_quant: bool = False) -> KVCache:
+    # cache layout (L, B, KV, S, D): kv-heads on 'tp', batch on 'dp';
+    # int8-cache scales (L, B, KV, S) shard identically minus head_dim
+    kv = P(None, "dp", "tp", None, None)
+    sc = P(None, "dp", "tp", None) if kv_quant else None
+    return KVCache(k=kv, v=kv, pos=P("dp"), k_scale=sc, v_scale=sc)
 
 
 def _localize_params(params, tp: int):
@@ -167,17 +169,20 @@ def shard_params(params, mesh: Mesh, specs=None):
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    cs = cache_specs()
+    cs = cache_specs(kv_quant=cache.quantized)
+    put = lambda a, sp: (jax.device_put(a, NamedSharding(mesh, sp))
+                         if a is not None else None)
     return KVCache(
-        k=jax.device_put(cache.k, NamedSharding(mesh, cs.k)),
-        v=jax.device_put(cache.v, NamedSharding(mesh, cs.v)),
-        pos=jax.device_put(cache.pos, NamedSharding(mesh, cs.pos)),
+        k=put(cache.k, cs.k), v=put(cache.v, cs.v),
+        pos=put(cache.pos, cs.pos),
+        k_scale=put(cache.k_scale, cs.k_scale),
+        v_scale=put(cache.v_scale, cs.v_scale),
     )
 
 
 def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
                     sampler: SamplerConfig = SamplerConfig(),
-                    impl: str = "auto"):
+                    impl: str = "auto", kv_quant: bool = False):
     """(prefill_fn, decode_fn) for runtime/engine.InferenceEngine over a
     dp x tp mesh.
 
@@ -202,7 +207,7 @@ def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
     dp = mesh.shape.get("dp", 1)
     check_cfg(cfg, tp)
     lcfg = local_cfg(cfg, tp)
-    cspecs = cache_specs()
+    cspecs = cache_specs(kv_quant=kv_quant)
 
     def _fwd(params):
         return lambda t, c, active=None, valid=None: forward(
@@ -303,7 +308,8 @@ def _lazy_engine_wrappers(mesh, specs_fn, cspecs, _prefill, _decode,
 
 
 def make_tp_step(cfg: ModelConfig, mesh: Mesh, params,
-                 sampler: SamplerConfig = SamplerConfig(), impl: str = "auto"):
+                 sampler: SamplerConfig = SamplerConfig(), impl: str = "auto",
+                 kv_quant: bool = False):
     """Build (prefill_fn, decode_fn) jitted over the mesh.
 
     prefill_fn(params, tokens (B,T), cache) -> (last logits (B,V), cache)
@@ -313,7 +319,7 @@ def make_tp_step(cfg: ModelConfig, mesh: Mesh, params,
     check_cfg(cfg, tp)
     lcfg = local_cfg(cfg, tp)
     pspecs = param_specs(params)
-    cspecs = cache_specs()
+    cspecs = cache_specs(kv_quant=kv_quant)
 
     def _prefill(params, tokens, cache):
         params = _localize_params(params, tp)

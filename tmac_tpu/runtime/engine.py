@@ -83,21 +83,25 @@ def _prefill_slot_body(forward_fn, tokens, true_len, cache: KVCache, slot,
     """
     if start_pos is None:
         start_pos = jnp.zeros((), jnp.int32)
+    sl1 = lambda a: (jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1)
+                     if a is not None else None)
     sub = KVCache(
-        k=jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
-        v=jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1),
+        k=sl1(cache.k), v=sl1(cache.v),
         pos=start_pos[None].astype(jnp.int32),
+        k_scale=sl1(cache.k_scale), v_scale=sl1(cache.v_scale),
     )
     # right-padding mask: padded rows must not steal MoE dispatch capacity
     valid = (jnp.arange(tokens.shape[1]) < true_len)[None, :]
     logits, sub = forward_fn(tokens, sub, valid=valid)
-    k = jax.lax.dynamic_update_slice_in_dim(cache.k, sub.k, slot, axis=1)
-    v = jax.lax.dynamic_update_slice_in_dim(cache.v, sub.v, slot, axis=1)
+    up1 = lambda a, u: (jax.lax.dynamic_update_slice_in_dim(a, u, slot, axis=1)
+                        if a is not None else None)
     pos = jax.lax.dynamic_update_slice(
         cache.pos, (start_pos + true_len)[None].astype(jnp.int32), (slot,))
     last = jax.lax.dynamic_slice(logits[0], (true_len - 1, 0),
                                  (1, logits.shape[-1]))[0]
-    return last, KVCache(k=k, v=v, pos=pos)
+    return last, KVCache(k=up1(cache.k, sub.k), v=up1(cache.v, sub.v),
+                         pos=pos, k_scale=up1(cache.k_scale, sub.k_scale),
+                         v_scale=up1(cache.v_scale, sub.v_scale))
 
 
 def _decode_chunk_body(forward_fn, sampler: SamplerConfig, last_tokens,
@@ -151,21 +155,26 @@ def _decode_chunk_body(forward_fn, sampler: SamplerConfig, last_tokens,
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def _extract_prefix(k, v, slot, n: int):
+def _extract_prefix(k, v, slot, n: int, ks=None, vs=None):
     """Copy the first `n` cache positions of `slot` out as a prefix block.
 
-    k/v: (L, B, KV, S, D).  Returns (L, 1, KV, n, D) pairs.  `n` is static
-    (padded to a 128 multiple by the caller) so compile count stays bounded.
+    k/v: (L, B, KV, S, D); ks/vs: optional (L, B, KV, S) int8-cache scales.
+    Returns ((L, 1, KV, n, D) k, v, (L, 1, KV, n) ks, vs or None).  `n` is
+    static (padded to a 128 multiple by the caller) so compile count stays
+    bounded.
     """
     L, _, KV, _, D = k.shape
     z = jnp.int32(0)
     idx = (z, slot.astype(jnp.int32), z, z, z)
+    sc = lambda a: (jax.lax.dynamic_slice(a, idx[:4], (L, 1, KV, n))
+                    if a is not None else None)
     return (jax.lax.dynamic_slice(k, idx, (L, 1, KV, n, D)),
-            jax.lax.dynamic_slice(v, idx, (L, 1, KV, n, D)))
+            jax.lax.dynamic_slice(v, idx, (L, 1, KV, n, D)),
+            sc(ks), sc(vs))
 
 
-@functools.partial(jax.jit, donate_argnames=("k", "v"))
-def _insert_prefix(k, v, pk, pv, slot):
+@functools.partial(jax.jit, donate_argnames=("k", "v", "ks", "vs"))
+def _insert_prefix(k, v, pk, pv, slot, ks=None, vs=None, pks=None, pvs=None):
     """Write a stored prefix block into `slot`'s cache region (donating the
     cache so XLA updates in place).  Positions beyond the matched prefix
     length hold stale K/V from the donor prompt, but every attention reader
@@ -173,8 +182,9 @@ def _insert_prefix(k, v, pk, pv, slot):
     point onward, so they are never observed."""
     z = jnp.int32(0)
     idx = (z, slot.astype(jnp.int32), z, z, z)
-    return (jax.lax.dynamic_update_slice(k, pk, idx),
-            jax.lax.dynamic_update_slice(v, pv, idx))
+    up = lambda a, p: (jax.lax.dynamic_update_slice(a, p, idx[:a.ndim])
+                       if a is not None else None)
+    return up(k, pk), up(v, pv), up(ks, pks), up(vs, pvs)
 
 
 @dataclasses.dataclass
@@ -182,6 +192,8 @@ class _PrefixEntry:
     tokens: tuple          # the prefix token ids (true length = len(tokens))
     k: jax.Array           # (L, 1, KV, Pb, D), Pb = padded store length
     v: jax.Array
+    ks: object = None      # (L, 1, KV, Pb) scales when the cache is int8
+    vs: object = None
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "impl", "bucket"),
@@ -236,7 +248,7 @@ class InferenceEngine:
                  speculative: bool = False, spec_k: int = 8,
                  spec_ngram: int = 3, prefix_cache_size: int = 0,
                  prefix_cache_max_len: int = 256,
-                 prefix_cache_min_reuse: int = 16):
+                 prefix_cache_min_reuse: int = 16, kv_quant: bool = False):
         """step_fns: optional (prefill_fn, decode_fn) pair replacing the
         single-chip jitted steps -- e.g. parallel/tp.make_engine_fns for a
         tensor-parallel mesh (pass pre-sharded params and a sharded cache):
@@ -294,8 +306,10 @@ class InferenceEngine:
                 b *= 4
             prefill_buckets.append(min(max_len, prefill_chunk))
         self.buckets = sorted(set(prefill_buckets))
+        # kv_quant: int8 KV cache -- half the KV HBM traffic per decode
+        # step and half the cache memory (2x slots/context per chip)
         self.cache = cache if cache is not None else KVCache.create(
-            cfg, max_batch, max_len)
+            cfg, max_batch, max_len, quant=kv_quant)
         self.key = jax.random.PRNGKey(seed)
         self._uid = itertools.count()
         self.waiting: deque[Request] = deque()
@@ -402,9 +416,12 @@ class InferenceEngine:
             return
         self._prefixes.move_to_end(best_key)
         entry = self._prefixes[best_key]
-        k, v = _insert_prefix(self.cache.k, self.cache.v, entry.k, entry.v,
-                              jnp.int32(slot))
-        self.cache = KVCache(k=k, v=v, pos=self.cache.pos)
+        c = self.cache
+        k, v, ks, vs = _insert_prefix(c.k, c.v, entry.k, entry.v,
+                                      jnp.int32(slot), ks=c.k_scale,
+                                      vs=c.v_scale, pks=entry.ks,
+                                      pvs=entry.vs)
+        self.cache = KVCache(k=k, v=v, pos=c.pos, k_scale=ks, v_scale=vs)
         req.prefill_off = best_m
         self.stats["prefix_hits"] += 1
         self.stats["prefix_tokens_reused"] += best_m
@@ -421,8 +438,11 @@ class InferenceEngine:
             return
         from tmac_tpu.utils import round_up
         pb = min(round_up(n, 128), self.cache.max_len)
-        k, v = _extract_prefix(self.cache.k, self.cache.v, jnp.int32(slot), pb)
-        self._prefixes[key] = _PrefixEntry(tokens=key, k=k, v=v)
+        k, v, ks, vs = _extract_prefix(self.cache.k, self.cache.v,
+                                       jnp.int32(slot), pb,
+                                       ks=self.cache.k_scale,
+                                       vs=self.cache.v_scale)
+        self._prefixes[key] = _PrefixEntry(tokens=key, k=k, v=v, ks=ks, vs=vs)
         while len(self._prefixes) > self.prefix_cache_size:
             self._prefixes.popitem(last=False)
 

@@ -76,8 +76,10 @@ def decode_loop(params, cfg: ModelConfig, first_tokens, cache: KVCache, key,
 
 def generate(params, cfg: ModelConfig, prompt_tokens, max_new_tokens: int,
              max_len: Optional[int] = None, sampler: SamplerConfig = SamplerConfig(),
-             seed: int = 0, impl: str = "auto", batch: Optional[int] = None):
-    """Convenience end-to-end generation (prefill + decode_loop)."""
+             seed: int = 0, impl: str = "auto", batch: Optional[int] = None,
+             kv_quant: bool = False):
+    """Convenience end-to-end generation (prefill + decode_loop).
+    kv_quant: int8 KV cache (KVCache quant mode -- half the KV bytes)."""
     import numpy as np
     pt = np.asarray(prompt_tokens)
     if pt.max(initial=0) >= cfg.vocab_size or pt.min(initial=0) < 0:
@@ -86,7 +88,7 @@ def generate(params, cfg: ModelConfig, prompt_tokens, max_new_tokens: int,
     # round the cache length to a sublane multiple: the flash-decode
     # kernel's pos-bounded DMA blocks must be 8-aligned (Mosaic tiling)
     max_len = -(-(max_len or (T + max_new_tokens)) // 64) * 64
-    cache = KVCache.create(cfg, B, max_len)
+    cache = KVCache.create(cfg, B, max_len, quant=kv_quant)
     logits, cache = prefill(params, cfg, jnp.asarray(prompt_tokens), cache, impl)
     key = jax.random.PRNGKey(seed)
     first = sample(logits, key, sampler)

@@ -31,6 +31,7 @@ next verification overwrites exactly that stale span before reading it
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -134,7 +135,7 @@ def decode_chunk_speculative(params, cfg: ModelConfig, history: jax.Array,
         buf = jax.lax.dynamic_update_slice(buf, emit, (length,))
         # rewind: forward advanced pos by k+1; only ntok inputs were real
         # -- the NEXT real input is y_{ntok-1} at position pos0 + ntok
-        cache = KVCache(k=cache.k, v=cache.v, pos=pos0 + ntok)
+        cache = dataclasses.replace(cache, pos=pos0 + ntok)
         return emitted + ntok, length + ntok, buf, out, cache, nf + 1
 
     emitted, length, buf, out, cache, nf = jax.lax.while_loop(
@@ -240,8 +241,8 @@ def decode_chunk_draft_speculative(params_t, cfg_t: ModelConfig, params_d,
         emit = jnp.where(jnp.arange(k + 1) < ntok, targets, 0)
         out = jax.lax.dynamic_update_slice(out, emit, (emitted,))
         buf = jax.lax.dynamic_update_slice(buf, emit, (length,))
-        cache_t = KVCache(k=cache_t.k, v=cache_t.v, pos=pos0_t + ntok)
-        cache_d = KVCache(k=cache_d.k, v=cache_d.v, pos=pos0_d + ntok)
+        cache_t = dataclasses.replace(cache_t, pos=pos0_t + ntok)
+        cache_d = dataclasses.replace(cache_d, pos=pos0_d + ntok)
         return (emitted + ntok, length + ntok, buf, out, cache_t, cache_d,
                 nft + 1, nfd + k)
 

@@ -122,7 +122,8 @@ def cmd_chat(args):
     eng = InferenceEngine(cfg, params, max_batch=1, max_len=args.max_len,
                           sampler=sampler, decode_chunk=args.decode_chunk,
                           prefix_cache_size=2,
-                          prefix_cache_max_len=args.max_len)
+                          prefix_cache_max_len=args.max_len,
+                          kv_quant=args.kv_quant)
     printed = {"n": 0}
 
     def cb(uid, toks_so_far, done):
@@ -266,7 +267,8 @@ def cmd_serve(args):
                           max_len=args.max_len, sampler=sampler,
                           decode_chunk=args.decode_chunk,
                           speculative=args.speculative,
-                          prefix_cache_size=args.prefix_cache)
+                          prefix_cache_size=args.prefix_cache,
+                          kv_quant=args.kv_quant)
     serve(eng, host=args.host, port=args.port, tokenizer=tok,
           model_name=cfg.name)
 
@@ -326,7 +328,8 @@ def cmd_bench_serve(args):
     eng = InferenceEngine(cfg, params, max_batch=args.max_batch,
                           max_len=args.max_len,
                           decode_chunk=args.decode_chunk,
-                          prefix_cache_size=args.prefix_cache)
+                          prefix_cache_size=args.prefix_cache,
+                          kv_quant=args.kv_quant)
     rng = np.random.default_rng(0)
     # --shared-prefix simulates a common system prompt: with
     # --prefix-cache > 0 the engine skips re-prefilling it per request
@@ -433,6 +436,8 @@ def main():
     ch.add_argument("--top-p", type=float, default=1.0)
     ch.add_argument("--scale", type=int, default=0,
                     help="shrink preset by this factor (smoke tests)")
+    ch.add_argument("--kv-quant", action="store_true",
+                    help="int8 KV cache")
     ch.set_defaults(fn=cmd_chat)
 
     b = sub.add_parser("bench-e2e", help="tokens/s sweep")
@@ -465,6 +470,8 @@ def main():
                     help="tokens of common system-prompt prefix per request")
     bs.add_argument("--prefix-cache", type=int, default=0,
                     help="engine prompt-prefix KV cache entries (0 = off)")
+    bs.add_argument("--kv-quant", action="store_true",
+                    help="int8 KV cache")
     bs.set_defaults(fn=cmd_bench_serve)
 
     s = sub.add_parser("serve", help="HTTP serving (continuous batching)")
@@ -482,6 +489,8 @@ def main():
     s.add_argument("--speculative", action="store_true",
                    help="single-stream lookup-speculation latency mode "
                         "(requires --max-batch 1)")
+    s.add_argument("--kv-quant", action="store_true",
+                   help="int8 KV cache (half the KV bytes; 2x slots)")
     s.add_argument("--prefix-cache", type=int, default=8,
                    help="prompt-prefix KV cache entries (LRU; 0 disables). "
                         "Repeated system prompts skip re-prefill "
