@@ -1029,6 +1029,22 @@ def write_gguf(path: str, metadata: Dict[str, Any], tensors: Dict[str, tuple]):
             return struct.pack("<I", _T_F32) + struct.pack("<f", v)
         if isinstance(v, str):
             return struct.pack("<I", _T_STR) + enc_str(v)
+        if isinstance(v, (list, tuple)):
+            # tokenizer metadata arrays: tokens (str), scores (f32),
+            # token_type (i32).  Element type from the first element
+            # (empty -> str array, matching llama.cpp's encoder).
+            if len(v) == 0 or isinstance(v[0], str):
+                et, body = _T_STR, b"".join(enc_str(s) for s in v)
+            elif isinstance(v[0], float):
+                et = _T_F32
+                body = struct.pack(f"<{len(v)}f", *v)
+            elif isinstance(v[0], int):
+                et = _T_I32
+                body = struct.pack(f"<{len(v)}i", *v)
+            else:
+                raise TypeError(f"array element {type(v[0])}")
+            return (struct.pack("<I", _T_ARR) + struct.pack("<I", et) +
+                    struct.pack("<Q", len(v)) + body)
         raise TypeError(type(v))
 
     align = 32

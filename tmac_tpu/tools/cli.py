@@ -27,7 +27,20 @@ def cmd_convert(args):
         cfg, params = convert_gguf_model(args.model_dir, tp=args.tp,
                                          name=args.name)
         save_checkpoint(args.out, cfg, params)
-        print(f"converted {args.model_dir} -> {args.out} (gguf Q4_0, tp={args.tp})")
+        # gguf artifacts embed their tokenizer; keep it with the packed
+        # weights so generate/chat/serve need no --tokenizer (the
+        # reference's single-artifact llama.cpp workflow)
+        from tmac_tpu.convert.gguf import GGUFReader
+        from tmac_tpu.runtime.tokenizer import tokenizer_from_gguf
+        r = GGUFReader(args.model_dir)
+        tok = tokenizer_from_gguf(r.metadata)
+        r.close()
+        extra = ""
+        if tok is not None:
+            tok.save(args.out)
+            extra = f", tokenizer ({tok.MODEL}, {tok.vocab_size} tokens)"
+        print(f"converted {args.model_dir} -> {args.out} "
+              f"(gguf, tp={args.tp}{extra})")
         return
 
     quant = None
@@ -48,6 +61,18 @@ def _load(args):
     return load_checkpoint(args.ckpt)
 
 
+def _tokenizer_for(args):
+    """--tokenizer <HF dir> wins; else the tokenizer saved beside a
+    converted gguf checkpoint; else None (raw token-id mode)."""
+    if getattr(args, "tokenizer", ""):
+        from transformers import AutoTokenizer
+        return AutoTokenizer.from_pretrained(args.tokenizer)
+    if getattr(args, "ckpt", ""):
+        from tmac_tpu.runtime.tokenizer import load_tokenizer
+        return load_tokenizer(args.ckpt)
+    return None
+
+
 def cmd_generate(args):
     import jax.numpy as jnp
     import numpy as np
@@ -58,8 +83,11 @@ def cmd_generate(args):
     if args.prompt_ids:
         ids = [int(t) for t in args.prompt_ids.split(",")]
     else:
-        from transformers import AutoTokenizer
-        tok = AutoTokenizer.from_pretrained(args.tokenizer)
+        tok = _tokenizer_for(args)
+        if tok is None:
+            raise SystemExit("no tokenizer: pass --tokenizer, use "
+                             "--prompt-ids, or convert from a gguf (whose "
+                             "embedded tokenizer is saved automatically)")
         ids = tok.encode(args.prompt)
     sampler = SamplerConfig(temperature=args.temperature, top_k=args.top_k,
                             top_p=args.top_p)
@@ -113,10 +141,7 @@ def cmd_chat(args):
         if args.scale:
             cfg = cfg.scaled(args.scale)
         params = init_params(cfg, seed=0)
-    tok = None
-    if args.tokenizer:
-        from transformers import AutoTokenizer
-        tok = AutoTokenizer.from_pretrained(args.tokenizer)
+    tok = _tokenizer_for(args)
     sampler = SamplerConfig(temperature=args.temperature, top_k=args.top_k,
                             top_p=args.top_p)
     eng = InferenceEngine(cfg, params, max_batch=1, max_len=args.max_len,
@@ -257,10 +282,7 @@ def cmd_serve(args):
     else:
         cfg = get_preset(args.model)
         params = init_params(cfg, seed=0)
-    tok = None
-    if args.tokenizer:
-        from transformers import AutoTokenizer
-        tok = AutoTokenizer.from_pretrained(args.tokenizer)
+    tok = _tokenizer_for(args)
     sampler = SamplerConfig(temperature=args.temperature, top_k=args.top_k,
                             top_p=args.top_p)
     eng = InferenceEngine(cfg, params, max_batch=args.max_batch,
