@@ -233,3 +233,31 @@ def test_cli_convert_gguf_saves_tokenizer_and_generate_autoloads(tmp_path):
          "--ckpt", str(out_dir), "--prompt", "hello world", "-n", "4"],
         capture_output=True, text=True, env=env)
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_cli_ppl_text_mode(tmp_path):
+    """ppl --text tokenizes a raw corpus with the checkpoint's embedded
+    tokenizer (the reference llama-perplexity ingestion model)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from tmac_tpu.convert.checkpoint import save_checkpoint
+    from tmac_tpu.models.config import get_preset
+    from tmac_tpu.models.llama import init_params
+
+    cfg = get_preset("bitnet-3b").scaled(8)
+    params = init_params(cfg, seed=0)
+    save_checkpoint(str(tmp_path / "ck"), cfg, params)
+    _spm().save(str(tmp_path / "ck"))
+    (tmp_path / "corpus.txt").write_text("hello world " * 40)
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+           "PYTHONPATH": "/root/repo"}
+    r = subprocess.run(
+        [sys.executable, "-m", "tmac_tpu.tools.cli", "ppl",
+         "--ckpt", str(tmp_path / "ck"), "--text",
+         str(tmp_path / "corpus.txt"), "--window", "32"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["ppl"] > 1 and res["tokens"] > 0

@@ -300,8 +300,21 @@ def cmd_ppl(args):
     from tmac_tpu.runtime.perplexity import perplexity
 
     cfg, params = _load(args)
-    stream = np.load(args.tokens) if args.tokens.endswith(".npy") else \
-        np.asarray([int(t) for t in open(args.tokens).read().split()], np.int32)
+    if getattr(args, "text", ""):
+        # raw-text mode: the reference quality gate feeds llama-perplexity
+        # a text corpus (wikitext) and lets the model's own tokenizer cut
+        # it (reference tools/run_pipeline.py:218)
+        tok = _tokenizer_for(args)
+        if tok is None:
+            raise SystemExit("--text needs a tokenizer: pass --tokenizer "
+                             "or use a gguf-converted checkpoint")
+        stream = np.asarray(tok.encode(open(args.text).read()), np.int32)
+    elif not args.tokens:
+        raise SystemExit("pass --tokens (ids) or --text (raw corpus)")
+    else:
+        stream = np.load(args.tokens) if args.tokens.endswith(".npy") else \
+            np.asarray([int(t) for t in open(args.tokens).read().split()],
+                       np.int32)
     r = perplexity(params, cfg, stream, window=args.window)
     print(json.dumps(r))
 
@@ -519,9 +532,13 @@ def main():
                         "(llama.cpp --prompt-cache role)")
     s.set_defaults(fn=cmd_serve)
 
-    p = sub.add_parser("ppl", help="perplexity over a token file")
+    p = sub.add_parser("ppl", help="perplexity over a token or text file")
     p.add_argument("--ckpt", required=True)
-    p.add_argument("--tokens", required=True, help=".npy or whitespace ids")
+    p.add_argument("--tokens", default="", help=".npy or whitespace ids")
+    p.add_argument("--text", default="",
+                   help="raw text corpus (tokenized with --tokenizer or the "
+                        "checkpoint's embedded tokenizer)")
+    p.add_argument("--tokenizer", default="")
     p.add_argument("--window", type=int, default=512)
     p.set_defaults(fn=cmd_ppl)
 
