@@ -261,3 +261,47 @@ def test_cli_ppl_text_mode(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     res = _json.loads(r.stdout.strip().splitlines()[-1])
     assert res["ppl"] > 1 and res["tokens"] > 0
+
+
+def test_hf_convert_copies_tokenizer_and_autoloads(tmp_path):
+    """HF-dir convert copies the tokenizer artifacts into the checkpoint
+    dir, and _tokenizer_for falls back to AutoTokenizer on them."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from tests.test_convert import _write_synthetic_hf_gptq
+    from tmac_tpu.models.config import get_preset
+
+    cfg0 = get_preset("llama-2-7b").scaled(8)
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    _write_synthetic_hf_gptq(str(hf_dir), cfg0, bits=2, gs=128)
+    # minimal real HF-format fast tokenizer (WordLevel; loads offline)
+    (hf_dir / "tokenizer.json").write_text(_json.dumps({
+        "version": "1.0", "truncation": None, "padding": None,
+        "added_tokens": [], "normalizer": None,
+        "pre_tokenizer": {"type": "Whitespace"}, "post_processor": None,
+        "decoder": None,
+        "model": {"type": "WordLevel",
+                  "vocab": {"hello": 0, "world": 1, "<unk>": 2},
+                  "unk_token": "<unk>"}}))
+    (hf_dir / "tokenizer_config.json").write_text(
+        _json.dumps({"tokenizer_class": "PreTrainedTokenizerFast"}))
+
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+           "PYTHONPATH": "/root/repo", "HF_HUB_OFFLINE": "1"}
+    out_dir = tmp_path / "ck"
+    r = subprocess.run(
+        [sys.executable, "-m", "tmac_tpu.tools.cli", "convert",
+         "--model-dir", str(hf_dir), "--out", str(out_dir), "--name", "t"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out_dir / "tokenizer.json").exists()
+    assert "+2 tokenizer files" in r.stdout
+
+    import argparse
+    from tmac_tpu.tools.cli import _tokenizer_for
+    tok = _tokenizer_for(argparse.Namespace(tokenizer="", ckpt=str(out_dir)))
+    assert tok is not None
+    assert tok.encode("hello world") == [0, 1]

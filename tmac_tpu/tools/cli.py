@@ -52,8 +52,28 @@ def cmd_convert(args):
     cfg, params = convert_hf_model(args.model_dir, quant=quant, tp=args.tp,
                                    name=args.name)
     save_checkpoint(args.out, cfg, params)
+    n_tok = _copy_hf_tokenizer(args.model_dir, args.out)
     print(f"converted {args.model_dir} -> {args.out} "
-          f"({cfg.quant.bits}-bit, mode={cfg.quant.mode}, tp={args.tp})")
+          f"({cfg.quant.bits}-bit, mode={cfg.quant.mode}, tp={args.tp}"
+          + (f", +{n_tok} tokenizer files" if n_tok else "") + ")")
+
+
+def _copy_hf_tokenizer(model_dir: str, out_dir: str) -> int:
+    """Copy the HF tokenizer artifacts next to the packed weights so the
+    converted checkpoint is self-contained (generate/chat/serve load it
+    without --tokenizer -- the same single-artifact property the gguf
+    path gets from its embedded tokenizer)."""
+    import os
+    import shutil
+    n = 0
+    for f in ("tokenizer.json", "tokenizer_config.json", "tokenizer.model",
+              "special_tokens_map.json", "vocab.json", "merges.txt",
+              "added_tokens.json", "chat_template.jinja"):
+        src = os.path.join(model_dir, f)
+        if os.path.exists(src):
+            shutil.copy2(src, os.path.join(out_dir, f))
+            n += 1
+    return n
 
 
 def _load(args):
@@ -69,7 +89,14 @@ def _tokenizer_for(args):
         return AutoTokenizer.from_pretrained(args.tokenizer)
     if getattr(args, "ckpt", ""):
         from tmac_tpu.runtime.tokenizer import load_tokenizer
-        return load_tokenizer(args.ckpt)
+        tok = load_tokenizer(args.ckpt)
+        if tok is not None:
+            return tok
+        import os
+        if any(os.path.exists(os.path.join(args.ckpt, f))
+               for f in ("tokenizer.json", "tokenizer.model", "vocab.json")):
+            from transformers import AutoTokenizer
+            return AutoTokenizer.from_pretrained(args.ckpt)
     return None
 
 
