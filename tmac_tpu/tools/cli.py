@@ -346,6 +346,20 @@ def cmd_ppl(args):
     print(json.dumps(r))
 
 
+def cmd_export_gguf(args):
+    """Packed checkpoint -> llama.cpp gguf (the llama-quantize role,
+    reference tools/run_pipeline.py:164-175): interchange back into the
+    llama.cpp ecosystem, with the embedded tokenizer riding along."""
+    from tmac_tpu.convert.gguf_export import export_gguf
+
+    cfg, params = _load(args)
+    r = export_gguf(args.out, cfg, params, wtype=args.wtype,
+                    ckpt_dir=args.ckpt)
+    print(f"exported {args.ckpt} -> {r['path']} "
+          f"({r['wtype']}, {r['tensors']} tensors, "
+          f"{r['bytes'] / 1e6:.1f} MB)")
+
+
 def cmd_parity(args):
     """Model-level output-quality gate: production forward vs the f32
     dequant-oracle per preset x quant mode (the llama-perplexity role,
@@ -568,6 +582,17 @@ def main():
     p.add_argument("--tokenizer", default="")
     p.add_argument("--window", type=int, default=512)
     p.set_defaults(fn=cmd_ppl)
+
+    xg = sub.add_parser("export-gguf",
+                        help="packed checkpoint -> llama.cpp gguf "
+                             "(llama-quantize role)")
+    xg.add_argument("--ckpt", required=True)
+    xg.add_argument("--out", required=True, help="output .gguf path")
+    xg.add_argument("--wtype", default="auto",
+                    help="matmul block type (Q4_0/Q4_1/Q5_0/Q5_1/Q8_0/"
+                         "Q4_K/Q5_K/Q6_K/TQ1_0/TQ2_0/I2_S; default auto "
+                         "from the checkpoint's quant mode)")
+    xg.set_defaults(fn=cmd_export_gguf)
 
     pa = sub.add_parser("parity", help="model-level quality gate vs f32 oracle")
     pa.add_argument("--presets", nargs="*", default=None,
