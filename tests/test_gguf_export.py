@@ -130,8 +130,47 @@ def test_export_tokenizer_rides_along(tmp_path):
     assert tok.encode("hello") == _spm().encode("hello")
 
 
-def test_export_moe_rejected(tmp_path):
+def test_export_moe_roundtrip(tmp_path):
+    """Mixtral-family export: 3-D stacked expert tensors + router come
+    back through convert_gguf_model with matching shapes and values."""
+    cfg = get_preset("mixtral-8x7b", bits=4).scaled(8)
+    params = init_params(cfg, seed=0)
+    out = str(tmp_path / "moe.gguf")
+    r = export_gguf(out, cfg, params)
+    assert r["wtype"] == "Q4_1"
+    cfg2, params2 = gguf.convert_gguf_model(out, name="re")
+    assert cfg2.num_experts == cfg.num_experts
+    assert cfg2.num_experts_per_tok == cfg.num_experts_per_tok
+    from tmac_tpu.models.moe import expert_view
+    for e in (0, cfg.num_experts - 1):
+        a = qt_to_float(expert_view(params["layers"][0]["experts_down"], e))
+        b = qt_to_float(expert_view(params2["layers"][0]["experts_down"], e))
+        assert a.shape == b.shape
+        assert nmse(a, b) < 5e-3, e
+    np.testing.assert_allclose(
+        np.asarray(params2["layers"][0]["moe_router"], np.float32),
+        np.asarray(params["layers"][0]["moe_router"], np.float32),
+        atol=2e-2)  # router: f32 out, bf16 back in
+
+
+def test_export_qwen2moe_shared_expert(tmp_path):
+    """Shared-expert family: arch flips to qwen2moe and the shexp tensors
+    + gate vector round-trip."""
     import dataclasses
-    cfg = dataclasses.replace(_tiny_cfg(), num_experts=4)
-    with pytest.raises(NotImplementedError):
-        export_gguf(str(tmp_path / "x.gguf"), cfg, {"layers": []})
+    cfg = dataclasses.replace(
+        get_preset("qwen2-moe-a14b", bits=4).scaled(8), num_experts=4,
+        num_experts_per_tok=2, num_heads=4, num_kv_heads=2,
+        moe_intermediate_size=256, moe_shared_intermediate_size=256)
+    params = init_params(cfg, seed=0)
+    out = str(tmp_path / "qmoe.gguf")
+    export_gguf(out, cfg, params)
+    rd = gguf.GGUFReader(out)
+    assert rd.metadata["general.architecture"] == "qwen2moe"
+    assert "blk.0.ffn_gate_shexp.weight" in rd.tensors
+    rd.close()
+    cfg2, params2 = gguf.convert_gguf_model(out, name="re")
+    assert cfg2.moe_shared_intermediate_size > 0
+    assert cfg2.moe_shared_gate == cfg.moe_shared_gate
+    a = qt_to_float(params["layers"][0]["shared_down"])
+    b = qt_to_float(params2["layers"][0]["shared_down"])
+    assert nmse(a, b) < 5e-3

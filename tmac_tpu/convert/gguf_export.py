@@ -80,8 +80,11 @@ def export_gguf(path: str, cfg: ModelConfig, params: Dict[str, Any],
     norms/biases F32, output.weight Q8_0 (lossless-ish head like
     llama.cpp's high-precision head defaults).  Returns a summary dict.
     """
-    if cfg.num_experts > 0:
-        raise NotImplementedError("MoE export not supported yet")
+    if cfg.num_experts > 0 and arch == "llama" \
+            and cfg.moe_shared_intermediate_size > 0:
+        # shared-expert family: the reader keys routing behavior off the
+        # architecture string (convert/gguf.model_config_from_gguf)
+        arch = "qwen2moe"
     if wtype == "auto":
         if cfg.quant.mode == "w_a8":
             wtype = "TQ2_0"
@@ -106,10 +109,21 @@ def export_gguf(path: str, cfg: ModelConfig, params: Dict[str, Any],
         f"{arch}.attention.layer_norm_rms_epsilon": float(cfg.rms_norm_eps),
         f"{arch}.context_length": 4096,
     }
-    # feed_forward_length from the actual tensor (init_params may pad the
+    # feed_forward_length from the actual tensors (init_params may pad the
     # configured intermediate size to the lane multiple)
-    ffn = int(params["layers"][0]["down"].kdim)
-    md[f"{arch}.feed_forward_length"] = ffn
+    l0 = params["layers"][0]
+    if cfg.num_experts > 0:
+        md[f"{arch}.feed_forward_length"] = int(
+            l0["experts_down"].kdim)
+        md[f"{arch}.expert_count"] = int(cfg.num_experts)
+        md[f"{arch}.expert_used_count"] = int(cfg.num_experts_per_tok)
+        md[f"{arch}.expert_feed_forward_length"] = int(
+            l0["experts_down"].kdim)
+        if "shared_down" in l0:
+            md[f"{arch}.expert_shared_feed_forward_length"] = int(
+                l0["shared_down"].kdim)
+    else:
+        md[f"{arch}.feed_forward_length"] = int(l0["down"].kdim)
 
     # embedded tokenizer rides along when the checkpoint has one
     if ckpt_dir is not None:
@@ -154,12 +168,42 @@ def export_gguf(path: str, cfg: ModelConfig, params: Dict[str, Any],
         tensors[f"{p}.ffn_norm.weight"] = (gg.GGML_F32,
                                            _f32(layer["mlp_norm"]))
         q, k, v = split_fused(layer["wqkv"], qt_to_float(layer["wqkv"]))
-        gate, up = split_fused(layer["gate_up"],
-                               qt_to_float(layer["gate_up"]))
-        for name, w in (("attn_q", q), ("attn_k", k), ("attn_v", v),
-                        ("attn_output", qt_to_float(layer["wo"])),
-                        ("ffn_gate", gate), ("ffn_up", up),
-                        ("ffn_down", qt_to_float(layer["down"]))):
+        matmuls = [("attn_q", q), ("attn_k", k), ("attn_v", v),
+                   ("attn_output", qt_to_float(layer["wo"]))]
+        if cfg.num_experts > 0:
+            from tmac_tpu.models.moe import expert_view, num_local_experts
+            # router (H, E) -> gguf (E, H) rows
+            tensors[f"{p}.ffn_gate_inp.weight"] = (
+                gg.GGML_F32, _f32(layer["moe_router"]).T)
+            E = num_local_experts(layer["experts_gate_up"])
+            gates, ups, downs = [], [], []
+            for e in range(E):
+                gu = expert_view(layer["experts_gate_up"], e)
+                ge, ue = split_fused(gu, qt_to_float(gu))
+                gates.append(ge.T)
+                ups.append(ue.T)
+                downs.append(qt_to_float(
+                    expert_view(layer["experts_down"], e)).T)
+            # llama.cpp 3-D stacked expert layout: ne=[in, out, E]
+            tensors[f"{p}.ffn_gate_exps.weight"] = (wt, np.stack(gates))
+            tensors[f"{p}.ffn_up_exps.weight"] = (wt, np.stack(ups))
+            tensors[f"{p}.ffn_down_exps.weight"] = (wt, np.stack(downs))
+            if "shared_down" in layer:
+                sg, su = split_fused(layer["shared_gate_up"],
+                                     qt_to_float(layer["shared_gate_up"]))
+                matmuls += [("ffn_gate_shexp", sg), ("ffn_up_shexp", su),
+                            ("ffn_down_shexp",
+                             qt_to_float(layer["shared_down"]))]
+                if "shared_gate" in layer:
+                    tensors[f"{p}.ffn_gate_inp_shexp.weight"] = (
+                        gg.GGML_F32,
+                        _f32(layer["shared_gate"]).reshape(1, -1))
+        else:
+            gate, up = split_fused(layer["gate_up"],
+                                   qt_to_float(layer["gate_up"]))
+            matmuls += [("ffn_gate", gate), ("ffn_up", up),
+                        ("ffn_down", qt_to_float(layer["down"]))]
+        for name, w in matmuls:
             tensors[f"{p}.{name}.weight"] = (wt, w.T)
         for ours, gname in (("bq", "attn_q"), ("bk", "attn_k"),
                             ("bv", "attn_v")):
