@@ -127,7 +127,7 @@ def test_ternary_nonuniform_blocks_grouped():
 @pytest.mark.parametrize("ttype,bound", [
     (gguf.GGML_Q4_K, 8e-3), (gguf.GGML_Q5_K, 2e-3), (gguf.GGML_Q6_K, 5e-4),
     (gguf.GGML_Q5_0, 3e-3), (gguf.GGML_Q5_1, 2e-3),
-    (gguf.GGML_Q4_1, 8e-3)])
+    (gguf.GGML_Q4_1, 8e-3), (gguf.GGML_Q2_K, 0.12), (gguf.GGML_Q3_K, 5e-2)])
 def test_kquant_roundtrip(ttype, bound, tmp_path):
     """K-quant super-block types (llama.cpp's default output.weight /
     Q4_K_M mixes; VERDICT gap #4): write -> read -> dequant within the
@@ -552,3 +552,64 @@ def test_convert_gguf_qwen2moe_shared_expert(tmp_path):
     logits, _ = forward(params, cfg, jnp.asarray([[1, 2, 3]]), cache,
                         impl="xla")
     assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
+def test_q2_k_exact_mapping(tmp_path):
+    """Q2_K's per-16 affine model == the framework dequant contract at
+    gs=16: q2_k_to_quantized must reproduce reader.dequantized EXACTLY,
+    so llama.cpp 2-bit artifacts run natively on the 2-bit kernels."""
+    rng = np.random.default_rng(21)
+    M, K = 16, 512
+    w = rng.standard_normal((M, K)).astype(np.float32)
+    path = str(tmp_path / "t.gguf")
+    gguf.write_gguf(path, {}, {"w": (gguf.GGML_Q2_K, w)})
+    r = gguf.GGUFReader(path)
+    wdq = r.dequantized("w")
+    wq, scales, sub = r.q2_k_to_quantized("w")
+    assert wq.shape == (K, M) and scales.shape == (K // 16, M)
+    from tmac_tpu.ops.packing import dequantize
+    np.testing.assert_allclose(dequantize(wq, scales, sub, 16), wdq.T,
+                               rtol=0, atol=1e-6)
+    r.close()
+
+
+def test_q3_k_exact_mapping(tmp_path):
+    """Q3_K == the dequant contract at gs=16 with signed scales and
+    sub = 4*sc: exact, so 3-bit artifacts hit the b3 bit-plane kernels."""
+    rng = np.random.default_rng(22)
+    M, K = 16, 512
+    w = rng.standard_normal((M, K)).astype(np.float32)
+    path = str(tmp_path / "t.gguf")
+    gguf.write_gguf(path, {}, {"w": (gguf.GGML_Q3_K, w)})
+    r = gguf.GGUFReader(path)
+    wdq = r.dequantized("w")
+    wq, scales, sub = r.q3_k_to_quantized("w")
+    assert wq.max() <= 7 and scales.shape == (K // 16, M)
+    from tmac_tpu.ops.packing import dequantize
+    np.testing.assert_allclose(dequantize(wq, scales, sub, 16), wdq.T,
+                               rtol=0, atol=1e-6)
+    r.close()
+
+
+def test_q2_k_model_forward(tmp_path):
+    """A Q2_K-quantized model converts with the exact gs=16 mapping and
+    its forward matches the dequant oracle."""
+    from tests.test_gguf import _write_tiny_llama_gguf  # self-import ok
+    from tmac_tpu.models.config import get_preset
+    from tmac_tpu.ops.qgemm import qgemm
+
+    cfg0 = get_preset("llama-2-7b").scaled(8)
+    rng = np.random.default_rng(23)
+    path = str(tmp_path / "m.gguf")
+    ref_w = _write_tiny_llama_gguf(path, cfg0, rng, wtype=gguf.GGML_Q2_K)
+    cfg, params = gguf.convert_gguf_model(path, name="q2k")
+    assert cfg.quant.bits == 2 and cfg.quant.group_size == 16
+    qt = params["layers"][0]["wo"]
+    assert qt.bits == 2 and qt.group_size == 16
+    r = gguf.GGUFReader(path)
+    oracle_w = r.dequantized("blk.0.attn_output.weight").T
+    r.close()
+    x = rng.standard_normal((2, qt.kdim)).astype(np.float32)
+    out = np.asarray(qgemm(jnp.asarray(x, jnp.bfloat16), qt, impl="xla"))
+    ref = x @ oracle_w
+    assert nmse(ref, out) < 5e-4

@@ -49,6 +49,7 @@ GGML_Q5_0, GGML_Q5_1, GGML_Q8_0 = 6, 7, 8
 # in "Q4_0" conversions (reference run_pipeline.py:164-175 relies on
 # llama-quantize whose Q4_K_M preset does exactly this), so real artifacts
 # need these readers
+GGML_Q2_K, GGML_Q3_K = 10, 11
 GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 12, 13, 14
 # ternary types: TQ1_0/TQ2_0 are upstream llama.cpp (ggml.h enum 34/35);
 # I2_S is the BitNet-fork per-tensor-scale 2-bit type (the "i2" of
@@ -58,7 +59,8 @@ GGML_TQ1_0, GGML_TQ2_0, GGML_I2_S = 34, 35, 36
 
 _TYPE_NAMES = {GGML_F32: "F32", GGML_F16: "F16", GGML_Q4_0: "Q4_0",
                GGML_Q4_1: "Q4_1", GGML_Q5_0: "Q5_0", GGML_Q5_1: "Q5_1",
-               GGML_Q8_0: "Q8_0", GGML_Q4_K: "Q4_K",
+               GGML_Q8_0: "Q8_0", GGML_Q2_K: "Q2_K", GGML_Q3_K: "Q3_K",
+               GGML_Q4_K: "Q4_K",
                GGML_Q5_K: "Q5_K", GGML_Q6_K: "Q6_K", GGML_TQ1_0: "TQ1_0",
                GGML_TQ2_0: "TQ2_0", GGML_I2_S: "I2_S"}
 
@@ -81,6 +83,10 @@ def _block_layout(ggml_type: int) -> Tuple[int, int]:
         return 32, 24  # d + m + qh[4] + qs[16]
     if ggml_type == GGML_Q8_0:
         return 32, 34
+    if ggml_type == GGML_Q2_K:
+        return 256, 84   # scales[16] + qs[64] + d + dmin
+    if ggml_type == GGML_Q3_K:
+        return 256, 110  # hmask[32] + qs[64] + scales[12] + d
     if ggml_type == GGML_Q4_K:
         return 256, 144  # d + dmin + scales[12] + qs[128]
     if ggml_type == GGML_Q5_K:
@@ -219,6 +225,16 @@ class GGUFReader:
             d = blk[:, :2].copy().view(np.float16).reshape(-1)
             q = blk[:, 2:].view(np.int8)
             return (q.astype(np.float32) * d.astype(np.float32)[:, None]).reshape(shape)
+        if t == GGML_Q2_K:
+            codes, scales, mins = self._q2_k_fields(raw)
+            w = (codes.reshape(-1, 16, 16).astype(np.float32)
+                 * scales[:, :, None] - mins[:, :, None])
+            return w.reshape(shape)
+        if t == GGML_Q3_K:
+            codes, scales = self._q3_k_fields(raw)
+            w = ((codes.reshape(-1, 16, 16).astype(np.float32) - 4.0)
+                 * scales[:, :, None])
+            return w.reshape(shape)
         if t == GGML_Q4_K or t == GGML_Q5_K:
             fields = self._q4_k_fields if t == GGML_Q4_K else self._q5_k_fields
             codes, scales, mins = fields(raw)
@@ -322,6 +338,58 @@ class GGUFReader:
             m6[:, j] = (sc_raw[:, j + 4] >> 4) | ((sc_raw[:, j] >> 6) << 4)
         return sc6, m6
 
+    @staticmethod
+    def _q2_k_fields(raw: np.ndarray):
+        """Q2_K super-blocks -> (codes (nb, 256) uint8 0..3, scales
+        (nb, 16) f32, mins (nb, 16) f32) with w = sc_g*q - m_g over
+        contiguous 16-element groups (llama.cpp dequantize_row_q2_K:
+        scales[16] hold scale in the low nibble, min in the high, both
+        rescaled by fp16 super-scales d/dmin)."""
+        blk = raw.reshape(-1, 84)
+        sc_raw = blk[:, :16]
+        qs = blk[:, 16:80]
+        d = blk[:, 80:82].copy().view(np.float16).reshape(-1).astype(np.float32)
+        dmin = blk[:, 82:84].copy().view(np.float16).reshape(-1).astype(np.float32)
+        codes = np.empty((blk.shape[0], 256), np.uint8)
+        for n in (0, 1):  # 128-element halves share a 32-byte chunk
+            chunk = qs[:, 32 * n:32 * (n + 1)]
+            for j in range(4):  # bit positions 0/2/4/6
+                codes[:, 128 * n + 32 * j:128 * n + 32 * (j + 1)] = \
+                    (chunk >> (2 * j)) & 3
+        return (codes, d[:, None] * (sc_raw & 0x0F),
+                dmin[:, None] * (sc_raw >> 4))
+
+    @staticmethod
+    def _q3_k_fields(raw: np.ndarray):
+        """Q3_K super-blocks -> (codes (nb, 256) uint8 0..7 biased +4,
+        scales (nb, 16) f32) with w = sc_g * (q - 4) over contiguous
+        16-element groups (llama.cpp dequantize_row_q3_K: 2-bit qs + the
+        hmask high bit; 16 6-bit scales biased +32 packed in 12 bytes via
+        the kmask aux trick)."""
+        blk = raw.reshape(-1, 110)
+        hmask = blk[:, :32]
+        qs = blk[:, 32:96]
+        sr = blk[:, 96:108]
+        d = blk[:, 108:110].copy().view(np.float16).reshape(-1).astype(np.float32)
+        nb = blk.shape[0]
+        # 12 bytes -> 16 6-bit scales: low nibbles of bytes 0-7 + the
+        # 2-bit fields of bytes 8-11 (llama.cpp kmask1/kmask2 unpack)
+        s = np.empty((nb, 16), np.uint8)
+        b0, b1, b2 = sr[:, 0:4], sr[:, 4:8], sr[:, 8:12]
+        s[:, 0:4] = (b0 & 0x0F) | (((b2 >> 0) & 3) << 4)
+        s[:, 4:8] = (b1 & 0x0F) | (((b2 >> 2) & 3) << 4)
+        s[:, 8:12] = (b0 >> 4) | (((b2 >> 4) & 3) << 4)
+        s[:, 12:16] = (b1 >> 4) | (((b2 >> 6) & 3) << 4)
+        scales = d[:, None] * (s.astype(np.float32) - 32.0)
+        codes = np.empty((nb, 256), np.uint8)
+        for n in (0, 1):
+            chunk = qs[:, 32 * n:32 * (n + 1)]
+            for j in range(4):
+                hbit = (hmask >> (4 * n + j)) & 1
+                codes[:, 128 * n + 32 * j:128 * n + 32 * (j + 1)] = \
+                    (((chunk >> (2 * j)) & 3) + (hbit << 2))
+        return codes, scales
+
     def _q4_k_fields(self, raw: np.ndarray):
         """Q4_K super-blocks -> (codes (nb, 256) uint8 0..15,
         scales (nb, 8) f32, mins (nb, 8) f32) with w = sc_g*q - m_g over
@@ -392,6 +460,35 @@ class GGUFReader:
         sc = scales.reshape(M, K // 32).T.copy()
         sub = mins.reshape(M, K // 32).T.copy()
         return wq, sc, sub
+
+    def q2_k_to_quantized(self, name: str):
+        """Q2_K matmul weight -> (wq (K, M) uint8 0..3, scales (K/16, M)
+        f32, sub (K/16, M) f32) EXACTLY -- Q2_K's per-16 affine model
+        w = d*sc4*q - dmin*m4 is this framework's dequant contract at
+        group_size 16, so llama.cpp 2-bit artifacts run natively on the
+        2-bit LUT kernels with no requantization."""
+        info = self.tensors[name]
+        assert info["type"] == GGML_Q2_K, _TYPE_NAMES.get(info["type"])
+        K, M = info["dims"][0], info["dims"][1]
+        codes, scales, mins = self._q2_k_fields(self.tensor_bytes(name))
+        wq = codes.reshape(M, K).T.copy()
+        sc = scales.reshape(M, K // 16).T.copy()
+        sub = mins.reshape(M, K // 16).T.copy()
+        return wq, sc, sub
+
+    def q3_k_to_quantized(self, name: str):
+        """Q3_K matmul weight -> (wq (K, M) uint8 0..7, scales (K/16, M)
+        f32, sub (K/16, M) f32) EXACTLY: w = sc*(q-4) == scales*wq - sub
+        with sub = 4*sc (signed per-16 scales are plain floats to the
+        kernel's epilogue algebra), so llama.cpp 3-bit artifacts run
+        natively on the b3 bit-plane kernels."""
+        info = self.tensors[name]
+        assert info["type"] == GGML_Q3_K, _TYPE_NAMES.get(info["type"])
+        K, M = info["dims"][0], info["dims"][1]
+        codes, scales = self._q3_k_fields(self.tensor_bytes(name))
+        wq = codes.reshape(M, K).T.copy()
+        sc = scales.reshape(M, K // 16).T.copy()
+        return wq, sc, 4.0 * sc
 
     def ternary_block_scales(self, name: str) -> Optional[np.ndarray]:
         """Per-256-block fp16 scales of a TQ tensor (None for I2_S, which
@@ -572,6 +669,12 @@ def model_config_from_gguf(r: GGUFReader, name: str = "gguf-model"):
             # per-block scales genuinely differ -> grouped dequant model
             quant = QuantConfig(bits=2, group_size=256, zero_point=False,
                                 mode="w_fp")
+    elif t0.get("type") == GGML_Q2_K:
+        quant = QuantConfig(bits=2, group_size=16, zero_point=True,
+                            mode="w_fp")
+    elif t0.get("type") == GGML_Q3_K:
+        quant = QuantConfig(bits=3, group_size=16, zero_point=True,
+                            mode="w_fp")
     else:
         quant = QuantConfig(bits=4, group_size=32, zero_point=True,
                             mode="w_fp")
@@ -662,12 +765,25 @@ def _qt_from_gguf(r: GGUFReader, name: str, tp_m: int, tp_k: int,
         return QuantizedTensor.from_quantized(
             wq, scales, sub, bits=4, group_size=32,
             k_shards=tp_k, m_shards=tp_m, scale_dtype=jnp.float32)
+    if info["type"] == GGML_Q2_K:
+        # exact at gs=16: Q2_K's per-16 affine model == the dequant
+        # contract with 2-bit codes (see q2_k_to_quantized)
+        wq, scales, sub = r.q2_k_to_quantized(name)
+        return QuantizedTensor.from_quantized(
+            wq, scales, sub, bits=2, group_size=16,
+            k_shards=tp_k, m_shards=tp_m, scale_dtype=jnp.float32)
+    if info["type"] == GGML_Q3_K:
+        # exact at gs=16 with sub = 4*sc (see q3_k_to_quantized)
+        wq, scales, sub = r.q3_k_to_quantized(name)
+        return QuantizedTensor.from_quantized(
+            wq, scales, sub, bits=3, group_size=16,
+            k_shards=tp_k, m_shards=tp_m, scale_dtype=jnp.float32)
     # fall back: dequantize then requantize at 4 bits (zero_point affine).
-    # Covers Q5_0/Q5_1/Q5_K/Q6_K matmul tensors (llama.cpp's Q4_K_M mixes store
-    # ffn_down/attn_v this way): 5/6-bit codes don't map onto the kernel's
-    # supported bit-widths, so they re-quantize to the model's 4-bit class
-    # (~1e-3 NMSE on top of the original quantization -- measured in
-    # tests/test_gguf.py).
+    # Covers Q5_0/Q5_1/Q3_K/Q5_K/Q6_K matmul tensors (llama.cpp's Q4_K_M /
+    # Q3_K_M mixes store ffn_down/attn_v this way): 3/5/6-bit codes with
+    # signed scales don't map onto the kernel's supported layouts, so they
+    # re-quantize to the model's 4-bit class (~1e-3 NMSE on top of the
+    # original quantization -- measured in tests/test_gguf.py).
     return _requant()
 
 
@@ -929,6 +1045,81 @@ def _kq_affine(blocks: np.ndarray, qmax: int):
     return q.reshape(-1, 256), sc6, m6, d, dmin
 
 
+def _pack_q2_k(w_mk: np.ndarray) -> bytes:
+    """(M, K) float -> Q2_K super-blocks (block model of
+    dequantize_row_q2_K: per-16 affine, 4-bit scales/mins x fp16 super
+    scales; simplified scale search)."""
+    M, K = w_mk.shape
+    assert K % 256 == 0
+    blocks = w_mk.reshape(-1, 256).astype(np.float32)
+    g = blocks.reshape(-1, 16, 16)
+    mn = np.minimum(g.min(axis=2), 0.0)
+    mx = g.max(axis=2)
+    sc_f = (mx - mn) / 3.0
+    m_f = -mn
+    d = sc_f.max(axis=1) / 15.0
+    dmin = m_f.max(axis=1) / 15.0
+    d_s = np.where(d == 0, 1.0, d)
+    dm_s = np.where(dmin == 0, 1.0, dmin)
+    sc4 = np.clip(np.rint(sc_f / d_s[:, None]), 0, 15).astype(np.uint8)
+    m4 = np.clip(np.rint(m_f / dm_s[:, None]), 0, 15).astype(np.uint8)
+    eff = d[:, None] * sc4
+    eff_s = np.where(eff == 0, 1.0, eff)
+    q = np.clip(np.rint((g + (dmin[:, None] * m4)[:, :, None])
+                        / eff_s[:, :, None]), 0, 3)
+    codes = np.where(eff[:, :, None] == 0, 0, q).astype(np.uint8)
+    codes = codes.reshape(-1, 256)
+    nb = blocks.shape[0]
+    out = np.zeros((nb, 84), np.uint8)
+    out[:, 0:16] = sc4 | (m4 << 4)
+    for n in (0, 1):
+        chunk = np.zeros((nb, 32), np.uint8)
+        for j in range(4):
+            chunk |= codes[:, 128 * n + 32 * j:128 * n + 32 * (j + 1)] \
+                << (2 * j)
+        out[:, 16 + 32 * n:16 + 32 * (n + 1)] = chunk
+    out[:, 80:82] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 82:84] = dmin.astype(np.float16)[:, None].view(np.uint8)
+    return out.tobytes()
+
+
+def _pack_q3_k(w_mk: np.ndarray) -> bytes:
+    """(M, K) float -> Q3_K super-blocks (block model of
+    dequantize_row_q3_K: per-16 symmetric q in [-4,3], 6-bit scales
+    biased +32 x fp16 super scale)."""
+    M, K = w_mk.shape
+    assert K % 256 == 0
+    blocks = w_mk.reshape(-1, 256).astype(np.float32)
+    g = blocks.reshape(-1, 16, 16)
+    amax = np.abs(g).max(axis=2)
+    sc_f = amax / 4.0
+    d = sc_f.max(axis=1) / 31.0
+    d_s = np.where(d == 0, 1.0, d)
+    sc6 = np.clip(np.rint(sc_f / d_s[:, None]), -32, 31).astype(np.int8)
+    eff = d[:, None] * sc6.astype(np.float32)
+    eff_s = np.where(eff == 0, 1.0, eff)
+    q = np.clip(np.rint(g / eff_s[:, :, None]), -4, 3)
+    q = np.where(eff[:, :, None] == 0, 0, q)
+    codes = (q + 4).astype(np.uint8).reshape(-1, 256)  # bit2 = hmask bit
+    nb = blocks.shape[0]
+    out = np.zeros((nb, 110), np.uint8)
+    for n in (0, 1):
+        chunk = np.zeros((nb, 32), np.uint8)
+        for j in range(4):
+            c = codes[:, 128 * n + 32 * j:128 * n + 32 * (j + 1)]
+            chunk |= (c & 3) << (2 * j)
+            out[:, 0:32] |= (c >> 2) << (4 * n + j)
+        out[:, 32 + 32 * n:32 + 32 * (n + 1)] = chunk
+    s = (sc6.astype(np.int16) + 32).astype(np.uint8)  # biased 6-bit
+    b0 = (s[:, 0:4] & 0x0F) | ((s[:, 8:12] & 0x0F) << 4)
+    b1 = (s[:, 4:8] & 0x0F) | ((s[:, 12:16] & 0x0F) << 4)
+    b2 = ((s[:, 0:4] >> 4) | ((s[:, 4:8] >> 4) << 2)
+          | ((s[:, 8:12] >> 4) << 4) | ((s[:, 12:16] >> 4) << 6))
+    out[:, 96:100], out[:, 100:104], out[:, 104:108] = b0, b1, b2
+    out[:, 108:110] = d.astype(np.float16)[:, None].view(np.uint8)
+    return out.tobytes()
+
+
 def _pack_q4_k(w_mk: np.ndarray) -> bytes:
     """(M, K) float -> Q4_K super-blocks (block model of
     dequantize_row_q4_K; simplified scale search)."""
@@ -1064,6 +1255,10 @@ def write_gguf(path: str, metadata: Dict[str, Any], tensors: Dict[str, tuple]):
             data = _pack_q5_0(arr)
         elif ttype == GGML_Q5_1:
             data = _pack_q5_1(arr)
+        elif ttype == GGML_Q2_K:
+            data = _pack_q2_k(arr)
+        elif ttype == GGML_Q3_K:
+            data = _pack_q3_k(arr)
         elif ttype == GGML_Q4_K:
             data = _pack_q4_k(arr)
         elif ttype == GGML_Q5_K:

@@ -26,7 +26,8 @@ from tmac_tpu.models.config import ModelConfig
 
 WTYPE_BY_NAME = {
     "Q4_0": gg.GGML_Q4_0, "Q4_1": gg.GGML_Q4_1, "Q5_0": gg.GGML_Q5_0,
-    "Q5_1": gg.GGML_Q5_1, "Q8_0": gg.GGML_Q8_0, "Q4_K": gg.GGML_Q4_K,
+    "Q5_1": gg.GGML_Q5_1, "Q8_0": gg.GGML_Q8_0, "Q2_K": gg.GGML_Q2_K,
+    "Q3_K": gg.GGML_Q3_K, "Q4_K": gg.GGML_Q4_K,
     "Q5_K": gg.GGML_Q5_K, "Q6_K": gg.GGML_Q6_K, "TQ1_0": gg.GGML_TQ1_0,
     "TQ2_0": gg.GGML_TQ2_0, "I2_S": gg.GGML_I2_S, "F16": gg.GGML_F16,
     "F32": gg.GGML_F32,
