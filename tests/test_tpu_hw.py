@@ -263,3 +263,31 @@ def test_hw_moe_forward_decode():
         tok = jnp.argmax(lg[:, -1, :], -1).astype(jnp.int32)
     assert int(cache.pos[0]) == 11
     assert np.isfinite(np.asarray(lg, np.float32)).all()
+
+
+@pytest.mark.parametrize("bits", [2, 3])
+def test_hw_gs16_kquant_mapping(bits):
+    """group_size=16 on the compiled kernel: the exact Q2_K/Q3_K gguf
+    mappings (convert/gguf.q{2,3}_k_to_quantized) produce gs=16 tensors;
+    Mosaic lowering must handle the 16-element scale groups."""
+    x, qt, oracle = _setup(bits, 4, 512, 256, 16, True)
+    got = np.asarray(qgemm_pallas(jnp.asarray(x, jnp.bfloat16), qt,
+                                  act="int8", out_dtype=jnp.float32))
+    assert nmse(oracle, got) < 5e-4
+
+
+def test_hw_signed_scales_q3_k():
+    """Q3_K carries SIGNED per-group scales (sub = 4*sc); the kernel
+    epilogue algebra must be sign-agnostic on hardware."""
+    rng = np.random.default_rng(5)
+    K, M = 512, 256
+    w = rng.standard_normal((K, M)).astype(np.float32)
+    wq, s, _ = packing.quantize_weights(w, 3, 16, True)
+    s[::2] *= -1.0
+    sub = 4.0 * s
+    qt = QuantizedTensor.from_quantized(wq, s, sub, bits=3, group_size=16)
+    oracle_w = packing.dequantize(wq, s, sub, 16)
+    x = rng.standard_normal((4, K)).astype(np.float32)
+    got = np.asarray(qgemm_pallas(jnp.asarray(x, jnp.bfloat16), qt,
+                                  act="int8", out_dtype=jnp.float32))
+    assert nmse(x @ oracle_w, got) < 5e-4
