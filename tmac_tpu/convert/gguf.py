@@ -688,6 +688,7 @@ def model_config_from_gguf(r: GGUFReader, name: str = "gguf-model"):
         num_kv_heads=int(md.get(f"{arch}.attention.head_count_kv", heads)),
         head_dim=int(md.get(f"{arch}.attention.key_length", emb // heads)),
         rope_theta=float(md.get(f"{arch}.rope.freq_base", 10000.0)),
+        rope_scaling=_rope_scaling_from_gguf(r, arch),
         rms_norm_eps=float(g("attention.layer_norm_rms_epsilon", 1e-5)),
         tie_word_embeddings="output.weight" not in r.tensors,
         # qwen-family artifacts carry QKV biases as separate tensors
@@ -707,6 +708,27 @@ def model_config_from_gguf(r: GGUFReader, name: str = "gguf-model"):
             md.get(f"{arch}.expert_shared_feed_forward_length", 0)),
         quant=quant,
     )
+
+
+def _rope_scaling_from_gguf(r: GGUFReader, arch: str):
+    """gguf rope scaling -> ModelConfig.rope_scaling tuple.  Precedence:
+    a rope_freqs.weight tensor (per-dim frequency divisors -- how
+    llama.cpp stores llama-3.1's piecewise scaling) over the
+    rope.scaling.* metadata keys (linear/yarn)."""
+    if "rope_freqs.weight" in r.tensors:
+        f = r.dequantized("rope_freqs.weight").reshape(-1)
+        return ("factors", tuple(float(v) for v in f))
+    md = r.metadata
+    st = md.get(f"{arch}.rope.scaling.type")
+    fac = md.get(f"{arch}.rope.scaling.factor")
+    if not st or st == "none" or not fac:
+        return None
+    if st == "linear":
+        return ("linear", float(fac))
+    if st == "yarn":
+        return ("yarn", float(fac), int(md.get(
+            f"{arch}.rope.scaling.original_context_length", 4096)))
+    raise NotImplementedError(f"rope scaling type {st!r}")
 
 
 def _qt_from_gguf(r: GGUFReader, name: str, tp_m: int, tp_k: int,

@@ -126,6 +126,26 @@ def export_gguf(path: str, cfg: ModelConfig, params: Dict[str, Any],
     else:
         md[f"{arch}.feed_forward_length"] = int(l0["down"].kdim)
 
+    rope_freqs = None
+    if cfg.rope_scaling is not None:
+        kind = cfg.rope_scaling[0]
+        if kind in ("factors", "llama3"):
+            # store as the per-dim divisor tensor llama.cpp uses for
+            # llama-3.1-style scaling (rope_freqs.weight)
+            from tmac_tpu.models.llama import _scaled_inv_freqs
+            base, _ = _scaled_inv_freqs(cfg.head_dim, cfg.rope_theta, None)
+            scaled, _ = _scaled_inv_freqs(cfg.head_dim, cfg.rope_theta,
+                                          cfg.rope_scaling)
+            rope_freqs = (base / scaled).astype(np.float32)
+        elif kind == "linear":
+            md[f"{arch}.rope.scaling.type"] = "linear"
+            md[f"{arch}.rope.scaling.factor"] = float(cfg.rope_scaling[1])
+        elif kind == "yarn":
+            md[f"{arch}.rope.scaling.type"] = "yarn"
+            md[f"{arch}.rope.scaling.factor"] = float(cfg.rope_scaling[1])
+            md[f"{arch}.rope.scaling.original_context_length"] = int(
+                cfg.rope_scaling[2])
+
     # embedded tokenizer rides along when the checkpoint has one
     if ckpt_dir is not None:
         from tmac_tpu.runtime.tokenizer import load_tokenizer
@@ -157,6 +177,8 @@ def export_gguf(path: str, cfg: ModelConfig, params: Dict[str, Any],
         "token_embd.weight": (gg.GGML_F16, _f32(params["embed"])),
         "output_norm.weight": (gg.GGML_F32, _f32(params["final_norm"])),
     }
+    if rope_freqs is not None:
+        tensors["rope_freqs.weight"] = (gg.GGML_F32, rope_freqs)
     if "lm_head" in params:
         head = params["lm_head"]
         head_f = qt_to_float(head) if hasattr(head, "packed") else _f32(head)

@@ -70,6 +70,28 @@ def read_hf_config(model_dir: str) -> dict:
         return json.load(f)
 
 
+def _rope_scaling_from_hf(hf: dict):
+    """HF config.json rope_scaling -> ModelConfig.rope_scaling tuple
+    (llama-3.1 "llama3", longrope-less "linear"/"yarn"; None otherwise)."""
+    rs = hf.get("rope_scaling") or None
+    if not rs:
+        return None
+    t = rs.get("rope_type") or rs.get("type")
+    if t in (None, "default"):
+        return None
+    if t == "linear":
+        return ("linear", float(rs["factor"]))
+    if t == "llama3":
+        return ("llama3", float(rs["factor"]),
+                int(rs.get("original_max_position_embeddings", 8192)),
+                float(rs.get("low_freq_factor", 1.0)),
+                float(rs.get("high_freq_factor", 4.0)))
+    if t == "yarn":
+        return ("yarn", float(rs["factor"]),
+                int(rs.get("original_max_position_embeddings", 4096)))
+    raise NotImplementedError(f"rope_scaling type {t!r}")
+
+
 def model_config_from_hf(hf: dict, quant: QuantConfig, name: str = "hf-model") -> ModelConfig:
     head_dim = hf.get("head_dim") or hf["hidden_size"] // hf["num_attention_heads"]
     # MoE (Mixtral: num_local_experts + top-k routing; Qwen2-MoE:
@@ -102,6 +124,7 @@ def model_config_from_hf(hf: dict, quant: QuantConfig, name: str = "hf-model") -
         num_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
         head_dim=head_dim,
         rope_theta=hf.get("rope_theta", 10000.0),
+        rope_scaling=_rope_scaling_from_hf(hf),
         rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
         attention_bias=hf.get("attention_bias", False)

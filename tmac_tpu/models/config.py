@@ -57,6 +57,15 @@ class ModelConfig:
     num_kv_heads: int
     head_dim: int
     rope_theta: float = 10000.0
+    # RoPE frequency scaling for long-context checkpoints, as a hashable
+    # tuple (cfg is a static jit arg).  None = plain RoPE.  Forms:
+    #   ("linear", factor)
+    #   ("yarn", factor, original_context_length)
+    #   ("llama3", factor, original_ctx, low_freq_factor, high_freq_factor)
+    #   ("factors", (f0, ..., f_{head_dim/2-1}))  per-dim frequency
+    #     divisors -- the gguf rope_freqs.weight representation
+    # Applied in models/llama.rope_tables.
+    rope_scaling: Optional[tuple] = None
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
     attention_bias: bool = False
@@ -123,6 +132,10 @@ class ModelConfig:
     def from_json(cls, s: str) -> "ModelConfig":
         d = json.loads(s)
         d["quant"] = QuantConfig(**d["quant"])
+        rs = d.get("rope_scaling")
+        if rs is not None:  # json lists -> hashable tuples
+            d["rope_scaling"] = tuple(
+                tuple(x) if isinstance(x, list) else x for x in rs)
         return cls(**d)
 
 

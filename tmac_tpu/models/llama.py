@@ -93,18 +93,69 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)).astype(x.dtype)
 
 
-def rope_tables(positions: jax.Array, head_dim: int, theta: float):
+def _scaled_inv_freqs(head_dim: int, theta: float, scaling):
+    """Per-dim inverse frequencies with optional long-context scaling.
+
+    Computed in numpy from STATIC config (head_dim/theta/scaling are trace
+    constants), so every variant folds to a literal array under jit.
+    Forms documented at ModelConfig.rope_scaling; math follows the HF
+    rotary implementations (linear / llama3 piecewise / YaRN ramp) and
+    llama.cpp's freq_factors division for the gguf per-dim form.
+    -> (inv_freqs (half,) f32, table_scale float  [YaRN attention factor])
+    """
+    half = head_dim // 2
+    freqs = 1.0 / (theta ** (np.arange(half, dtype=np.float64) / half))
+    if scaling is None:
+        return freqs.astype(np.float32), 1.0
+    kind = scaling[0]
+    if kind == "linear":
+        return (freqs / float(scaling[1])).astype(np.float32), 1.0
+    if kind == "factors":
+        f = np.asarray(scaling[1], np.float64)
+        assert f.shape == (half,), (f.shape, half)
+        return (freqs / f).astype(np.float32), 1.0
+    if kind == "llama3":
+        _, factor, orig, lo, hi = scaling
+        wavelen = 2.0 * np.pi / freqs
+        low_wl, high_wl = orig / lo, orig / hi
+        smooth = np.clip((orig / wavelen - lo) / (hi - lo), 0.0, 1.0)
+        scaled = freqs / factor
+        out = np.where(wavelen < high_wl, freqs,
+                       np.where(wavelen > low_wl, scaled,
+                                (1.0 - smooth) * scaled + smooth * freqs))
+        return out.astype(np.float32), 1.0
+    if kind == "yarn":
+        _, factor, orig = scaling
+        beta_fast, beta_slow = 32.0, 1.0
+
+        def corr_dim(n_rot):
+            return half * np.log(orig / (n_rot * 2 * np.pi)) \
+                / (2 * np.log(theta))
+        low = max(np.floor(corr_dim(beta_fast)), 0.0)
+        high = min(np.ceil(corr_dim(beta_slow)), half - 1.0)
+        ramp = np.clip((np.arange(half) - low) / max(high - low, 1e-3),
+                       0.0, 1.0)
+        mask = 1.0 - ramp  # 1 = extrapolate (keep), 0 = interpolate
+        out = (freqs / factor) * (1.0 - mask) + freqs * mask
+        # HF YaRN attention scaling folded into the cos/sin tables
+        return out.astype(np.float32), float(0.1 * np.log(factor) + 1.0)
+    raise ValueError(f"rope_scaling kind {kind!r}")
+
+
+def rope_tables(positions: jax.Array, head_dim: int, theta: float,
+                scaling=None):
     """Precompute rotary cos/sin for a step -- ONCE, outside the layer loop
     (the transcendentals + lane concats cost ~0.3 ms/layer at T=256 if
     recomputed per rope application; hoisting them is the single biggest
     prefill win measured on v5e).
 
     positions (B, T) -> (cos, sin) each (B, T, 1, head_dim) f32 in the
-    duplicated-half layout ([c, c] / [s, s])."""
-    half = head_dim // 2
-    freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    duplicated-half layout ([c, c] / [s, s]).  `scaling` is
+    ModelConfig.rope_scaling (long-context frequency scaling)."""
+    inv, tscale = _scaled_inv_freqs(head_dim, theta, scaling)
+    freqs = jnp.asarray(inv)
     angles = positions[:, :, None, None].astype(jnp.float32) * freqs  # (B,T,1,half)
-    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    cos, sin = jnp.cos(angles) * tscale, jnp.sin(angles) * tscale
     return (jnp.concatenate([cos, cos], axis=-1),
             jnp.concatenate([sin, sin], axis=-1))
 
@@ -587,7 +638,8 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
     positions = cache.pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B,T)
     S = cache.max_len
     kv_len_mask = jnp.arange(S)[None, :] < (cache.pos[:, None] + T)  # (B,S)
-    rope_cs = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    rope_cs = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
+                          cfg.rope_scaling)
 
     if deferred_kv is None:
         deferred_kv = (

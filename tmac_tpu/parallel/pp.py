@@ -158,7 +158,8 @@ def _run_stage(layers, cfg: ModelConfig, x, k_loc, v_loc, q_positions,
     H, D, KV = cfg.num_heads, cfg.head_dim, cfg.num_kv_heads
     rep = H // KV
     Dp = k_loc.shape[-1]
-    rope_cs = rope_tables(q_positions, D, cfg.rope_theta)
+    rope_cs = rope_tables(q_positions, D, cfg.rope_theta,
+                          cfg.rope_scaling)
     start = q_positions[:, 0]  # (B,) -- per-row cache write positions
 
     for li, layer in enumerate(layers):

@@ -169,7 +169,8 @@ def _sp_forward(params, cfg: ModelConfig, tokens, cache: KVCache,
     x = params["embed"][tokens]  # (B, Tl, H)
     positions = (offset + jnp.arange(Tl, dtype=jnp.int32))[None, :]
     positions = jnp.broadcast_to(positions, (B, Tl))
-    rope_cs = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    rope_cs = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
+                          cfg.rope_scaling)
 
     new_k, new_v = cache.k, cache.v
     Dp = new_k.shape[-1]
