@@ -689,6 +689,8 @@ def model_config_from_gguf(r: GGUFReader, name: str = "gguf-model"):
         head_dim=int(md.get(f"{arch}.attention.key_length", emb // heads)),
         rope_theta=float(md.get(f"{arch}.rope.freq_base", 10000.0)),
         rope_scaling=_rope_scaling_from_gguf(r, arch),
+        sliding_window=int(
+            md.get(f"{arch}.attention.sliding_window", 0) or 0),
         rms_norm_eps=float(g("attention.layer_norm_rms_epsilon", 1e-5)),
         tie_word_embeddings="output.weight" not in r.tensors,
         # qwen-family artifacts carry QKV biases as separate tensors

@@ -110,6 +110,8 @@ def export_gguf(path: str, cfg: ModelConfig, params: Dict[str, Any],
         f"{arch}.attention.layer_norm_rms_epsilon": float(cfg.rms_norm_eps),
         f"{arch}.context_length": 4096,
     }
+    if cfg.sliding_window > 0:
+        md[f"{arch}.attention.sliding_window"] = int(cfg.sliding_window)
     # feed_forward_length from the actual tensors (init_params may pad the
     # configured intermediate size to the lane multiple)
     l0 = params["layers"][0]

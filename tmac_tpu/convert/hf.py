@@ -125,6 +125,11 @@ def model_config_from_hf(hf: dict, quant: QuantConfig, name: str = "hf-model") -
         head_dim=head_dim,
         rope_theta=hf.get("rope_theta", 10000.0),
         rope_scaling=_rope_scaling_from_hf(hf),
+        # qwen2 carries sliding_window but gates it behind
+        # use_sliding_window (default False); mistral/phi-3 set it
+        # unconditionally
+        sliding_window=int(hf.get("sliding_window") or 0)
+        if hf.get("use_sliding_window", True) else 0,
         rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
         attention_bias=hf.get("attention_bias", False)

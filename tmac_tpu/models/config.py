@@ -67,6 +67,12 @@ class ModelConfig:
     # Applied in models/llama.rope_tables.
     rope_scaling: Optional[tuple] = None
     rms_norm_eps: float = 1e-5
+    # sliding-window attention (mistral/phi-3 family): kv position s is
+    # visible to query position p iff p - s < sliding_window.  0 = full
+    # attention.  Applied in the attention masks (llama._attention,
+    # parallel.sp chunked attention); the flash-decode kernel is bypassed
+    # when the allocation exceeds the window (llama._flash_decode_ok).
+    sliding_window: int = 0
     tie_word_embeddings: bool = False
     attention_bias: bool = False
     # lm_head precision: 8 = int8 QuantizedTensor (llama.cpp likewise
@@ -186,11 +192,23 @@ PRESETS = {
         head_dim=128, rope_theta=500000.0, rms_norm_eps=1e-5,
         quant=QuantConfig(bits=2, group_size=128, zero_point=True),
     ),
-    # reference "phi-3-mini-2bit"
+    # meta-llama/Llama-3.1-8B: llama-3-8b shapes + the llama3 piecewise
+    # rope scaling (factor 8 over the 8192 original context) -- exercises
+    # ModelConfig.rope_scaling end-to-end
+    "llama-3.1-8b": ModelConfig(
+        name="llama-3.1-8b", vocab_size=128256, hidden_size=4096,
+        intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
+        head_dim=128, rope_theta=500000.0, rms_norm_eps=1e-5,
+        rope_scaling=("llama3", 8.0, 8192, 1.0, 4.0),
+        quant=QuantConfig(bits=2, group_size=128, zero_point=True),
+    ),
+    # reference "phi-3-mini-2bit" (Phi-3-mini-4k-instruct: sliding
+    # window 2047 per its HF config -- no effect at ctx <= 2047, bounds
+    # attention beyond it)
     "phi-3-mini": ModelConfig(
         name="phi-3-mini", vocab_size=32064, hidden_size=3072,
         intermediate_size=8192, num_layers=32, num_heads=32, num_kv_heads=32,
-        head_dim=96, rms_norm_eps=1e-5,
+        head_dim=96, rms_norm_eps=1e-5, sliding_window=2047,
         quant=QuantConfig(bits=2, group_size=128, zero_point=True),
     ),
     # BASELINE.json serving config: Qwen2-7B GPTQ-Int4

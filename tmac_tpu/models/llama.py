@@ -414,12 +414,18 @@ def make_head(head_km: np.ndarray, cfg: ModelConfig, dtype=jnp.bfloat16):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _flash_decode_ok(T: int, S: int, Dp: int, impl: str) -> bool:
+def _flash_decode_ok(T: int, S: int, Dp: int, impl: str,
+                     window: int = 0) -> bool:
     """The ONE flash-decode eligibility gate, shared by _attention and
-    forward's deferred-KV mode so the two can never drift apart."""
+    forward's deferred-KV mode so the two can never drift apart.
+
+    Sliding-window models bypass the kernel only when the allocation
+    exceeds the window (pos < S <= window makes every cached position
+    visible, so the kernel stays exact below that)."""
     import os
     return (T == 1 and impl != "xla" and jax.default_backend() == "tpu"
             and Dp % 128 == 0 and S % 8 == 0
+            and (window <= 0 or S <= window)
             and os.environ.get("TMAC_FLASH", "1") != "0")
 
 
@@ -444,7 +450,7 @@ def _attention(q, k_all, v_all, li: int, q_positions, kv_len_mask,
     # call, see attention_kernel.py) the kernel wins at every size:
     # B=1 ctx256 542 vs 524 tok/s; B=8 2361 vs 2220; S=2048 5.5 vs 92
     # us/layer.  TMAC_FLASH=0 forces the XLA einsum path.
-    if _flash_decode_ok(T, S, Dp, impl):
+    if _flash_decode_ok(T, S, Dp, impl, cfg.sliding_window):
         from tmac_tpu.ops.pallas.attention_kernel import flash_decode_stacked
         kv_lens = q_positions[:, 0] + 1  # (B,) valid entries incl. current
         # pad/slice between logical D and the padded cache Dp happens
@@ -483,6 +489,8 @@ def _attention(q, k_all, v_all, li: int, q_positions, kv_len_mask,
         # mask: kv position s must be < kv_len and <= query position
         s_idx = jnp.arange(Sb)[None, None, :]  # (1,1,Sb)
         valid = (s_idx <= q_positions[:, :, None]) & kv_len_mask[:, None, :Sb]
+        if cfg.sliding_window > 0:
+            valid &= s_idx > q_positions[:, :, None] - cfg.sliding_window
         scores = jnp.where(valid[:, :, None, None, :], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("btkrs,bksd->btkrd",
@@ -643,7 +651,8 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
 
     if deferred_kv is None:
         deferred_kv = (
-            _flash_decode_ok(T, S, cache.k.shape[-1], impl)
+            _flash_decode_ok(T, S, cache.k.shape[-1], impl,
+                             cfg.sliding_window)
             and _os.environ.get("TMAC_DEFERRED_KV", "0") == "1")
     assert not (deferred_kv and T != 1), "deferred_kv is decode-only"
     pend_k, pend_v, pend_ks, pend_vs = [], [], [], []

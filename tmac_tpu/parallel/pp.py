@@ -182,7 +182,7 @@ def _run_stage(layers, cfg: ModelConfig, x, k_loc, v_loc, q_positions,
         qr = q.reshape(B, Tc, KV, rep, D)
         attn = _chunked_causal_attention(
             qr, k_loc[li], v_loc[li], q_positions, kv_len=kv_len, D=D,
-            chunk=attn_chunk).astype(x.dtype)
+            chunk=attn_chunk, window=cfg.sliding_window).astype(x.dtype)
         x = layer_out_mlp(layer, cfg, x, attn, impl, tp_axis=tp_axis)
     return x, k_loc, v_loc
 

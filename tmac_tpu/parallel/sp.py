@@ -37,7 +37,7 @@ from tmac_tpu.parallel.tp import (REP, _localize_params, check_cfg,
 
 
 def _chunked_causal_attention(q, k_buf, v_buf, q_positions, kv_len, D,
-                              chunk: int):
+                              chunk: int, window: int = 0):
     """Online-softmax attention of q (B, Tl, KV, rep, D) against the cache
     buffers k_buf/v_buf (B, KV, S, Dp), reading only ceil(kv_len/chunk)
     chunks -- score memory is O(Tl * chunk) instead of O(Tl * T), and
@@ -69,6 +69,8 @@ def _chunked_causal_attention(q, k_buf, v_buf, q_positions, kv_len, D,
         kv_idx = c0 + jnp.arange(chunk)                     # (chunk,)
         ok = (kv_idx[None, None, :] <= q_positions[:, :, None]) \
             & (kv_idx < kv_len)[None, None, :]              # (B,Tl,chunk)
+        if window > 0:  # sliding-window attention (ModelConfig)
+            ok &= kv_idx[None, None, :] > q_positions[:, :, None] - window
         s = jnp.where(ok[:, :, None, None, :], s, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         # exp(-inf - -inf) guards: rows with no visible kv yet keep m=-inf
@@ -204,7 +206,8 @@ def _sp_forward(params, cfg: ModelConfig, tokens, cache: KVCache,
         qr = q.reshape(B, Tl, KV, rep, cfg.head_dim)
         attn = _chunked_causal_attention(
             qr, new_k[li], new_v[li], positions,
-            kv_len=offset + Tl, D=cfg.head_dim, chunk=attn_chunk)
+            kv_len=offset + Tl, D=cfg.head_dim, chunk=attn_chunk,
+            window=cfg.sliding_window)
         attn = attn.astype(x.dtype)
 
         x = layer_out_mlp(layer, cfg, x, attn, impl, tp_axis=tp_axis)
