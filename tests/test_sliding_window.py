@@ -95,9 +95,69 @@ def test_sp_chunked_window_matches_xla():
 
 def test_flash_gate_window(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # windowed models stay on the kernel (it takes the window as a static
+    # bound and skips blocks below it)
     assert _flash_decode_ok(1, 1024, 128, "auto", 0)
-    assert _flash_decode_ok(1, 1024, 128, "auto", 2048)   # alloc <= window
-    assert not _flash_decode_ok(1, 4096, 128, "auto", 2048)  # window bites
+    assert _flash_decode_ok(1, 4096, 128, "auto", 2048)
+
+
+def _flash_oracle(q, k, v, lens, lo):
+    """numpy masked-softmax oracle over visible range [lo, lens)."""
+    B, KV, rep, D = q.shape
+    S = k.shape[3]
+    s = np.einsum("bkrd,bksd->bkrs", q.astype(np.float64),
+                  k[0].astype(np.float64)) / np.sqrt(D)
+    idx = np.arange(S)
+    for b in range(B):
+        s[b][..., (idx >= lens[b]) | (idx < lo[b])] = -np.inf
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bkrs,bksd->bkrd", p, v[0].astype(np.float64))
+
+
+def test_flash_kernel_window_interpret():
+    """Windowed flash-decode kernel (interpret mode) == masked oracle,
+    including a window crossing block boundaries and a fully-in-window
+    row."""
+    from tmac_tpu.ops.pallas.attention_kernel import flash_decode_stacked
+
+    rng = np.random.default_rng(7)
+    B, KV, rep, D, S, W = 2, 2, 2, 64, 128, 40
+    q = rng.standard_normal((B, KV, rep, D)).astype(np.float32)
+    k = rng.standard_normal((1, B, KV, S, D)).astype(np.float32)
+    v = rng.standard_normal((1, B, KV, S, D)).astype(np.float32)
+    lens = np.asarray([100, 16], np.int32)  # row 1: pos < window
+    got = np.asarray(flash_decode_stacked(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lens),
+        jnp.int32(0), blk=32, interpret=True, window=W))
+    lo = np.maximum(lens - W, 0)
+    ref = _flash_oracle(q, k, v, lens, lo)
+    assert nmse(ref, got) < 1e-9
+
+
+def test_flash_append_window_interpret():
+    from tmac_tpu.ops.pallas.attention_kernel import \
+        flash_decode_stacked_append
+
+    rng = np.random.default_rng(8)
+    B, KV, rep, D, S, W = 1, 2, 2, 64, 128, 24
+    q = rng.standard_normal((B, KV, rep, D)).astype(np.float32)
+    k = rng.standard_normal((1, B, KV, S, D)).astype(np.float32)
+    v = rng.standard_normal((1, B, KV, S, D)).astype(np.float32)
+    ck = rng.standard_normal((B, KV, D)).astype(np.float32)
+    cv = rng.standard_normal((B, KV, D)).astype(np.float32)
+    lens = np.asarray([90], np.int32)  # current token at position 90
+    got = np.asarray(flash_decode_stacked_append(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lens),
+        jnp.int32(0), jnp.asarray(ck), jnp.asarray(cv), blk=32,
+        interpret=True, window=W))
+    # oracle: cache entries [lens-W+1, lens) plus the current token
+    ke = k.copy()
+    ve = v.copy()
+    ke[0, :, :, lens[0]] = ck
+    ve[0, :, :, lens[0]] = cv
+    ref = _flash_oracle(q, ke, ve, lens + 1, np.maximum(lens + 1 - W, 0))
+    assert nmse(ref, got) < 1e-9
 
 
 def test_converters_and_export(tmp_path):

@@ -291,3 +291,30 @@ def test_hw_signed_scales_q3_k():
     got = np.asarray(qgemm_pallas(jnp.asarray(x, jnp.bfloat16), qt,
                                   act="int8", out_dtype=jnp.float32))
     assert nmse(x @ oracle_w, got) < 5e-4
+
+
+def test_hw_flash_decode_window():
+    """Windowed flash-decode on the chip: the static window bound skips
+    whole KV blocks (traced loop start) -- validate vs the masked oracle
+    with a window crossing block boundaries."""
+    rng = np.random.default_rng(9)
+    B, KV, rep, D, S, W = 2, 4, 2, 128, 256, 72
+    q = rng.standard_normal((B, KV, rep, D)).astype(np.float32)
+    k = rng.standard_normal((1, B, KV, S, D)).astype(np.float32)
+    v = rng.standard_normal((1, B, KV, S, D)).astype(np.float32)
+    lens = np.asarray([200, 40], np.int32)
+    from tmac_tpu.ops.pallas.attention_kernel import flash_decode_stacked
+    import jax.numpy as jnp
+    got = np.asarray(flash_decode_stacked(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), jnp.asarray(lens), jnp.int32(0),
+        blk=64, window=W))
+    s = np.einsum("bkrd,bksd->bkrs", q, k[0]) / np.sqrt(D)
+    idx = np.arange(S)
+    for b in range(B):
+        lo = max(0, lens[b] - W)
+        s[b][..., (idx >= lens[b]) | (idx < lo)] = -np.inf
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bkrs,bksd->bkrd", p, v[0])
+    assert nmse(ref, got) < 2e-3  # bf16 operands

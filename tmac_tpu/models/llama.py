@@ -419,13 +419,12 @@ def _flash_decode_ok(T: int, S: int, Dp: int, impl: str,
     """The ONE flash-decode eligibility gate, shared by _attention and
     forward's deferred-KV mode so the two can never drift apart.
 
-    Sliding-window models bypass the kernel only when the allocation
-    exceeds the window (pos < S <= window makes every cached position
-    visible, so the kernel stays exact below that)."""
+    Sliding-window models stay on the kernel: it takes the window as a
+    static bound and skips whole KV blocks below it (reading ~window
+    instead of pos entries -- the SWA perf win)."""
     import os
     return (T == 1 and impl != "xla" and jax.default_backend() == "tpu"
             and Dp % 128 == 0 and S % 8 == 0
-            and (window <= 0 or S <= window)
             and os.environ.get("TMAC_FLASH", "1") != "0")
 
 
@@ -458,7 +457,8 @@ def _attention(q, k_all, v_all, li: int, q_positions, kv_len_mask,
         o = flash_decode_stacked(q.reshape(B, KV, rep, D), k_all, v_all,
                                  kv_lens, jnp.int32(li),
                                  scale=1.0 / float(np.sqrt(D)),
-                                 k_scale=k_scale, v_scale=v_scale)
+                                 k_scale=k_scale, v_scale=v_scale,
+                                 window=cfg.sliding_window)
         return o.reshape(B, T, H * D)
     k, v = k_all[li], v_all[li]
     if k_scale is not None:
@@ -719,6 +719,7 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
                 q.reshape(B, KVn, repn, D), new_k, new_v, cache.pos,
                 jnp.int32(li), k.reshape(B, KVn, D), v.reshape(B, KVn, D),
                 k_scale=new_ks, v_scale=new_vs,
+                window=cfg.sliding_window,
             ).reshape(B, T, cfg.q_dim)
         else:
             attn = _attention(q, new_k, new_v, li, positions, kv_len_mask,

@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
             scale: float, dp: int, append: bool = False,
-            quant: bool = False):
+            quant: bool = False, window: int = 0):
     """Grid (B,). k_ref/v_ref are FULL HBM-resident (L, B, KV, S, Dp) refs
     (memory_space=HBM, DMA'd manually); q_ref (1, KV, rep, Dl) and o_ref in
     VMEM; lens/li are scalar-prefetch.  Dl (logical head_dim) may be below
@@ -66,6 +66,15 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
     D = dp
     L = lens_ref[b]
     nblk = pl.cdiv(L, blk)
+    # sliding window (static): query position is L-1 (L in append mode,
+    # where the current token rides as an operand), so the visible cached
+    # range is [win_lo, L); blocks before win_lo//blk are skipped entirely
+    if window > 0:
+        win_lo = jnp.maximum(L - window + (1 if append else 0), 0)
+        first = win_lo // blk
+    else:
+        win_lo = jnp.int32(0)
+        first = jnp.int32(0)
     q = q_ref[0].astype(jnp.float32) * scale  # (KV, rep, Dl)
     if Dl != D:
         q = jnp.concatenate(
@@ -109,7 +118,7 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
                     vs_ref.at[li, b, :, pl.ds(off, blk)], vs_sc.at[slot],
                     ssem.at[slot, 1]).wait()
 
-        start(0, 0)
+        start(first % 2, first)
 
         def step(i, carry):
             m, l, acc = carry
@@ -126,7 +135,10 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
             if quant:
                 s = s * ks_sc[slot][:, None, :]          # (KV, 1, blk)
             idx = jax.lax.broadcasted_iota(jnp.int32, (KV, rep, blk), 2) + i * blk
-            s = jnp.where(idx < L, s, -jnp.inf)
+            ok = idx < L
+            if window > 0:
+                ok &= idx >= win_lo
+            s = jnp.where(ok, s, -jnp.inf)
             m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
             p = jnp.exp(s - m_new)                       # (KV, rep, blk)
             corr = jnp.exp(m - m_new)                    # (KV, rep, 1)
@@ -141,7 +153,7 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
         m0 = jnp.full((KV, rep, 1), -jnp.inf, jnp.float32)
         l0 = jnp.zeros((KV, rep, 1), jnp.float32)
         a0 = jnp.zeros((KV, rep, D), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, nblk, step, (m0, l0, a0))
+        m, l, acc = jax.lax.fori_loop(first, nblk, step, (m0, l0, a0))
         if append:
             # final online step over the current token (always valid --
             # a fresh sequence has L == 0 and skips the loop entirely)
@@ -200,13 +212,15 @@ def _pick_blk(S: int, KV: int, D: int, itemsize: int,
     return blk
 
 
-@functools.partial(jax.jit, static_argnames=("blk", "interpret", "scale"))
+@functools.partial(jax.jit,
+                   static_argnames=("blk", "interpret", "scale", "window"))
 def flash_decode_stacked(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
                          kv_lens: jax.Array, layer: jax.Array, blk: int = 0,
                          interpret: bool | None = None,
                          scale: float | None = None,
                          k_scale: jax.Array | None = None,
-                         v_scale: jax.Array | None = None) -> jax.Array:
+                         v_scale: jax.Array | None = None,
+                         window: int = 0) -> jax.Array:
     """Single-step attention over layer `layer` of a stacked cache.
 
     q (B, KV, rep, Dl); k_all/v_all (L, B, KV, S, Dp); kv_lens (B,) valid
@@ -269,7 +283,8 @@ def flash_decode_stacked(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
         transcendentals=B * KV * rep * S,
     )
     return pl.pallas_call(
-        functools.partial(_kernel, blk=blk, scale=scale, dp=Dp, quant=quant),
+        functools.partial(_kernel, blk=blk, scale=scale, dp=Dp, quant=quant,
+                          window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KV, rep, Dl), q.dtype),
         cost_estimate=cost,
@@ -277,7 +292,8 @@ def flash_decode_stacked(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
     )(*operands)
 
 
-@functools.partial(jax.jit, static_argnames=("blk", "interpret", "scale"))
+@functools.partial(jax.jit,
+                   static_argnames=("blk", "interpret", "scale", "window"))
 def flash_decode_stacked_append(q: jax.Array, k_all: jax.Array,
                                 v_all: jax.Array, cached_lens: jax.Array,
                                 layer: jax.Array, cur_k: jax.Array,
@@ -285,7 +301,8 @@ def flash_decode_stacked_append(q: jax.Array, k_all: jax.Array,
                                 interpret: bool | None = None,
                                 scale: float | None = None,
                                 k_scale: jax.Array | None = None,
-                                v_scale: jax.Array | None = None) -> jax.Array:
+                                v_scale: jax.Array | None = None,
+                                window: int = 0) -> jax.Array:
     """flash_decode_stacked where the CURRENT token's k/v ride as operands
     (cur_k/cur_v (B, KV, Dl)) instead of being read back from the cache.
 
@@ -350,7 +367,7 @@ def flash_decode_stacked_append(q: jax.Array, k_all: jax.Array,
     )
     return pl.pallas_call(
         functools.partial(_kernel, blk=blk, scale=scale, dp=Dp, append=True,
-                          quant=quant),
+                          quant=quant, window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KV, rep, Dl), q.dtype),
         cost_estimate=cost,
