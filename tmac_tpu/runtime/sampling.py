@@ -54,10 +54,12 @@ class SamplerState:
                         [cfg.top_p] * batch)
 
 
-def sample(logits: jax.Array, key: jax.Array, cfg: SamplerConfig) -> jax.Array:
-    """logits (B, V) -> token ids (B,). Static config => traced once."""
-    if cfg.temperature <= 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+def filtered_logits(logits: jax.Array, cfg: SamplerConfig) -> jax.Array:
+    """The temperature/top-k/top-p-masked logits `sample` draws from
+    (..., V) -> (..., V) with filtered entries at -inf.  Exposed so
+    speculative rejection sampling can target the EXACT serving
+    distribution (runtime/speculative._sampled_accept)."""
+    assert cfg.temperature > 0.0
     logits = logits.astype(jnp.float32) / cfg.temperature
     if cfg.top_k > 0:
         kth = jax.lax.top_k(logits, cfg.top_k)[0][..., -1:]
@@ -72,7 +74,15 @@ def sample(logits: jax.Array, key: jax.Array, cfg: SamplerConfig) -> jax.Array:
         cutoff_idx = jnp.minimum(cutoff_idx, logits.shape[-1] - 1)
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return logits
+
+
+def sample(logits: jax.Array, key: jax.Array, cfg: SamplerConfig) -> jax.Array:
+    """logits (B, V) -> token ids (B,). Static config => traced once."""
+    if cfg.temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(key, filtered_logits(logits, cfg),
+                                  axis=-1).astype(jnp.int32)
 
 
 def sample_state(logits: jax.Array, key: jax.Array,

@@ -20,7 +20,11 @@ Losslessness: with greedy sampling the emitted stream is IDENTICAL
 token-for-token to plain greedy decode for ANY draft (verification
 recomputes the model's own argmax at every position and only keeps
 matching prefixes) -- tested against decode_loop in
-tests/test_speculative.py.
+tests/test_speculative.py.  With temperature > 0 the loop switches to
+speculative REJECTION SAMPLING (_sampled_accept): the emitted stream is
+a different random draw, but its DISTRIBUTION is exactly the plain
+sampler's -- the standard lossless-sampling guarantee
+(arXiv:2211.17192), verified empirically in tests/test_spec_sampling.py.
 
 Cache correctness: a verification forward writes K/V for all k+1 fed
 tokens; rejected positions hold stale entries, but pos is rewound to
@@ -40,6 +44,7 @@ import jax.numpy as jnp
 
 from tmac_tpu.models.config import ModelConfig
 from tmac_tpu.models.llama import KVCache, forward
+from tmac_tpu.runtime.sampling import SamplerConfig, filtered_logits
 
 
 def _propose_ngram(buf: jax.Array, length: jax.Array, n: int, k: int):
@@ -74,13 +79,76 @@ def _propose_ngram(buf: jax.Array, length: jax.Array, n: int, k: int):
     return jnp.where(found, draft, -1), found
 
 
+def _sampled_accept(logits, draft, key, cfg: SamplerConfig, q_probs=None):
+    """Speculative REJECTION SAMPLING targeting the exact serving
+    distribution p_i = softmax(filtered_logits(logits_i)) (Leviathan et
+    al. 2023, arXiv:2211.17192; llama.cpp common_sampler speculative
+    role).
+
+    logits (k+1, V); draft (k,) int32 (-1 = no proposal, auto-reject);
+    q_probs (k, V): the draft model's PROPOSAL distribution (what the
+    draft tokens were sampled from), or None for a DETERMINISTIC draft
+    (q = point mass at draft[i]: accept with prob p_i(d_i), residual =
+    p_i with d_i removed).
+
+    Returns (tokens (k+1,), a): tokens[:a] are accepted draft tokens and
+    tokens[a] the correction (a < k: sampled from norm(max(p - q, 0)))
+    or bonus (a == k: sampled from p_k) token.  Emitting tokens[:a+1]
+    (or any prefix) preserves the target distribution EXACTLY -- the
+    acceptance test and residual construction make the marginal at every
+    position identical to sequentially sampling from p.
+    """
+    k = draft.shape[0]
+    V = logits.shape[-1]
+    p = jax.nn.softmax(filtered_logits(logits, cfg), axis=-1)  # (k+1, V)
+    ku, kc = jax.random.split(key)
+    d_ix = jnp.maximum(draft, 0)
+    p_d = jnp.take_along_axis(p[:k], d_ix[:, None], 1)[:, 0]
+    if q_probs is None:
+        ratio = p_d                      # q(d_i) = 1
+    else:
+        q_d = jnp.take_along_axis(q_probs, d_ix[:, None], 1)[:, 0]
+        ratio = p_d / jnp.maximum(q_d, 1e-20)
+    u = jax.random.uniform(ku, (k,))
+    accept = (u < ratio) & (draft >= 0)
+    a = jnp.argmin(jnp.concatenate([accept, jnp.array([False])])
+                   .astype(jnp.int32))   # first rejected position
+    p_a = jax.lax.dynamic_index_in_dim(p, a, 0, keepdims=False)  # (V,)
+    a_c = jnp.minimum(a, k - 1)
+    if q_probs is None:
+        res = p_a * (1.0 - jax.nn.one_hot(d_ix[a_c], V, dtype=p.dtype))
+    else:
+        q_a = jax.lax.dynamic_index_in_dim(q_probs, a_c, 0, keepdims=False)
+        res = jnp.maximum(p_a - q_a, 0.0)
+    res = jnp.where(a == k, p_a, res)    # all accepted -> bonus from p_k
+    tot = jnp.sum(res)
+    # degenerate residual (p <= q everywhere, float underflow): fall back
+    # to p_a -- still a valid sample of the target at position a
+    res = jnp.where(tot > 1e-20, res / jnp.maximum(tot, 1e-20), p_a)
+    corr = jax.random.categorical(
+        kc, jnp.log(jnp.maximum(res, 1e-30))).astype(jnp.int32)
+    idx = jnp.arange(k + 1)
+    dpad = jnp.concatenate([d_ix, jnp.zeros((1,), jnp.int32)])
+    tokens = jnp.where(idx < a, dpad, 0)
+    tokens = jnp.where(idx == a, corr, tokens)
+    return tokens, a
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "steps", "ngram", "k",
-                                             "impl"),
+                                             "impl", "sampler"),
                    donate_argnames=("cache",))
 def decode_chunk_speculative(params, cfg: ModelConfig, history: jax.Array,
                              history_len, cache: KVCache, steps: int,
-                             ngram: int = 3, k: int = 8, impl: str = "auto"):
-    """Greedy-decode `steps` tokens with on-device lookup speculation.
+                             ngram: int = 3, k: int = 8, impl: str = "auto",
+                             sampler: SamplerConfig = SamplerConfig(),
+                             key: Optional[jax.Array] = None):
+    """Decode `steps` tokens with on-device lookup speculation.
+
+    sampler.temperature <= 0 (default): greedy -- token-for-token
+    identical to plain greedy decode.  temperature > 0: speculative
+    REJECTION SAMPLING via _sampled_accept (requires `key`) -- the
+    output DISTRIBUTION is exactly the plain sampler's, though individual
+    streams differ (a different number of uniforms is consumed).
 
     history (1, Sh) int32, zero-padded: all tokens so far (prompt + any
     generated), the LAST of which (history[0, history_len-1]) is counted
@@ -118,19 +186,24 @@ def decode_chunk_speculative(params, cfg: ModelConfig, history: jax.Array,
         feed = jnp.concatenate([last, jnp.maximum(draft, 0)])[None, :]  # (1, k+1)
         pos0 = cache.pos
         logits, cache = forward(params, cfg, feed, cache, impl=impl)
-        targets = jnp.argmax(logits[0].astype(jnp.float32), axis=-1
-                             ).astype(jnp.int32)        # (k+1,) y_0..y_k
-        # accept the longest draft prefix that matches the model's own
-        # greedy choices: a = #matching leading positions
-        good = draft == targets[:k]
-        a = jnp.argmin(jnp.concatenate([good, jnp.array([False])])
-                       .astype(jnp.int32))              # first False index
+        if sampler.temperature > 0.0:
+            emit_src, a = _sampled_accept(
+                logits[0], draft, jax.random.fold_in(key, nf), sampler)
+        else:
+            targets = jnp.argmax(logits[0].astype(jnp.float32), axis=-1
+                                 ).astype(jnp.int32)    # (k+1,) y_0..y_k
+            # accept the longest draft prefix that matches the model's own
+            # greedy choices: a = #matching leading positions
+            good = draft == targets[:k]
+            a = jnp.argmin(jnp.concatenate([good, jnp.array([False])])
+                           .astype(jnp.int32))          # first False index
+            emit_src = targets
         ntok = a + 1                                    # accepted + correction
         # budget clamp: never emit past `steps`
         ntok = jnp.minimum(ntok, steps - emitted)
         ntok = jnp.maximum(ntok, 1)
         # emit y_0..y_{ntok-1}
-        emit = jnp.where(jnp.arange(k + 1) < ntok, targets, 0)
+        emit = jnp.where(jnp.arange(k + 1) < ntok, emit_src, 0)
         out = jax.lax.dynamic_update_slice(out, emit, (emitted,))
         buf = jax.lax.dynamic_update_slice(buf, emit, (length,))
         # rewind: forward advanced pos by k+1; only ntok inputs were real
@@ -165,13 +238,15 @@ def decode_loop_speculative(params, cfg: ModelConfig, first_token,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg_t", "cfg_d", "steps", "k",
-                                             "impl"),
+                                             "impl", "sampler"),
                    donate_argnames=("cache_t", "cache_d"))
 def decode_chunk_draft_speculative(params_t, cfg_t: ModelConfig, params_d,
                                    cfg_d: ModelConfig, history: jax.Array,
                                    history_len, cache_t: KVCache,
                                    cache_d: KVCache, steps: int, k: int = 4,
-                                   impl: str = "auto"):
+                                   impl: str = "auto",
+                                   sampler: SamplerConfig = SamplerConfig(),
+                                   key: Optional[jax.Array] = None):
     """Greedy decode with a DRAFT MODEL proposing k tokens per round
     (classic two-model speculative decoding), fully on-device like the
     lookup variant above: draft loop, verification forward, acceptance
@@ -216,29 +291,53 @@ def decode_chunk_draft_speculative(params_t, cfg_t: ModelConfig, params_d,
         emitted, length, buf, out, cache_t, cache_d, nft, nfd = c
         last = jax.lax.dynamic_slice(buf, (length - 1,), (1,))
 
+        sampled = sampler.temperature > 0.0
+        V = cfg_d.vocab_size
+        if sampled:  # disjoint streams: drafting vs acceptance
+            key_d, key_a = jax.random.split(key)
+
         def dstep(j, dc):
-            draft, cache_d, tok = dc
+            draft, qrows, cache_d, tok = dc
             lg, cache_d = forward(params_d, cfg_d, tok[None, :], cache_d,
                                   impl=impl)
-            nxt = jnp.argmax(lg[0, -1].astype(jnp.float32)).astype(jnp.int32)
+            if sampled:
+                # the draft must SAMPLE from its own (filtered)
+                # distribution q and report q to the acceptance test --
+                # that pairing is what makes rejection sampling lossless
+                fl = filtered_logits(lg[0, -1], sampler)
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(key_d, nfd + j),
+                    fl).astype(jnp.int32)
+                qrows = jax.lax.dynamic_update_slice(
+                    qrows, jax.nn.softmax(fl)[None, :], (j, 0))
+            else:
+                nxt = jnp.argmax(
+                    lg[0, -1].astype(jnp.float32)).astype(jnp.int32)
             draft = jax.lax.dynamic_update_slice(draft, nxt[None], (j,))
-            return draft, cache_d, nxt[None]
+            return draft, qrows, cache_d, nxt[None]
 
         pos0_d = cache_d.pos
-        draft, cache_d, _ = jax.lax.fori_loop(
-            0, k, dstep, (jnp.zeros((k,), jnp.int32), cache_d, last))
+        qrows0 = jnp.zeros((k, V) if sampled else (k, 1), jnp.float32)
+        draft, qrows, cache_d, _ = jax.lax.fori_loop(
+            0, k, dstep, (jnp.zeros((k,), jnp.int32), qrows0, cache_d, last))
         feed = jnp.concatenate([last, draft])[None, :]     # (1, k+1)
         pos0_t = cache_t.pos
         logits, cache_t = forward(params_t, cfg_t, feed, cache_t, impl=impl)
-        targets = jnp.argmax(logits[0].astype(jnp.float32), axis=-1
-                             ).astype(jnp.int32)           # (k+1,)
-        good = draft == targets[:k]
-        a = jnp.argmin(jnp.concatenate([good, jnp.array([False])])
-                       .astype(jnp.int32))
+        if sampled:
+            emit_src, a = _sampled_accept(
+                logits[0], draft, jax.random.fold_in(key_a, nft),
+                sampler, q_probs=qrows)
+        else:
+            targets = jnp.argmax(logits[0].astype(jnp.float32), axis=-1
+                                 ).astype(jnp.int32)       # (k+1,)
+            good = draft == targets[:k]
+            a = jnp.argmin(jnp.concatenate([good, jnp.array([False])])
+                           .astype(jnp.int32))
+            emit_src = targets
         ntok = jnp.minimum(a + 1, k)       # cap: keep the draft cache whole
         ntok = jnp.minimum(ntok, steps - emitted)
         ntok = jnp.maximum(ntok, 1)
-        emit = jnp.where(jnp.arange(k + 1) < ntok, targets, 0)
+        emit = jnp.where(jnp.arange(k + 1) < ntok, emit_src, 0)
         out = jax.lax.dynamic_update_slice(out, emit, (emitted,))
         buf = jax.lax.dynamic_update_slice(buf, emit, (length,))
         cache_t = dataclasses.replace(cache_t, pos=pos0_t + ntok)
@@ -257,13 +356,17 @@ def generate_draft_speculative(params_t, cfg_t: ModelConfig, params_d,
                                cfg_d: ModelConfig, prompt_tokens,
                                max_new_tokens: int,
                                max_len: Optional[int] = None, k: int = 4,
-                               impl: str = "auto"):
+                               impl: str = "auto",
+                               sampler: SamplerConfig = SamplerConfig(),
+                               seed: int = 0):
     """Convenience wrapper: prefill both models, then draft-speculative
-    greedy decode.  Returns (tokens (1, max_new_tokens), n_target_fwd,
-    n_draft_fwd)."""
+    decode (greedy, or lossless speculative sampling when
+    sampler.temperature > 0).  Returns (tokens (1, max_new_tokens),
+    n_target_fwd, n_draft_fwd)."""
     import numpy as np
 
     from tmac_tpu.runtime.generate import prefill
+    from tmac_tpu.runtime.sampling import sample
 
     toks = jnp.asarray(np.asarray(prompt_tokens), jnp.int32)
     if toks.ndim == 1:
@@ -275,24 +378,33 @@ def generate_draft_speculative(params_t, cfg_t: ModelConfig, params_d,
     cache_d = KVCache.create(cfg_d, 1, S)
     logits, cache_t = prefill(params_t, cfg_t, toks, cache_t, impl=impl)
     _, cache_d = prefill(params_d, cfg_d, toks, cache_d, impl=impl)
-    first = jnp.argmax(logits.astype(jnp.float32), -1).astype(jnp.int32)
+    key = None
+    if sampler.temperature > 0.0:
+        key, kf = jax.random.split(jax.random.PRNGKey(seed))
+        first = sample(logits, kf, sampler)
+    else:
+        first = jnp.argmax(logits.astype(jnp.float32), -1).astype(jnp.int32)
     hist = jnp.zeros((1, S), jnp.int32)
     hist = jax.lax.dynamic_update_slice(hist, toks, (0, 0))
     hist = jax.lax.dynamic_update_slice(hist, first[None, :], (0, T))
     out, _, nft, nfd, _, _ = decode_chunk_draft_speculative(
         params_t, cfg_t, params_d, cfg_d, hist, T + 1, cache_t, cache_d,
-        steps=max_new_tokens, k=k, impl=impl)
+        steps=max_new_tokens, k=k, impl=impl, sampler=sampler, key=key)
     return out, int(nft), int(nfd)
 
 
 def generate_speculative(params, cfg: ModelConfig, prompt_tokens,
                          max_new_tokens: int, max_len: Optional[int] = None,
-                         ngram: int = 3, k: int = 8, impl: str = "auto"):
-    """Convenience wrapper: prefill + speculative greedy decode.
+                         ngram: int = 3, k: int = 8, impl: str = "auto",
+                         sampler: SamplerConfig = SamplerConfig(),
+                         seed: int = 0):
+    """Convenience wrapper: prefill + speculative decode (greedy, or
+    lossless speculative sampling when sampler.temperature > 0).
     Returns (tokens (1, max_new_tokens), n_forwards)."""
     import numpy as np
 
     from tmac_tpu.runtime.generate import prefill
+    from tmac_tpu.runtime.sampling import sample
 
     toks = jnp.asarray(np.asarray(prompt_tokens), jnp.int32)
     if toks.ndim == 1:
@@ -302,8 +414,17 @@ def generate_speculative(params, cfg: ModelConfig, prompt_tokens,
     S = max_len or (T + max_new_tokens + k + 1)
     cache = KVCache.create(cfg, 1, S)
     logits, cache = prefill(params, cfg, toks, cache, impl=impl)
-    first = jnp.argmax(logits.astype(jnp.float32), -1).astype(jnp.int32)
-    out, nf, _ = decode_loop_speculative(params, cfg, first, cache, toks,
-                                         steps=max_new_tokens, ngram=ngram,
-                                         k=k, impl=impl)
+    key = None
+    if sampler.temperature > 0.0:
+        key, kf = jax.random.split(jax.random.PRNGKey(seed))
+        first = sample(logits, kf, sampler)
+    else:
+        first = jnp.argmax(logits.astype(jnp.float32), -1).astype(jnp.int32)
+    hist = jnp.zeros((1, S), jnp.int32)
+    hist = jax.lax.dynamic_update_slice(hist, toks, (0, 0))
+    hist = jax.lax.dynamic_update_slice(hist, first.astype(jnp.int32)[None, :]
+                                        if first.ndim == 1 else first, (0, T))
+    out, _, nf, _ = decode_chunk_speculative(
+        params, cfg, hist, T + 1, cache, steps=max_new_tokens, ngram=ngram,
+        k=k, impl=impl, sampler=sampler, key=key)
     return out, int(nf)

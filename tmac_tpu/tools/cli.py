@@ -120,21 +120,20 @@ def cmd_generate(args):
                             top_p=args.top_p)
     t0 = time.time()
     if getattr(args, "draft_ckpt", ""):
-        assert args.temperature <= 0, "--draft-ckpt is greedy-only"
         from tmac_tpu.convert.checkpoint import load_checkpoint
         from tmac_tpu.runtime.speculative import generate_draft_speculative
         cfg_d, params_d = load_checkpoint(args.draft_ckpt)
         out, nft, nfd = generate_draft_speculative(
             params, cfg, params_d, cfg_d, np.asarray([ids], np.int32),
-            max_new_tokens=args.n, k=args.spec_k)
+            max_new_tokens=args.n, k=args.spec_k, sampler=sampler)
         print(f"[draft-speculative: {args.n} tokens in {nft} target + "
               f"{nfd} draft forwards]", file=sys.stderr)
     elif getattr(args, "speculative", False):
-        assert args.temperature <= 0, "--speculative is greedy-only"
         from tmac_tpu.runtime.speculative import generate_speculative
         out, nf = generate_speculative(params, cfg,
                                        np.asarray([ids], np.int32),
-                                       max_new_tokens=args.n)
+                                       max_new_tokens=args.n,
+                                       sampler=sampler)
         print(f"[speculative: {args.n} tokens in {nf} forwards]",
               file=sys.stderr)
     else:
