@@ -1,0 +1,102 @@
+"""Repetition penalties (runtime/sampling.apply_penalties + engine wiring).
+
+llama-cli ships with repeat_penalty 1.1 ON by default and the OpenAI API
+exposes presence/frequency penalties -- sampling parity requires all
+three (reference role: llama.cpp sampling chain,
+tools/run_pipeline.py:222-277).
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tmac_tpu.models.config import get_preset
+from tmac_tpu.models.llama import init_params
+from tmac_tpu.runtime.engine import InferenceEngine
+from tmac_tpu.runtime.generate import generate
+from tmac_tpu.runtime.sampling import (SamplerConfig, apply_penalties,
+                                       bump_counts)
+
+
+def test_apply_penalties_math():
+    logits = jnp.asarray([[2.0, -1.0, 0.5, 3.0]])
+    counts = jnp.asarray([[2, 1, 0, 0]], jnp.int32)
+    got = np.asarray(apply_penalties(logits, counts, 1.5, 0.7, 0.3))
+    # seen positive: /1.5; seen negative: *1.5; unseen: untouched --
+    # then presence (0.7 per seen) and frequency (0.3 * count)
+    want = np.array([[2.0 / 1.5 - 0.7 - 0.6, -1.0 * 1.5 - 0.7 - 0.3,
+                      0.5, 3.0]])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_neutral_penalties_are_identity():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((3, 64)), jnp.float32)
+    counts = jnp.asarray(rng.integers(0, 5, (3, 64)), jnp.int32)
+    got = np.asarray(apply_penalties(logits, counts, 1.0, 0.0, 0.0))
+    np.testing.assert_array_equal(got, np.asarray(logits))
+
+
+def test_bump_counts_active_mask():
+    counts = jnp.zeros((3, 8), jnp.int32)
+    toks = jnp.asarray([1, 2, 2], jnp.int32)
+    act = jnp.asarray([True, False, True])
+    got = np.asarray(bump_counts(counts, toks, act))
+    assert got[0, 1] == 1 and got[1, 2] == 0 and got[2, 2] == 1
+
+
+def test_generate_frequency_penalty_forbids_repeats():
+    """A huge frequency penalty makes every generated token distinct
+    (greedy would otherwise repeat on a random tiny model)."""
+    cfg = get_preset("llama-2-7b").scaled(8)
+    params = init_params(cfg, seed=0)
+    prompt = np.asarray([[1, 2, 3]], np.int32)
+    out = np.asarray(generate(
+        params, cfg, prompt, max_new_tokens=16,
+        sampler=SamplerConfig(frequency_penalty=1e4)))[0]
+    assert len(set(out.tolist())) == 16, out
+    # control: plain greedy DOES repeat on this model (else the test
+    # above proves nothing)
+    base = np.asarray(generate(params, cfg, prompt, max_new_tokens=16))[0]
+    assert len(set(base.tolist())) < 16, base
+
+
+def test_generate_neutral_equals_default():
+    cfg = get_preset("llama-2-7b").scaled(8)
+    params = init_params(cfg, seed=0)
+    prompt = np.asarray([[4, 5, 6]], np.int32)
+    a = np.asarray(generate(params, cfg, prompt, max_new_tokens=8,
+                            sampler=SamplerConfig(temperature=0.8), seed=3))
+    b = np.asarray(generate(
+        params, cfg, prompt, max_new_tokens=8,
+        sampler=SamplerConfig(temperature=0.8, repeat_penalty=1.0,
+                              presence_penalty=0.0), seed=3))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_engine_per_request_penalties():
+    """One penalized + one plain request batched together: the penalized
+    slot never repeats, the plain slot matches a solo run exactly."""
+    cfg = get_preset("llama-2-7b").scaled(8)
+    params = init_params(cfg, seed=0)
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                          decode_chunk=4, impl="xla")
+    u_plain = eng.submit([1, 2, 3], max_new_tokens=12)
+    u_pen = eng.submit([1, 2, 3], max_new_tokens=12,
+                       frequency_penalty=1e4)
+    res = eng.run()
+    assert len(set(res[u_pen])) == 12, res[u_pen]
+
+    solo = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                           decode_chunk=4, impl="xla")
+    u = solo.submit([1, 2, 3], max_new_tokens=12)
+    assert solo.run()[u] == res[u_plain]
+
+
+def test_server_sampling_parse():
+    from tmac_tpu.runtime.server import _sampling_from_req
+    s = _sampling_from_req({"temperature": 0.5, "repeat_penalty": 1.1,
+                            "presence_penalty": 0.2,
+                            "frequency_penalty": 0.3})
+    assert s == {"temperature": 0.5, "repeat_penalty": 1.1,
+                 "presence_penalty": 0.2, "frequency_penalty": 0.3}

@@ -36,7 +36,8 @@ import numpy as np
 
 from tmac_tpu.models.config import ModelConfig
 from tmac_tpu.models.llama import KVCache, forward
-from tmac_tpu.runtime.sampling import (SamplerConfig, SamplerState, sample,
+from tmac_tpu.runtime.sampling import (SamplerConfig, SamplerState,
+                                       apply_penalties, bump_counts, sample,
                                        sample_state)
 
 
@@ -51,6 +52,9 @@ class Request:
     temperature: Optional[float] = None
     top_k: Optional[int] = None
     top_p: Optional[float] = None
+    repeat_penalty: Optional[float] = None
+    presence_penalty: Optional[float] = None
+    frequency_penalty: Optional[float] = None
     # filled by the engine:
     output: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -106,7 +110,8 @@ def _prefill_slot_body(forward_fn, tokens, true_len, cache: KVCache, slot,
 
 def _decode_chunk_body(forward_fn, sampler: SamplerConfig, last_tokens,
                        cache: KVCache, keys, active, eos_ids=None,
-                       remaining=None, state: Optional[SamplerState] = None):
+                       remaining=None, state: Optional[SamplerState] = None,
+                       counts=None):
     """Up to `steps` tokens for every active slot in one on-device loop
     (shared core).  Inactive slots are frozen: their pos does not advance
     and their token is carried through unchanged.  Slots whose pos would
@@ -128,30 +133,46 @@ def _decode_chunk_body(forward_fn, sampler: SamplerConfig, last_tokens,
         remaining = jnp.full((B,), steps, jnp.int32)
     out0 = jnp.broadcast_to(last_tokens[None], (steps, B))
 
+    penal = counts is not None  # static: python-level branch at trace
+    cnt0 = counts if penal else jnp.zeros((B, 1), jnp.int32)
+
     def cond(c):
-        i, tok, cache, rem, alive, out = c
+        i, tok, cache, rem, alive, out, cnt = c
         return (i < steps) & jnp.any(alive & active & (cache.pos < S)
                                      & (rem > 0))
 
     def body(c):
-        i, tok, cache, rem, alive, out = c
+        i, tok, cache, rem, alive, out, cnt = c
         act = alive & active & (cache.pos < S) & (rem > 0)
         logits, cache = forward_fn(tok[:, None], cache, active=act)
         k = keys[i]
         lg = logits[:, -1, :]
+        if penal:
+            lg = (apply_penalties(lg, cnt, state.repeat_penalty,
+                                  state.presence_penalty,
+                                  state.frequency_penalty)
+                  if state is not None else
+                  apply_penalties(lg, cnt, sampler.repeat_penalty,
+                                  sampler.presence_penalty,
+                                  sampler.frequency_penalty))
         nxt = (sample_state(lg, k, state) if state is not None
                else sample(lg, k, sampler))
         nxt = jnp.where(act, nxt, tok)
+        if penal:
+            cnt = bump_counts(cnt, nxt, active=act)
         alive = alive & ~(act & (nxt == eos_ids))
         rem = rem - act.astype(jnp.int32)
         out = jax.lax.dynamic_update_slice(out, nxt[None], (i, 0))
-        return (i + 1, nxt, cache, rem, alive, out)
+        return (i + 1, nxt, cache, rem, alive, out, cnt)
 
     alive0 = jnp.ones((B,), bool)
-    _, _, cache, _, _, toks = jax.lax.while_loop(
+    _, _, cache, _, _, toks, cnt = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), last_tokens, cache, remaining, alive0, out0))
-    return jnp.moveaxis(toks, 0, 1), cache  # (B, steps)
+        (jnp.int32(0), last_tokens, cache, remaining, alive0, out0, cnt0))
+    toks = jnp.moveaxis(toks, 0, 1)  # (B, steps)
+    if penal:
+        return toks, cache, cnt
+    return toks, cache
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -217,14 +238,17 @@ def _decode_chunk(params, cfg: ModelConfig, last_tokens, cache: KVCache,
                   keys, active, steps: int,
                   sampler: SamplerConfig = SamplerConfig(),
                   impl: str = "auto", eos_ids=None, remaining=None,
-                  state: Optional[SamplerState] = None):
-    """Single-chip decode chunk: `steps` tokens for every active slot."""
+                  state: Optional[SamplerState] = None, counts=None):
+    """Single-chip decode chunk: `steps` tokens for every active slot.
+    counts (B, V) int32 (optional): per-slot generated-token counts for
+    the repetition penalties; when given, the return gains the updated
+    counts."""
     del steps
     return _decode_chunk_body(
         lambda t, c, active=None, valid=None: forward(
             params, cfg, t, c, impl=impl, active=active, valid=valid),
         sampler, last_tokens, cache, keys, active, eos_ids=eos_ids,
-        remaining=remaining, state=state)
+        remaining=remaining, state=state, counts=counts)
 
 
 class InferenceEngine:
@@ -323,6 +347,19 @@ class InferenceEngine:
         self._slot_temp = np.full((max_batch,), sampler.temperature, np.float32)
         self._slot_topk = np.full((max_batch,), sampler.top_k, np.int32)
         self._slot_topp = np.full((max_batch,), sampler.top_p, np.float32)
+        self._slot_rp = np.full((max_batch,), sampler.repeat_penalty,
+                                np.float32)
+        self._slot_pp = np.full((max_batch,), sampler.presence_penalty,
+                                np.float32)
+        self._slot_fp = np.full((max_batch,), sampler.frequency_penalty,
+                                np.float32)
+        # per-slot generated-token counts for the repetition penalties;
+        # allocated lazily on the first penalized request (the (B, V)
+        # buffer + scatter-add cost nothing unless used)
+        self._counts = None
+        if sampler.has_penalties and step_fns is not None:
+            raise ValueError("repetition penalties are not supported with "
+                             "custom step_fns (mesh engine) yet")
         self.finished: Dict[int, Request] = {}
         # prompt-prefix KV cache (LRU over _PrefixEntry); see __init__ doc
         self.prefix_cache_size = (prefix_cache_size if step_fns is None else 0)
@@ -341,18 +378,30 @@ class InferenceEngine:
                eos_id: Optional[int] = None,
                temperature: Optional[float] = None,
                top_k: Optional[int] = None,
-               top_p: Optional[float] = None) -> int:
+               top_p: Optional[float] = None,
+               repeat_penalty: Optional[float] = None,
+               presence_penalty: Optional[float] = None,
+               frequency_penalty: Optional[float] = None) -> int:
         prompt = [int(t) for t in np.asarray(prompt).reshape(-1)]
         assert len(prompt) >= 1, "empty prompt"
         assert len(prompt) + max_new_tokens <= self.S, (
             f"prompt {len(prompt)} + max_new {max_new_tokens} exceeds "
             f"engine max_len {self.S}")
         uid = next(self._uid)
-        if (temperature, top_k, top_p) != (None, None, None):
+        ov = (temperature, top_k, top_p, repeat_penalty, presence_penalty,
+              frequency_penalty)
+        if any(v is not None for v in ov):
             self._n_dynamic += 1
+        if any(v is not None for v in ov[3:]) and self._step_fns is not None:
+            raise ValueError(
+                "repetition penalties are not supported with custom "
+                "step_fns (mesh engine) yet")
         self.waiting.append(Request(uid, prompt, max_new_tokens, eos_id,
                                     temperature=temperature, top_k=top_k,
-                                    top_p=top_p))
+                                    top_p=top_p,
+                                    repeat_penalty=repeat_penalty,
+                                    presence_penalty=presence_penalty,
+                                    frequency_penalty=frequency_penalty))
         return uid
 
     def pending(self) -> int:
@@ -393,6 +442,19 @@ class InferenceEngine:
                                      else req.temperature)
             self._slot_topk[slot] = s.top_k if req.top_k is None else req.top_k
             self._slot_topp[slot] = s.top_p if req.top_p is None else req.top_p
+            self._slot_rp[slot] = (s.repeat_penalty if req.repeat_penalty
+                                   is None else req.repeat_penalty)
+            self._slot_pp[slot] = (s.presence_penalty if req.presence_penalty
+                                   is None else req.presence_penalty)
+            self._slot_fp[slot] = (s.frequency_penalty
+                                   if req.frequency_penalty is None
+                                   else req.frequency_penalty)
+            if (self._slot_rp[slot] != 1.0 or self._slot_pp[slot] != 0.0
+                    or self._slot_fp[slot] != 0.0) and self._counts is None:
+                self._counts = jnp.zeros((self.B, self.cfg.vocab_size),
+                                         jnp.int32)
+            if self._counts is not None:  # fresh request: clear its row
+                self._counts = self._counts.at[slot].set(0)
             if self.prefix_cache_size:
                 self._apply_prefix(slot, req)
 
@@ -471,12 +533,17 @@ class InferenceEngine:
             if self._dynamic_sampling:
                 st = SamplerState.make(self._slot_temp[slot:slot + 1],
                                        self._slot_topk[slot:slot + 1],
-                                       self._slot_topp[slot:slot + 1])
+                                       self._slot_topp[slot:slot + 1],
+                                       self._slot_rp[slot:slot + 1],
+                                       self._slot_pp[slot:slot + 1],
+                                       self._slot_fp[slot:slot + 1])
                 first = int(sample_state(last[None], k, st)[0])
             else:
                 first = int(sample(last[None], k, self.sampler)[0])
             req.last_logits = None
             req.output.append(first)
+            if self._counts is not None:
+                self._counts = self._counts.at[slot, first].add(1)
             self.stats["prefills"] += 1
             self.stats["prefill_tokens"] += req.prompt_len
             self.stats["prefill_s"] += time.perf_counter() - req.prefill_t0
@@ -541,7 +608,9 @@ class InferenceEngine:
         return self._n_dynamic > 0
 
     def _req_has_overrides(self, req: Request) -> bool:
-        return (req.temperature, req.top_k, req.top_p) != (None, None, None)
+        return any(v is not None for v in (
+            req.temperature, req.top_k, req.top_p, req.repeat_penalty,
+            req.presence_penalty, req.frequency_penalty))
 
     def _drop_dynamic(self, req: Request):
         if self._req_has_overrides(req):
@@ -610,9 +679,10 @@ class InferenceEngine:
         state = None
         if self._dynamic_sampling:
             state = SamplerState.make(self._slot_temp, self._slot_topk,
-                                      self._slot_topp)
+                                      self._slot_topp, self._slot_rp,
+                                      self._slot_pp, self._slot_fp)
         if (self.speculative and self._slot_temp[0] <= 0.0
-                and self._spec_fits()):
+                and self._counts is None and self._spec_fits()):
             return self._decode_chunk_speculative()
         t0 = time.perf_counter()
         keys = jax.random.split(self._next_key(), self.chunk)
@@ -622,12 +692,16 @@ class InferenceEngine:
                 keys, jnp.asarray(active_np), jnp.asarray(eos_np),
                 jnp.asarray(rem_np), state)
         else:
-            toks, self.cache = _decode_chunk(
+            r = _decode_chunk(
                 self.params, self.cfg, jnp.asarray(self.last_tokens), self.cache,
                 keys, jnp.asarray(active_np), steps=self.chunk,
                 sampler=self.sampler, impl=self.impl,
                 eos_ids=jnp.asarray(eos_np), remaining=jnp.asarray(rem_np),
-                state=state)
+                state=state, counts=self._counts)
+            if self._counts is not None:
+                toks, self.cache, self._counts = r
+            else:
+                toks, self.cache = r
         toks = np.asarray(toks)  # (B, chunk) -- the one host sync per chunk
         self.stats["chunks"] += 1
         self.stats["decode_s"] += time.perf_counter() - t0

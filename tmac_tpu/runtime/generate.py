@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from tmac_tpu.models.config import ModelConfig
 from tmac_tpu.models.llama import KVCache, forward
-from tmac_tpu.runtime.sampling import SamplerConfig, sample
+from tmac_tpu.runtime.sampling import (SamplerConfig, apply_penalties,
+                                       bump_counts, sample)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "impl", "chunk"),
@@ -63,14 +64,27 @@ def decode_loop(params, cfg: ModelConfig, first_tokens, cache: KVCache, key,
     -- this is what the tokens/s benchmark measures.
     """
 
+    penal = sampler.has_penalties  # static: neutral params cost nothing
+    B = first_tokens.shape[0]
+    counts0 = (bump_counts(jnp.zeros((B, cfg.vocab_size), jnp.int32),
+                           first_tokens) if penal else None)
+
     def body(carry, k):
-        tok, cache = carry
+        tok, cache, counts = carry
         logits, cache = forward(params, cfg, tok[:, None], cache, impl=impl)
-        nxt = sample(logits[:, -1, :], k, sampler)
-        return (nxt, cache), nxt
+        lg = logits[:, -1, :]
+        if penal:
+            lg = apply_penalties(lg, counts, sampler.repeat_penalty,
+                                 sampler.presence_penalty,
+                                 sampler.frequency_penalty)
+        nxt = sample(lg, k, sampler)
+        if penal:
+            counts = bump_counts(counts, nxt)
+        return (nxt, cache, counts), nxt
 
     keys = jax.random.split(key, steps)
-    (last, cache), toks = jax.lax.scan(body, (first_tokens, cache), keys)
+    (last, cache, _), toks = jax.lax.scan(
+        body, (first_tokens, cache, counts0), keys)
     return jnp.moveaxis(toks, 0, 1), cache
 
 

@@ -19,11 +19,24 @@ class SamplerConfig:
     temperature: float = 0.0   # 0 => greedy
     top_k: int = 0             # 0 => disabled
     top_p: float = 1.0         # 1 => disabled
+    # repetition penalties over the GENERATED tokens of the request
+    # (OpenAI-style scope; llama.cpp additionally windows over the prompt
+    # tail).  repeat_penalty: llama.cpp classic (logit/p if >0 else *p for
+    # seen tokens; 1 = off).  presence/frequency: OpenAI additive forms.
+    repeat_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+
+    @property
+    def has_penalties(self) -> bool:
+        return (self.repeat_penalty != 1.0 or self.presence_penalty != 0.0
+                or self.frequency_penalty != 0.0)
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["temperature", "top_k", "top_p"],
+    data_fields=["temperature", "top_k", "top_p", "repeat_penalty",
+                 "presence_penalty", "frequency_penalty"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -39,19 +52,70 @@ class SamplerState:
     temperature: jax.Array  # (B,) f32; <= 0 => greedy for that slot
     top_k: jax.Array        # (B,) int32; 0 => disabled
     top_p: jax.Array        # (B,) f32; 1.0 => disabled
+    repeat_penalty: jax.Array     # (B,) f32; 1.0 => off
+    presence_penalty: jax.Array   # (B,) f32; 0.0 => off
+    frequency_penalty: jax.Array  # (B,) f32; 0.0 => off
 
     @classmethod
-    def make(cls, temperature, top_k, top_p) -> "SamplerState":
+    def make(cls, temperature, top_k, top_p, repeat_penalty=None,
+             presence_penalty=None, frequency_penalty=None) -> "SamplerState":
+        n = len(temperature)
         return cls(
             temperature=jnp.asarray(temperature, jnp.float32),
             top_k=jnp.asarray(top_k, jnp.int32),
             top_p=jnp.asarray(top_p, jnp.float32),
+            repeat_penalty=jnp.asarray(
+                repeat_penalty if repeat_penalty is not None else [1.0] * n,
+                jnp.float32),
+            presence_penalty=jnp.asarray(
+                presence_penalty if presence_penalty is not None
+                else [0.0] * n, jnp.float32),
+            frequency_penalty=jnp.asarray(
+                frequency_penalty if frequency_penalty is not None
+                else [0.0] * n, jnp.float32),
         )
 
     @classmethod
     def broadcast(cls, cfg: SamplerConfig, batch: int) -> "SamplerState":
         return cls.make([cfg.temperature] * batch, [cfg.top_k] * batch,
-                        [cfg.top_p] * batch)
+                        [cfg.top_p] * batch,
+                        [cfg.repeat_penalty] * batch,
+                        [cfg.presence_penalty] * batch,
+                        [cfg.frequency_penalty] * batch)
+
+
+def apply_penalties(logits: jax.Array, counts: jax.Array,
+                    repeat_penalty, presence_penalty,
+                    frequency_penalty) -> jax.Array:
+    """Repetition penalties over per-request token counts.
+
+    logits (B, V); counts (B, V) int32 occurrences in the request's
+    GENERATED tokens; penalty params are scalars or (B,) vectors.
+    repeat_penalty follows llama.cpp (divide positive logits, multiply
+    negative ones, for seen tokens); presence/frequency are the OpenAI
+    additive forms.  Neutral params (1, 0, 0) return logits unchanged
+    (exact identity -- safe to apply unconditionally on a gated path)."""
+    lf = logits.astype(jnp.float32)
+    rp = jnp.broadcast_to(jnp.asarray(repeat_penalty, jnp.float32),
+                          lf.shape[:1])[:, None]
+    pp = jnp.broadcast_to(jnp.asarray(presence_penalty, jnp.float32),
+                          lf.shape[:1])[:, None]
+    fp = jnp.broadcast_to(jnp.asarray(frequency_penalty, jnp.float32),
+                          lf.shape[:1])[:, None]
+    seen = counts > 0
+    pen = jnp.where(lf > 0, lf / rp, lf * rp)
+    lf = jnp.where(seen, pen, lf)
+    return (lf - pp * seen.astype(jnp.float32)
+            - fp * counts.astype(jnp.float32))
+
+
+def bump_counts(counts: jax.Array, tokens: jax.Array,
+                active=None) -> jax.Array:
+    """counts (B, V) += one_hot(tokens (B,)), only for active slots."""
+    B = counts.shape[0]
+    inc = (jnp.ones((B,), counts.dtype) if active is None
+           else active.astype(counts.dtype))
+    return counts.at[jnp.arange(B), tokens].add(inc)
 
 
 def filtered_logits(logits: jax.Array, cfg: SamplerConfig) -> jax.Array:

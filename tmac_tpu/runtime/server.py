@@ -8,7 +8,8 @@ API (JSON over HTTP):
   POST /v1/completions   {"prompt_ids": [int, ...], "max_tokens": int,
                           "eos_id": int|null,
                           "temperature": float, "top_k": int, "top_p": float,
-                          "stream": bool}
+                          "repeat_penalty": float, "presence_penalty": float,
+                          "frequency_penalty": float, "stream": bool}
                       -> {"ids": [int, ...], "uid": int}
      or with "stream": true -> text/event-stream of
                          data: {"ids": [new tokens], "done": false}
@@ -167,6 +168,12 @@ def _sampling_from_req(req: dict) -> Optional[dict]:
         s["top_k"] = int(req["top_k"])
     if "top_p" in req:
         s["top_p"] = float(req["top_p"])
+    if "repeat_penalty" in req:
+        s["repeat_penalty"] = float(req["repeat_penalty"])
+    if "presence_penalty" in req:
+        s["presence_penalty"] = float(req["presence_penalty"])
+    if "frequency_penalty" in req:
+        s["frequency_penalty"] = float(req["frequency_penalty"])
     return s or None
 
 
