@@ -100,3 +100,26 @@ def test_server_sampling_parse():
                             "frequency_penalty": 0.3})
     assert s == {"temperature": 0.5, "repeat_penalty": 1.1,
                  "presence_penalty": 0.2, "frequency_penalty": 0.3}
+
+
+def test_min_p_filters_tail():
+    """min_p keeps only tokens with prob >= min_p * max_prob -- matching
+    llama.cpp's min-p sampler (its modern default, min_p=0.05)."""
+    import jax
+    from tmac_tpu.runtime.sampling import (SamplerState, filtered_logits,
+                                           sample_state)
+    logits = jnp.asarray([[3.0, 2.9, 0.0, -5.0]])
+    cfg = SamplerConfig(temperature=1.0, min_p=0.5)
+    fl = np.asarray(filtered_logits(logits, cfg))
+    # probs ~ [0.50, 0.45, 0.025, ...]: only the first two survive 0.5*pmax
+    assert np.isfinite(fl[0, 0]) and np.isfinite(fl[0, 1])
+    assert fl[0, 2] == -np.inf and fl[0, 3] == -np.inf
+    # per-slot state form agrees: slot 0 filtered, slot 1 min_p disabled
+    st = SamplerState.make([1.0, 1.0], [0, 0], [1.0, 1.0],
+                           min_p=[0.5, 0.0])
+    keys = jax.random.split(jax.random.PRNGKey(0), 2000)
+    toks = np.asarray(jax.vmap(
+        lambda k: sample_state(jnp.broadcast_to(logits, (2, 4)), k, st)
+    )(keys))
+    assert set(np.unique(toks[:, 0])) <= {0, 1}   # filtered slot
+    assert len(set(np.unique(toks[:, 1]))) >= 3   # unfiltered slot

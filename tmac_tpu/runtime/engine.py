@@ -52,6 +52,7 @@ class Request:
     temperature: Optional[float] = None
     top_k: Optional[int] = None
     top_p: Optional[float] = None
+    min_p: Optional[float] = None
     repeat_penalty: Optional[float] = None
     presence_penalty: Optional[float] = None
     frequency_penalty: Optional[float] = None
@@ -347,6 +348,7 @@ class InferenceEngine:
         self._slot_temp = np.full((max_batch,), sampler.temperature, np.float32)
         self._slot_topk = np.full((max_batch,), sampler.top_k, np.int32)
         self._slot_topp = np.full((max_batch,), sampler.top_p, np.float32)
+        self._slot_minp = np.full((max_batch,), sampler.min_p, np.float32)
         self._slot_rp = np.full((max_batch,), sampler.repeat_penalty,
                                 np.float32)
         self._slot_pp = np.full((max_batch,), sampler.presence_penalty,
@@ -379,6 +381,7 @@ class InferenceEngine:
                temperature: Optional[float] = None,
                top_k: Optional[int] = None,
                top_p: Optional[float] = None,
+               min_p: Optional[float] = None,
                repeat_penalty: Optional[float] = None,
                presence_penalty: Optional[float] = None,
                frequency_penalty: Optional[float] = None) -> int:
@@ -388,17 +391,17 @@ class InferenceEngine:
             f"prompt {len(prompt)} + max_new {max_new_tokens} exceeds "
             f"engine max_len {self.S}")
         uid = next(self._uid)
-        ov = (temperature, top_k, top_p, repeat_penalty, presence_penalty,
-              frequency_penalty)
+        ov = (temperature, top_k, top_p, min_p, repeat_penalty,
+              presence_penalty, frequency_penalty)
         if any(v is not None for v in ov):
             self._n_dynamic += 1
-        if any(v is not None for v in ov[3:]) and self._step_fns is not None:
+        if any(v is not None for v in ov[4:]) and self._step_fns is not None:
             raise ValueError(
                 "repetition penalties are not supported with custom "
                 "step_fns (mesh engine) yet")
         self.waiting.append(Request(uid, prompt, max_new_tokens, eos_id,
                                     temperature=temperature, top_k=top_k,
-                                    top_p=top_p,
+                                    top_p=top_p, min_p=min_p,
                                     repeat_penalty=repeat_penalty,
                                     presence_penalty=presence_penalty,
                                     frequency_penalty=frequency_penalty))
@@ -442,6 +445,8 @@ class InferenceEngine:
                                      else req.temperature)
             self._slot_topk[slot] = s.top_k if req.top_k is None else req.top_k
             self._slot_topp[slot] = s.top_p if req.top_p is None else req.top_p
+            self._slot_minp[slot] = (s.min_p if req.min_p is None
+                                     else req.min_p)
             self._slot_rp[slot] = (s.repeat_penalty if req.repeat_penalty
                                    is None else req.repeat_penalty)
             self._slot_pp[slot] = (s.presence_penalty if req.presence_penalty
@@ -536,7 +541,8 @@ class InferenceEngine:
                                        self._slot_topp[slot:slot + 1],
                                        self._slot_rp[slot:slot + 1],
                                        self._slot_pp[slot:slot + 1],
-                                       self._slot_fp[slot:slot + 1])
+                                       self._slot_fp[slot:slot + 1],
+                                       self._slot_minp[slot:slot + 1])
                 first = int(sample_state(last[None], k, st)[0])
             else:
                 first = int(sample(last[None], k, self.sampler)[0])
@@ -609,8 +615,9 @@ class InferenceEngine:
 
     def _req_has_overrides(self, req: Request) -> bool:
         return any(v is not None for v in (
-            req.temperature, req.top_k, req.top_p, req.repeat_penalty,
-            req.presence_penalty, req.frequency_penalty))
+            req.temperature, req.top_k, req.top_p, req.min_p,
+            req.repeat_penalty, req.presence_penalty,
+            req.frequency_penalty))
 
     def _drop_dynamic(self, req: Request):
         if self._req_has_overrides(req):
@@ -680,7 +687,8 @@ class InferenceEngine:
         if self._dynamic_sampling:
             state = SamplerState.make(self._slot_temp, self._slot_topk,
                                       self._slot_topp, self._slot_rp,
-                                      self._slot_pp, self._slot_fp)
+                                      self._slot_pp, self._slot_fp,
+                                      self._slot_minp)
         if (self.speculative and self._slot_temp[0] <= 0.0
                 and self._counts is None and self._spec_fits()):
             return self._decode_chunk_speculative()

@@ -19,6 +19,7 @@ class SamplerConfig:
     temperature: float = 0.0   # 0 => greedy
     top_k: int = 0             # 0 => disabled
     top_p: float = 1.0         # 1 => disabled
+    min_p: float = 0.0         # 0 => disabled (llama.cpp default 0.05)
     # repetition penalties over the GENERATED tokens of the request
     # (OpenAI-style scope; llama.cpp additionally windows over the prompt
     # tail).  repeat_penalty: llama.cpp classic (logit/p if >0 else *p for
@@ -35,7 +36,7 @@ class SamplerConfig:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["temperature", "top_k", "top_p", "repeat_penalty",
+    data_fields=["temperature", "top_k", "top_p", "min_p", "repeat_penalty",
                  "presence_penalty", "frequency_penalty"],
     meta_fields=[],
 )
@@ -52,18 +53,22 @@ class SamplerState:
     temperature: jax.Array  # (B,) f32; <= 0 => greedy for that slot
     top_k: jax.Array        # (B,) int32; 0 => disabled
     top_p: jax.Array        # (B,) f32; 1.0 => disabled
+    min_p: jax.Array        # (B,) f32; 0.0 => disabled
     repeat_penalty: jax.Array     # (B,) f32; 1.0 => off
     presence_penalty: jax.Array   # (B,) f32; 0.0 => off
     frequency_penalty: jax.Array  # (B,) f32; 0.0 => off
 
     @classmethod
     def make(cls, temperature, top_k, top_p, repeat_penalty=None,
-             presence_penalty=None, frequency_penalty=None) -> "SamplerState":
+             presence_penalty=None, frequency_penalty=None,
+             min_p=None) -> "SamplerState":
         n = len(temperature)
         return cls(
             temperature=jnp.asarray(temperature, jnp.float32),
             top_k=jnp.asarray(top_k, jnp.int32),
             top_p=jnp.asarray(top_p, jnp.float32),
+            min_p=jnp.asarray(min_p if min_p is not None else [0.0] * n,
+                              jnp.float32),
             repeat_penalty=jnp.asarray(
                 repeat_penalty if repeat_penalty is not None else [1.0] * n,
                 jnp.float32),
@@ -81,7 +86,8 @@ class SamplerState:
                         [cfg.top_p] * batch,
                         [cfg.repeat_penalty] * batch,
                         [cfg.presence_penalty] * batch,
-                        [cfg.frequency_penalty] * batch)
+                        [cfg.frequency_penalty] * batch,
+                        [cfg.min_p] * batch)
 
 
 def apply_penalties(logits: jax.Array, counts: jax.Array,
@@ -138,6 +144,12 @@ def filtered_logits(logits: jax.Array, cfg: SamplerConfig) -> jax.Array:
         cutoff_idx = jnp.minimum(cutoff_idx, logits.shape[-1] - 1)
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    if cfg.min_p > 0.0:
+        # llama.cpp min-p: drop tokens whose probability is below
+        # min_p * max_prob of the (already filtered) distribution
+        probs = jax.nn.softmax(logits, axis=-1)
+        pmax = jnp.max(probs, axis=-1, keepdims=True)
+        logits = jnp.where(probs < cfg.min_p * pmax, -jnp.inf, logits)
     return logits
 
 
@@ -178,5 +190,9 @@ def sample_state(logits: jax.Array, key: jax.Array,
     cutoff_idx = jnp.minimum(cutoff_idx, V - 1)
     cutoff = jnp.take_along_axis(sorted_masked, cutoff_idx, axis=-1)
     masked = jnp.where(scaled < cutoff, -jnp.inf, masked)
+    # min-p on the filtered distribution (0 disables per slot)
+    probs_m = jax.nn.softmax(masked, axis=-1)
+    pmax = jnp.max(probs_m, axis=-1, keepdims=True)
+    masked = jnp.where(probs_m < st.min_p[:, None] * pmax, -jnp.inf, masked)
     sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
     return jnp.where(st.temperature <= 0.0, greedy, sampled)

@@ -168,6 +168,8 @@ def _sampling_from_req(req: dict) -> Optional[dict]:
         s["top_k"] = int(req["top_k"])
     if "top_p" in req:
         s["top_p"] = float(req["top_p"])
+    if "min_p" in req:
+        s["min_p"] = float(req["min_p"])
     if "repeat_penalty" in req:
         s["repeat_penalty"] = float(req["repeat_penalty"])
     if "presence_penalty" in req:
