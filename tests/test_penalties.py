@@ -123,3 +123,16 @@ def test_min_p_filters_tail():
     )(keys))
     assert set(np.unique(toks[:, 0])) <= {0, 1}   # filtered slot
     assert len(set(np.unique(toks[:, 1]))) >= 3   # unfiltered slot
+
+
+def test_min_p_is_pre_temperature():
+    """min_p tests PRE-temperature probabilities (llama.cpp order):
+    temperature must not change which tokens survive the filter."""
+    from tmac_tpu.runtime.sampling import filtered_logits
+    logits = jnp.asarray([[3.0, 1.0, 0.0, -4.0]])
+    # unscaled probs ~ [0.84, 0.11, 0.04, ...]; min_p=0.1 keeps {0, 1}
+    for temp in (0.5, 1.0, 2.0):
+        fl = np.asarray(filtered_logits(
+            logits, SamplerConfig(temperature=temp, min_p=0.1)))
+        assert np.isfinite(fl[0, 0]) and np.isfinite(fl[0, 1]), temp
+        assert fl[0, 2] == -np.inf and fl[0, 3] == -np.inf, temp

@@ -96,9 +96,9 @@ def test_sp_chunked_window_matches_xla():
 def test_flash_gate_window(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     # windowed models stay on the kernel (it takes the window as a static
-    # bound and skips blocks below it)
-    assert _flash_decode_ok(1, 1024, 128, "auto", 0)
-    assert _flash_decode_ok(1, 4096, 128, "auto", 2048)
+    # bound and skips blocks below it) -- the gate is window-agnostic
+    assert _flash_decode_ok(1, 1024, 128, "auto")
+    assert _flash_decode_ok(1, 4096, 128, "auto")
 
 
 def _flash_oracle(q, k, v, lens, lo):
@@ -186,3 +186,24 @@ def test_converters_and_export(tmp_path):
     export_gguf(out, cfg, params)
     cfg2, _ = gguf.convert_gguf_model(out, name="re")
     assert cfg2.sliding_window == 2047
+
+
+def test_qwen2_max_window_layers_gating():
+    """Qwen2 applies SWA only to layers >= max_window_layers; with one
+    global window, honor it only when it covers every layer."""
+    from tmac_tpu.convert.hf import model_config_from_hf
+    from tmac_tpu.models.config import QuantConfig
+
+    base = {"vocab_size": 256, "hidden_size": 256, "intermediate_size": 256,
+            "num_hidden_layers": 28, "num_attention_heads": 2,
+            "num_key_value_heads": 2, "sliding_window": 4096,
+            "use_sliding_window": True}
+    q = QuantConfig()
+    # default qwen2 shape: mwl == num layers -> the window NEVER applies
+    assert model_config_from_hf(
+        dict(base, max_window_layers=28), q).sliding_window == 0
+    # mwl == 0 -> every layer windowed -> honor
+    assert model_config_from_hf(
+        dict(base, max_window_layers=0), q).sliding_window == 4096
+    # mistral-style config without the key -> honor
+    assert model_config_from_hf(dict(base), q).sliding_window == 4096

@@ -141,3 +141,21 @@ def test_generate_draft_speculative_sampled_runs():
         impl="xla", sampler=SamplerConfig(temperature=0.9), seed=3)
     assert np.asarray(out).shape == (1, 10)
     assert nft >= 1 and nfd >= 3
+
+
+def test_no_proposal_round_is_unbiased():
+    """draft == -1 (no n-gram match) must resample from FULL p -- token
+    id 0 keeps its probability (regression: the residual zeroed index 0,
+    biasing it out of no-proposal rounds forever)."""
+    cfg = SamplerConfig(temperature=1.0)
+    # token 0 carries most of the mass
+    logits = jnp.asarray([[3.0, 0.0, 0.0, 0.0, -1, -1, -1, -1]] * (K + 1),
+                         jnp.float32)
+    draft = jnp.asarray([-1, -1, -1], jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(4), 8000)
+    toks, a = jax.vmap(
+        lambda k: _sampled_accept(logits, draft, k, cfg))(keys)
+    assert int(jnp.max(a)) == 0  # nothing to accept
+    emp = np.bincount(np.asarray(toks[:, 0]), minlength=V) / 8000
+    p0 = _target_p(logits, cfg)[0]
+    assert 0.5 * np.abs(emp - p0).sum() < 0.02, (emp, p0)

@@ -305,3 +305,37 @@ def test_hf_convert_copies_tokenizer_and_autoloads(tmp_path):
     tok = _tokenizer_for(argparse.Namespace(tokenizer="", ckpt=str(out_dir)))
     assert tok is not None
     assert tok.encode("hello world") == [0, 1]
+
+
+def test_bpe_decode_multibyte_split_across_tokens():
+    """A multi-byte UTF-8 char split across BPE tokens must reassemble:
+    bytes accumulate in one buffer and decode once (regression: per-token
+    decode produced U+FFFD for every accented/CJK char)."""
+    from tmac_tpu.runtime.tokenizer import _BYTE_ENC
+    # 'é' = 0xC3 0xA9 split across two tokens in byte-unicode space
+    t1, t2 = _BYTE_ENC[0xC3], _BYTE_ENC[0xA9]
+    tok = BPETokenizer([t1, t2], [TT_NORMAL, TT_NORMAL], [])
+    assert tok.decode([0, 1]) == "é"
+
+
+def test_spm_byte_fallback_split_decode():
+    """SPM byte-fallback tokens of one character decode correctly when
+    interleaved with normal pieces."""
+    tok = _spm()
+    ids = tok.encode("hello € hello", add_bos=False)
+    assert tok.decode(ids) == "hello € hello"
+
+
+def test_spm_long_corpus_encode_is_fast():
+    """The word-chunked merge keeps whole-corpus encoding linear-ish --
+    the ppl --text path must not be O(corpus^2) (regression)."""
+    import time
+    tok = _spm()
+    text = "hello world " * 5000  # ~60k chars
+    t0 = time.time()
+    ids = tok.encode(text)
+    dt = time.time() - t0
+    assert dt < 10.0, f"corpus encode took {dt:.1f}s"
+    # chunked merge == unchunked merge on a small sample
+    small = "hello world hello"
+    assert tok.decode(tok.encode(small)) == small

@@ -688,6 +688,8 @@ def model_config_from_gguf(r: GGUFReader, name: str = "gguf-model"):
         num_kv_heads=int(md.get(f"{arch}.attention.head_count_kv", heads)),
         head_dim=int(md.get(f"{arch}.attention.key_length", emb // heads)),
         rope_theta=float(md.get(f"{arch}.rope.freq_base", 10000.0)),
+        max_position_embeddings=int(
+            md.get(f"{arch}.context_length", 4096)),
         rope_scaling=_rope_scaling_from_gguf(r, arch),
         sliding_window=int(
             md.get(f"{arch}.attention.sliding_window", 0) or 0),

@@ -108,7 +108,7 @@ def export_gguf(path: str, cfg: ModelConfig, params: Dict[str, Any],
         f"{arch}.vocab_size": int(cfg.vocab_size),
         f"{arch}.rope.freq_base": float(cfg.rope_theta),
         f"{arch}.attention.layer_norm_rms_epsilon": float(cfg.rms_norm_eps),
-        f"{arch}.context_length": 4096,
+        f"{arch}.context_length": int(cfg.max_position_embeddings),
     }
     if cfg.sliding_window > 0:
         md[f"{arch}.attention.sliding_window"] = int(cfg.sliding_window)

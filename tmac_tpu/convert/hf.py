@@ -124,12 +124,21 @@ def model_config_from_hf(hf: dict, quant: QuantConfig, name: str = "hf-model") -
         num_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
         head_dim=head_dim,
         rope_theta=hf.get("rope_theta", 10000.0),
+        max_position_embeddings=int(
+            hf.get("max_position_embeddings", 4096)),
         rope_scaling=_rope_scaling_from_hf(hf),
         # qwen2 carries sliding_window but gates it behind
-        # use_sliding_window (default False); mistral/phi-3 set it
-        # unconditionally
+        # use_sliding_window (default False) AND applies it only to
+        # layers >= max_window_layers (default == num layers, i.e. never).
+        # ModelConfig has one global window, so honor it only when it
+        # covers EVERY layer (max_window_layers == 0); the common
+        # configs (use_sliding_window false, or mwl >= layers) correctly
+        # resolve to full attention.  mistral/phi-3 set sliding_window
+        # unconditionally and carry no max_window_layers key.
         sliding_window=int(hf.get("sliding_window") or 0)
-        if hf.get("use_sliding_window", True) else 0,
+        if (hf.get("use_sliding_window", True)
+            and ("max_window_layers" not in hf
+                 or int(hf["max_window_layers"] or 0) == 0)) else 0,
         rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
         attention_bias=hf.get("attention_bias", False)

@@ -66,12 +66,16 @@ class ModelConfig:
     #     divisors -- the gguf rope_freqs.weight representation
     # Applied in models/llama.rope_tables.
     rope_scaling: Optional[tuple] = None
+    # training context length (HF max_position_embeddings / gguf
+    # context_length) -- metadata for interchange and cache sizing hints;
+    # the runtime itself is bounded only by the allocated KV cache
+    max_position_embeddings: int = 4096
     rms_norm_eps: float = 1e-5
     # sliding-window attention (mistral/phi-3 family): kv position s is
     # visible to query position p iff p - s < sliding_window.  0 = full
     # attention.  Applied in the attention masks (llama._attention,
-    # parallel.sp chunked attention); the flash-decode kernel is bypassed
-    # when the allocation exceeds the window (llama._flash_decode_ok).
+    # parallel.sp chunked attention) and as a static block-skip bound in
+    # the flash-decode kernel (attention_kernel._kernel window=).
     sliding_window: int = 0
     tie_word_embeddings: bool = False
     attention_bias: bool = False
@@ -155,14 +159,14 @@ PRESETS = {
     # 1bitLLM/bitnet_b1_58-3B (reference "hf-bitnet-3b": M/K in
     # {3200x8640, 8640x3200, 3200x3200})
     "bitnet-3b": ModelConfig(
-        name="bitnet-3b", vocab_size=32002, hidden_size=3200,
+        name="bitnet-3b", max_position_embeddings=2048, vocab_size=32002, hidden_size=3200,
         intermediate_size=8640, num_layers=26, num_heads=32, num_kv_heads=32,
         head_dim=100, rope_theta=10000.0, rms_norm_eps=1e-6,
         quant=_bitnet_quant(),
     ),
     # 1bitLLM/bitnet_b1_58-large, 700M (reference "hf-bitnet-large-intn")
     "bitnet-700m": ModelConfig(
-        name="bitnet-700m", vocab_size=32002, hidden_size=1536,
+        name="bitnet-700m", max_position_embeddings=2048, vocab_size=32002, hidden_size=1536,
         intermediate_size=4096, num_layers=24, num_heads=16, num_kv_heads=16,
         head_dim=96, rms_norm_eps=1e-6, quant=_bitnet_quant(),
     ),
@@ -187,7 +191,7 @@ PRESETS = {
         quant=QuantConfig(bits=2, group_size=128, zero_point=True),
     ),
     "llama-3-8b": ModelConfig(
-        name="llama-3-8b", vocab_size=128256, hidden_size=4096,
+        name="llama-3-8b", max_position_embeddings=8192, vocab_size=128256, hidden_size=4096,
         intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
         head_dim=128, rope_theta=500000.0, rms_norm_eps=1e-5,
         quant=QuantConfig(bits=2, group_size=128, zero_point=True),
@@ -196,7 +200,7 @@ PRESETS = {
     # rope scaling (factor 8 over the 8192 original context) -- exercises
     # ModelConfig.rope_scaling end-to-end
     "llama-3.1-8b": ModelConfig(
-        name="llama-3.1-8b", vocab_size=128256, hidden_size=4096,
+        name="llama-3.1-8b", max_position_embeddings=131072, vocab_size=128256, hidden_size=4096,
         intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
         head_dim=128, rope_theta=500000.0, rms_norm_eps=1e-5,
         rope_scaling=("llama3", 8.0, 8192, 1.0, 4.0),
@@ -213,7 +217,7 @@ PRESETS = {
     ),
     # BASELINE.json serving config: Qwen2-7B GPTQ-Int4
     "qwen2-7b": ModelConfig(
-        name="qwen2-7b", vocab_size=152064, hidden_size=3584,
+        name="qwen2-7b", max_position_embeddings=32768, vocab_size=152064, hidden_size=3584,
         intermediate_size=18944, num_layers=28, num_heads=28, num_kv_heads=4,
         head_dim=128, rope_theta=1000000.0, rms_norm_eps=1e-6,
         attention_bias=True,
@@ -221,7 +225,7 @@ PRESETS = {
     ),
     # BASELINE.json serving config: Phi-3.5 W2
     "phi-3.5-mini": ModelConfig(
-        name="phi-3.5-mini", vocab_size=32064, hidden_size=3072,
+        name="phi-3.5-mini", max_position_embeddings=131072, vocab_size=32064, hidden_size=3072,
         intermediate_size=8192, num_layers=32, num_heads=32, num_kv_heads=32,
         head_dim=96, rope_theta=10000.0, rms_norm_eps=1e-5,
         quant=QuantConfig(bits=2, group_size=128, zero_point=True),
@@ -231,7 +235,7 @@ PRESETS = {
     # dense MLP -- the reference's kernels have no MoE user only because
     # its llama.cpp harness predates one in its model list)
     "mixtral-8x7b": ModelConfig(
-        name="mixtral-8x7b", vocab_size=32000, hidden_size=4096,
+        name="mixtral-8x7b", max_position_embeddings=32768, vocab_size=32000, hidden_size=4096,
         intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
         head_dim=128, rope_theta=1000000.0, rms_norm_eps=1e-5,
         num_experts=8, num_experts_per_tok=2, moe_intermediate_size=14336,
@@ -241,7 +245,7 @@ PRESETS = {
     # all-expert-softmax routing, norm_topk_prob=False, plus an always-on
     # sigmoid-gated shared expert)
     "qwen2-moe-a14b": ModelConfig(
-        name="qwen2-moe-a14b", vocab_size=151936, hidden_size=3584,
+        name="qwen2-moe-a14b", max_position_embeddings=32768, vocab_size=151936, hidden_size=3584,
         intermediate_size=2560, num_layers=28, num_heads=28, num_kv_heads=4,
         head_dim=128, rope_theta=1000000.0, rms_norm_eps=1e-6,
         attention_bias=True, num_experts=64, num_experts_per_tok=8,
@@ -251,7 +255,7 @@ PRESETS = {
     ),
     # reference "trilm-3.9b"
     "trilm-3.9b": ModelConfig(
-        name="trilm-3.9b", vocab_size=50688, hidden_size=3072,
+        name="trilm-3.9b", max_position_embeddings=2048, vocab_size=50688, hidden_size=3072,
         intermediate_size=9216, num_layers=30, num_heads=24, num_kv_heads=24,
         head_dim=128, rms_norm_eps=1e-5,
         quant=QuantConfig(bits=2, group_size=128, zero_point=False),

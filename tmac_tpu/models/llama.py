@@ -414,8 +414,7 @@ def make_head(head_km: np.ndarray, cfg: ModelConfig, dtype=jnp.bfloat16):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _flash_decode_ok(T: int, S: int, Dp: int, impl: str,
-                     window: int = 0) -> bool:
+def _flash_decode_ok(T: int, S: int, Dp: int, impl: str) -> bool:
     """The ONE flash-decode eligibility gate, shared by _attention and
     forward's deferred-KV mode so the two can never drift apart.
 
@@ -449,7 +448,7 @@ def _attention(q, k_all, v_all, li: int, q_positions, kv_len_mask,
     # call, see attention_kernel.py) the kernel wins at every size:
     # B=1 ctx256 542 vs 524 tok/s; B=8 2361 vs 2220; S=2048 5.5 vs 92
     # us/layer.  TMAC_FLASH=0 forces the XLA einsum path.
-    if _flash_decode_ok(T, S, Dp, impl, cfg.sliding_window):
+    if _flash_decode_ok(T, S, Dp, impl):
         from tmac_tpu.ops.pallas.attention_kernel import flash_decode_stacked
         kv_lens = q_positions[:, 0] + 1  # (B,) valid entries incl. current
         # pad/slice between logical D and the padded cache Dp happens
@@ -651,8 +650,7 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
 
     if deferred_kv is None:
         deferred_kv = (
-            _flash_decode_ok(T, S, cache.k.shape[-1], impl,
-                             cfg.sliding_window)
+            _flash_decode_ok(T, S, cache.k.shape[-1], impl)
             and _os.environ.get("TMAC_DEFERRED_KV", "0") == "1")
     assert not (deferred_kv and T != 1), "deferred_kv is decode-only"
     pend_k, pend_v, pend_ks, pend_vs = [], [], [], []

@@ -393,12 +393,14 @@ class InferenceEngine:
         uid = next(self._uid)
         ov = (temperature, top_k, top_p, min_p, repeat_penalty,
               presence_penalty, frequency_penalty)
-        if any(v is not None for v in ov):
-            self._n_dynamic += 1
         if any(v is not None for v in ov[4:]) and self._step_fns is not None:
+            # validate BEFORE touching _n_dynamic: a rejected request must
+            # leave the engine state untouched
             raise ValueError(
                 "repetition penalties are not supported with custom "
                 "step_fns (mesh engine) yet")
+        if any(v is not None for v in ov):
+            self._n_dynamic += 1
         self.waiting.append(Request(uid, prompt, max_new_tokens, eos_id,
                                     temperature=temperature, top_k=top_k,
                                     top_p=top_p, min_p=min_p,
@@ -632,6 +634,21 @@ class InferenceEngine:
             self.stream_cb(req.uid, req.output, True)
         if slot is not None:
             self.slots[slot] = None
+            # neutralize the freed slot's penalty params and release the
+            # counts buffer once no occupied slot is penalized (keeps the
+            # speculative fast path and the penalty-free decode chunk
+            # available after a penalized request drains)
+            if self._counts is not None:
+                self._slot_rp[slot] = self.sampler.repeat_penalty
+                self._slot_pp[slot] = self.sampler.presence_penalty
+                self._slot_fp[slot] = self.sampler.frequency_penalty
+                if not self.sampler.has_penalties and not any(
+                        r is not None and (
+                            self._slot_rp[i] != 1.0
+                            or self._slot_pp[i] != 0.0
+                            or self._slot_fp[i] != 0.0)
+                        for i, r in enumerate(self.slots)):
+                    self._counts = None
 
     def cancel(self, uid: int) -> bool:
         """Abort a request: drop it from the wait queue or free its slot.

@@ -130,7 +130,8 @@ def filtered_logits(logits: jax.Array, cfg: SamplerConfig) -> jax.Array:
     speculative rejection sampling can target the EXACT serving
     distribution (runtime/speculative._sampled_accept)."""
     assert cfg.temperature > 0.0
-    logits = logits.astype(jnp.float32) / cfg.temperature
+    base = logits.astype(jnp.float32)  # pre-temperature, for min_p
+    logits = base / cfg.temperature
     if cfg.top_k > 0:
         kth = jax.lax.top_k(logits, cfg.top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
@@ -146,8 +147,11 @@ def filtered_logits(logits: jax.Array, cfg: SamplerConfig) -> jax.Array:
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     if cfg.min_p > 0.0:
         # llama.cpp min-p: drop tokens whose probability is below
-        # min_p * max_prob of the (already filtered) distribution
-        probs = jax.nn.softmax(logits, axis=-1)
+        # min_p * max_prob -- computed on the PRE-temperature distribution
+        # (llama.cpp's chain applies min_p before temperature scaling;
+        # testing scaled probs would square/root the ratios)
+        probs = jax.nn.softmax(
+            jnp.where(jnp.isfinite(logits), base, -jnp.inf), axis=-1)
         pmax = jnp.max(probs, axis=-1, keepdims=True)
         logits = jnp.where(probs < cfg.min_p * pmax, -jnp.inf, logits)
     return logits
@@ -190,8 +194,10 @@ def sample_state(logits: jax.Array, key: jax.Array,
     cutoff_idx = jnp.minimum(cutoff_idx, V - 1)
     cutoff = jnp.take_along_axis(sorted_masked, cutoff_idx, axis=-1)
     masked = jnp.where(scaled < cutoff, -jnp.inf, masked)
-    # min-p on the filtered distribution (0 disables per slot)
-    probs_m = jax.nn.softmax(masked, axis=-1)
+    # min-p over the PRE-temperature probabilities on the filtered
+    # support (matching filtered_logits / llama.cpp; 0 disables per slot)
+    probs_m = jax.nn.softmax(
+        jnp.where(jnp.isfinite(masked), lf, -jnp.inf), axis=-1)
     pmax = jnp.max(probs_m, axis=-1, keepdims=True)
     masked = jnp.where(probs_m < st.min_p[:, None] * pmax, -jnp.inf, masked)
     sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)

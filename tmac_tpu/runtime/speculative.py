@@ -116,7 +116,12 @@ def _sampled_accept(logits, draft, key, cfg: SamplerConfig, q_probs=None):
     p_a = jax.lax.dynamic_index_in_dim(p, a, 0, keepdims=False)  # (V,)
     a_c = jnp.minimum(a, k - 1)
     if q_probs is None:
-        res = p_a * (1.0 - jax.nn.one_hot(d_ix[a_c], V, dtype=p.dtype))
+        # remove the rejected proposal -- but ONLY if one existed: a
+        # no-proposal round (draft[a] == -1) was never "rejected by the
+        # coin flip", so the correction is a plain sample from p_a
+        # (zeroing index 0 there would bias token id 0 out forever)
+        had = (draft[a_c] >= 0).astype(p.dtype)
+        res = p_a * (1.0 - had * jax.nn.one_hot(d_ix[a_c], V, dtype=p.dtype))
     else:
         q_a = jax.lax.dynamic_index_in_dim(q_probs, a_c, 0, keepdims=False)
         res = jnp.maximum(p_a - q_a, 0.0)

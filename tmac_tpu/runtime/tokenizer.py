@@ -109,6 +109,9 @@ class _Base:
     # -- decode ------------------------------------------------------------
     def decode(self, ids: Sequence[int],
                skip_special_tokens: bool = True) -> str:
+        # accumulate RAW BYTES and decode once at the end: a multi-byte
+        # UTF-8 character split across tokens (byte fallback, or BPE
+        # byte-unicode pieces) must reassemble before decoding
         out = bytearray()
         for i in ids:
             i = int(i)
@@ -120,7 +123,7 @@ class _Base:
             elif tt == TT_CONTROL and skip_special_tokens:
                 continue
             else:
-                out += self._piece_text(i).encode("utf-8")
+                out += self._piece_bytes(i)
         text = out.decode("utf-8", errors="replace")
         return self._post_decode(text)
 
@@ -130,8 +133,8 @@ class _Base:
             return int(t[3:5], 16)
         return ord(t[0]) & 0xFF
 
-    def _piece_text(self, i: int) -> str:
-        return self.tokens[i]
+    def _piece_bytes(self, i: int) -> bytes:
+        return self.tokens[i].encode("utf-8")
 
     def _post_decode(self, text: str) -> str:
         return text
@@ -203,11 +206,30 @@ class SPMTokenizer(_Base):
         if self.add_space_prefix and first:
             text = " " + text
         text = text.replace(" ", _SP_SPACE)
-        syms = list(text)  # initial symbols = unicode chars
+        # Merge WORD-LOCAL chunks (a run of '▁'s plus the following word
+        # chars): SPM vocab pieces never contain an internal '▁' after
+        # word chars, so no valid merge can cross a word-char -> '▁'
+        # boundary -- chunking changes nothing semantically but turns the
+        # O(piece^2) greedy scan into O(sum word^2), which is what makes
+        # `ppl --text` on a whole corpus tractable.
+        ids: List[int] = []
+        n = len(text)
+        i = 0
+        while i < n:
+            j = i
+            while j < n and text[j] == _SP_SPACE:
+                j += 1
+            while j < n and text[j] != _SP_SPACE:
+                j += 1
+            ids.extend(self._merge_chunk(text[i:j]))
+            i = j
+        return ids
+
+    def _merge_chunk(self, chunk: str) -> List[int]:
+        syms = list(chunk)  # initial symbols = unicode chars
         if not syms:
             return []
-        # greedy highest-score bigram merge.  O(n * merges) scan is fine at
-        # prompt scale and sidesteps heap-invalidation bookkeeping.
+        # greedy highest-score bigram merge (llama.cpp llm_tokenizer_spm)
         while len(syms) > 1:
             best, best_i = None, -1
             for i in range(len(syms) - 1):
@@ -229,8 +251,8 @@ class SPMTokenizer(_Base):
                 ids.append(jb if jb is not None else self.unk_token_id)
         return [i for i in ids if i is not None]
 
-    def _piece_text(self, i: int) -> str:
-        return self.tokens[i].replace(_SP_SPACE, " ")
+    def _piece_bytes(self, i: int) -> bytes:
+        return self.tokens[i].replace(_SP_SPACE, " ").encode("utf-8")
 
     def _post_decode(self, text: str) -> str:
         # llama.cpp drops the synthetic leading space it added at encode
@@ -367,11 +389,12 @@ class BPETokenizer(_Base):
                     ids.append(self.unk_token_id)
         return ids
 
-    def _piece_text(self, i: int) -> str:
-        # tokens live in byte-unicode space; map back through the table
+    def _piece_bytes(self, i: int) -> bytes:
+        # tokens live in byte-unicode space; map back through the table to
+        # RAW bytes (multi-byte characters may span tokens -- the shared
+        # decode() buffer reassembles them before UTF-8 decoding)
         return bytes(_BYTE_DEC.get(ch, ord(ch) & 0xFF)
-                     for ch in self.tokens[i]).decode("utf-8",
-                                                      errors="replace")
+                     for ch in self.tokens[i])
 
     def _state(self):
         s = super()._state()
