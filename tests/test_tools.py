@@ -91,3 +91,51 @@ def test_microbench_probes_run_on_cpu():
     rows += microbench.probe_gather(ov, K=256, M=128)
     for r in rows:
         assert all(v == v for v in r.values() if isinstance(v, float))  # no NaN
+
+
+def test_score_continuations_matches_window_nll():
+    """score_continuations == manual log-softmax sums; greedy flag
+    matches argmax decoding (lm-eval loglikelihood primitive)."""
+    import jax
+    import jax.numpy as jnp
+    from tmac_tpu.models.llama import KVCache, forward
+    from tmac_tpu.runtime.perplexity import score_continuations
+
+    cfg = get_preset("bitnet-3b").scaled(8)
+    params = init_params(cfg, seed=0)
+    ctx = [5, 9, 2]
+    conts = [[7, 11], [3], [7, 12, 4]]
+    got = score_continuations(params, cfg, ctx, conts, impl="xla")
+    for c, r in zip(conts, got):
+        row = ctx + c
+        T = -(-len(row) // 8) * 8
+        toks = np.zeros((1, T), np.int32)
+        toks[0, :len(row)] = row
+        logits, _ = forward(params, cfg, jnp.asarray(toks),
+                            KVCache.create(cfg, 1, T), impl="xla")
+        lp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), -1)
+        want = sum(float(lp[len(ctx) - 1 + i, t]) for i, t in enumerate(c))
+        # bf16 forward: batched (shared max-T pad) vs solo runs
+        # differ in accumulation order by O(1e-3) per sequence
+        assert abs(r["logprob"] - want) < 1e-2, (r, want)
+        am = [int(np.argmax(np.asarray(lp)[len(ctx) - 1 + i]))
+              for i in range(len(c))]
+        assert r["greedy"] == (am == c)
+
+
+def test_cli_score(tmp_path):
+    import json as _json
+    from tmac_tpu.convert.checkpoint import save_checkpoint
+    cfg = get_preset("bitnet-3b").scaled(8)
+    save_checkpoint(str(tmp_path / "ck"), cfg, init_params(cfg, seed=0))
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+           "PYTHONPATH": "/root/repo"}
+    r = subprocess.run(
+        [sys.executable, "-m", "tmac_tpu.tools.cli", "score",
+         "--ckpt", str(tmp_path / "ck"), "--context-ids", "1,2,3",
+         "--continuation-ids", "4,5;6"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert len(out) == 2 and all("logprob" in o and "greedy" in o
+                                 for o in out)

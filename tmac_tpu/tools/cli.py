@@ -359,6 +359,19 @@ def cmd_export_gguf(args):
           f"{r['bytes'] / 1e6:.1f} MB)")
 
 
+def cmd_score(args):
+    """Teacher-forced continuation log-likelihoods (the lm-eval
+    loglikelihood primitive; cf. llama-perplexity's windowed role)."""
+    from tmac_tpu.runtime.perplexity import score_continuations
+
+    cfg, params = _load(args)
+    ctx = [int(t) for t in args.context_ids.split(",")]
+    conts = [[int(t) for t in c.split(",")]
+             for c in args.continuation_ids.split(";")]
+    out = score_continuations(params, cfg, ctx, conts)
+    print(json.dumps(out))
+
+
 def cmd_parity(args):
     """Model-level output-quality gate: production forward vs the f32
     dequant-oracle per preset x quant mode (the llama-perplexity role,
@@ -592,6 +605,15 @@ def main():
                          "Q4_K/Q5_K/Q6_K/TQ1_0/TQ2_0/I2_S; default auto "
                          "from the checkpoint's quant mode)")
     xg.set_defaults(fn=cmd_export_gguf)
+
+    sc = sub.add_parser("score", help="continuation log-likelihoods "
+                                      "(lm-eval loglikelihood primitive)")
+    sc.add_argument("--ckpt", required=True)
+    sc.add_argument("--context-ids", required=True,
+                    help="comma-separated token ids")
+    sc.add_argument("--continuation-ids", required=True,
+                    help="semicolon-separated comma-lists, one per choice")
+    sc.set_defaults(fn=cmd_score)
 
     pa = sub.add_parser("parity", help="model-level quality gate vs f32 oracle")
     pa.add_argument("--presets", nargs="*", default=None,
