@@ -136,3 +136,26 @@ def test_min_p_is_pre_temperature():
             logits, SamplerConfig(temperature=temp, min_p=0.1)))
         assert np.isfinite(fl[0, 0]) and np.isfinite(fl[0, 1]), temp
         assert fl[0, 2] == -np.inf and fl[0, 3] == -np.inf, temp
+
+
+def test_mesh_engine_penalties():
+    """Per-request penalties work through the tp-mesh engine fns (counts
+    shard with the batch; previously rejected with ValueError)."""
+    import jax
+    from jax.sharding import Mesh
+    from tmac_tpu.models.llama import KVCache
+    from tmac_tpu.parallel import tp as tpmod
+
+    cfg = get_preset("llama-2-7b").scaled(8)
+    devs = np.array(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("dp", "tp"))
+    params = init_params(cfg, seed=0, tp=4)
+    params = tpmod.shard_params(params, mesh)
+    cache = tpmod.shard_cache(KVCache.create(cfg, 2, 64), mesh)
+    eng = InferenceEngine(
+        cfg, params, max_batch=2, max_len=64, decode_chunk=4,
+        step_fns=tpmod.make_engine_fns(cfg, mesh, impl="xla"),
+        cache=cache)
+    u = eng.submit([1, 2, 3], max_new_tokens=10, frequency_penalty=1e4)
+    res = eng.run()
+    assert len(set(res[u])) == 10, res[u]

@@ -143,11 +143,12 @@ def make_moe_engine_fns(cfg: ModelConfig, mesh: Mesh,
                                   slot, start_pos)
 
     def _decode(params, last, cache, keys, active, eos_ids, remaining,
-                state=None):
+                state=None, counts=None):
         params = _localize_params(params, tp)
         return _decode_chunk_body(_fwd(params), sampler, last, cache, keys,
                                   active, eos_ids=eos_ids,
-                                  remaining=remaining, state=state)
+                                  remaining=remaining, state=state,
+                                  counts=counts)
 
     from tmac_tpu.parallel.tp import _lazy_engine_wrappers
     return _lazy_engine_wrappers(mesh, param_specs_moe, cspecs,

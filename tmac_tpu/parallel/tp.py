@@ -244,7 +244,7 @@ def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
         return last, cache
 
     def _decode(params, last, cache, keys, active, eos_ids, remaining,
-                state=None):
+                state=None, counts=None):
         params = _localize_params(params, tp)
         if dp > 1:
             # decorrelate sampling across dp groups: keys arrive replicated
@@ -254,7 +254,8 @@ def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
             keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, grp)
         return _decode_chunk_body(_fwd(params), sampler, last, cache, keys,
                                   active, eos_ids=eos_ids,
-                                  remaining=remaining, state=state)
+                                  remaining=remaining, state=state,
+                                  counts=counts)
 
     return _lazy_engine_wrappers(
         mesh, param_specs, cspecs, _prefill, _decode,
@@ -284,25 +285,34 @@ def _lazy_engine_wrappers(mesh, specs_fn, cspecs, _prefill, _decode,
         return _prefill_sm(params, tokens, true_len, cache, slot, start_pos)
 
     def decode_fn(params, last, cache, keys, active, eos_ids=None,
-                  remaining=None, state=None):
+                  remaining=None, state=None, counts=None):
         B = int(last.shape[0])
         if eos_ids is None:
             eos_ids = jnp.full((B,), -1, jnp.int32)
         if remaining is None:
             remaining = jnp.full((B,), keys.shape[0], jnp.int32)
-        key_sm = state is not None
+        key_sm = (state is not None, counts is not None)
         if key_sm not in _decode_sms:
             pspecs = specs_fn(params)
             st_spec = jax.tree.map(lambda _: b_spec, state) \
-                if key_sm else None
+                if key_sm[0] else None
+            # counts (B, V): batch rows shard with the batch
+            cnt_spec = (P(*(b_spec + (None,))) if b_spec != REP else REP) \
+                if key_sm[1] else None
+            in_specs = (pspecs, b_spec, cspecs, REP, b_spec, b_spec,
+                        b_spec, st_spec)
+            out_specs = (out_tok_spec, cspecs)
+            if key_sm[1]:
+                in_specs = in_specs + (cnt_spec,)
+                out_specs = out_specs + (cnt_spec,)
             _decode_sms[key_sm] = jax.jit(shard_map(
-                _decode, mesh,
-                in_specs=(pspecs, b_spec, cspecs, REP, b_spec, b_spec,
-                          b_spec, st_spec),
-                out_specs=(out_tok_spec, cspecs)),
+                _decode, mesh, in_specs=in_specs, out_specs=out_specs),
                 donate_argnums=(2,))
-        return _decode_sms[key_sm](params, last, cache, keys, active,
-                                   eos_ids, remaining, state)
+        args = (params, last, cache, keys, active, eos_ids, remaining,
+                state)
+        if key_sm[1]:
+            args = args + (counts,)
+        return _decode_sms[key_sm](*args)
 
     return prefill_fn, decode_fn
 

@@ -280,8 +280,11 @@ class InferenceEngine:
           prefill_fn(params, tokens (1,Tb), true_len, cache, slot, start_pos)
               -> (last logits (V,), cache)
           decode_fn(params, last (B,), cache, keys (steps,...), active (B,),
-                    eos_ids (B,), remaining (B,), state SamplerState|None)
-              -> (tokens (B, steps), cache)
+                    eos_ids (B,), remaining (B,), state SamplerState|None,
+                    counts (B, V) int32|None)
+              -> (tokens (B, steps), cache) or, when counts is given,
+                 (tokens, cache, counts) -- counts carries the
+                 repetition-penalty token tallies across chunks
         prefill_chunk: long prompts prefill in chunks of at most this many
         tokens, bounding attention-score memory (a 2048-token one-shot
         prefill would materialize ~0.5 GB of f32 scores per layer).
@@ -359,9 +362,6 @@ class InferenceEngine:
         # allocated lazily on the first penalized request (the (B, V)
         # buffer + scatter-add cost nothing unless used)
         self._counts = None
-        if sampler.has_penalties and step_fns is not None:
-            raise ValueError("repetition penalties are not supported with "
-                             "custom step_fns (mesh engine) yet")
         self.finished: Dict[int, Request] = {}
         # prompt-prefix KV cache (LRU over _PrefixEntry); see __init__ doc
         self.prefix_cache_size = (prefix_cache_size if step_fns is None else 0)
@@ -393,12 +393,6 @@ class InferenceEngine:
         uid = next(self._uid)
         ov = (temperature, top_k, top_p, min_p, repeat_penalty,
               presence_penalty, frequency_penalty)
-        if any(v is not None for v in ov[4:]) and self._step_fns is not None:
-            # validate BEFORE touching _n_dynamic: a rejected request must
-            # leave the engine state untouched
-            raise ValueError(
-                "repetition penalties are not supported with custom "
-                "step_fns (mesh engine) yet")
         if any(v is not None for v in ov):
             self._n_dynamic += 1
         self.waiting.append(Request(uid, prompt, max_new_tokens, eos_id,
@@ -712,10 +706,14 @@ class InferenceEngine:
         t0 = time.perf_counter()
         keys = jax.random.split(self._next_key(), self.chunk)
         if self._step_fns is not None:
-            toks, self.cache = self._step_fns[1](
+            r = self._step_fns[1](
                 self.params, jnp.asarray(self.last_tokens), self.cache,
                 keys, jnp.asarray(active_np), jnp.asarray(eos_np),
-                jnp.asarray(rem_np), state)
+                jnp.asarray(rem_np), state, self._counts)
+            if self._counts is not None:
+                toks, self.cache, self._counts = r
+            else:
+                toks, self.cache = r
         else:
             r = _decode_chunk(
                 self.params, self.cfg, jnp.asarray(self.last_tokens), self.cache,
