@@ -83,3 +83,42 @@ def test_oracle_catches_corruption():
     from tmac_tpu.utils import nmse
     e = float(nmse(want, np.asarray(logits, np.float32)))
     assert e > 1e-2, e
+
+
+def test_parity_gate_rope_scaling_and_window():
+    """The gate validates the long-context paths: the oracle honors
+    rope_scaling via an INDEPENDENT frequency computation and applies
+    the sliding-window mask, so scaled/windowed production forwards must
+    still agree."""
+    import dataclasses
+    cfg = get_preset("llama-3.1-8b").scaled(8)  # llama3 rope scaling
+    r = parity.model_parity(cfg, seed=0, impl="xla")
+    assert r["nmse"] < 2e-3, r
+    assert r["agree_tie_aware"] == 1.0, r
+    # a window small enough to bite within the gate's prefill length
+    cfgw = dataclasses.replace(get_preset("llama-2-7b").scaled(8),
+                               sliding_window=8)
+    r = parity.model_parity(cfgw, seed=0, impl="xla")
+    assert r["nmse"] < 2e-3, r
+    assert r["agree_tie_aware"] == 1.0, r
+
+
+def test_parity_oracle_catches_ignored_window():
+    """Negative control: if the production path IGNORED the window the
+    gate must fail -- simulate by scoring a windowed oracle against an
+    UNwindowed production forward."""
+    import dataclasses
+    base = get_preset("llama-2-7b").scaled(8)
+    cfgw = dataclasses.replace(base, sliding_window=8)
+    from tmac_tpu.models.llama import init_params
+    params = init_params(base, seed=0)
+    dense = parity.dense_params(params)
+    toks = (np.arange(32, dtype=np.int32) % (base.vocab_size - 2) + 1)[None]
+    import jax.numpy as jnp
+    from tmac_tpu.models.llama import KVCache, forward
+    prod, _ = forward(params, base, jnp.asarray(toks),
+                      KVCache.create(base, 1, 32), impl="xla")  # NO window
+    oracle = parity.oracle_forward(dense, cfgw, toks)            # windowed
+    from tmac_tpu.utils import nmse
+    tail = nmse(oracle[0, -1], np.asarray(prod)[0, -1].astype(np.float32))
+    assert tail > 2e-3, tail  # the gate would catch it

@@ -107,15 +107,52 @@ def _oracle_rms(x: np.ndarray, w: np.ndarray, eps: float) -> np.ndarray:
     return x / np.sqrt(var + eps) * w
 
 
-def _oracle_rope(x: np.ndarray, positions: np.ndarray, theta: float) -> np.ndarray:
+def _oracle_inv_freqs(half: int, theta: float, scaling) -> tuple:
+    """INDEPENDENT reimplementation of the rope-scaling frequency math
+    (models/llama._scaled_inv_freqs): the gate must catch a bug there, so
+    the formulas are written out again rather than imported."""
+    f = theta ** (-np.arange(half, dtype=np.float64) / half)
+    if scaling is None:
+        return f, 1.0
+    kind = scaling[0]
+    if kind == "linear":
+        return f / scaling[1], 1.0
+    if kind == "factors":
+        return f / np.asarray(scaling[1], np.float64), 1.0
+    if kind == "llama3":
+        _, fac, orig, lo, hi = scaling
+        wl = 2 * np.pi / f
+        t = np.clip((orig / wl - lo) / (hi - lo), 0.0, 1.0)
+        out = np.where(wl < orig / hi, f,
+                       np.where(wl > orig / lo, f / fac,
+                                (1 - t) * (f / fac) + t * f))
+        return out, 1.0
+    if kind == "yarn":
+        _, fac, orig = scaling
+        def cd(nr):
+            return half * np.log(orig / (nr * 2 * np.pi)) / (2 * np.log(theta))
+        lo_d = max(np.floor(cd(32.0)), 0.0)
+        hi_d = min(np.ceil(cd(1.0)), half - 1.0)
+        ramp = np.clip((np.arange(half) - lo_d) / max(hi_d - lo_d, 1e-3),
+                       0.0, 1.0)
+        out = (f / fac) * ramp + f * (1.0 - ramp)
+        return out, 0.1 * np.log(fac) + 1.0
+    raise ValueError(kind)
+
+
+def _oracle_rope(x: np.ndarray, positions: np.ndarray, theta: float,
+                 scaling=None) -> np.ndarray:
     """x (B, T, H, D), positions (T,) -- duplicated-half rotary convention
-    (rotate_half), matching models/llama.rope."""
+    (rotate_half), matching models/llama.rope; honors rope_scaling via an
+    independent frequency computation."""
     D = x.shape[-1]
     half = D // 2
-    freqs = 1.0 / (theta ** (np.arange(half, dtype=np.float32) / half))
-    ang = positions[:, None].astype(np.float32) * freqs  # (T, half)
-    cos = np.concatenate([np.cos(ang), np.cos(ang)], -1)[None, :, None, :]
-    sin = np.concatenate([np.sin(ang), np.sin(ang)], -1)[None, :, None, :]
+    freqs, tscale = _oracle_inv_freqs(half, theta, scaling)
+    ang = positions[:, None].astype(np.float64) * freqs  # (T, half)
+    cos = (np.concatenate([np.cos(ang), np.cos(ang)], -1)
+           * tscale)[None, :, None, :].astype(np.float32)
+    sin = (np.concatenate([np.sin(ang), np.sin(ang)], -1)
+           * tscale)[None, :, None, :].astype(np.float32)
     rot = np.concatenate([-x[..., half:], x[..., :half]], -1)
     return x * cos + rot * sin
 
@@ -139,14 +176,18 @@ def oracle_forward(dense: Dict[str, Any], cfg: ModelConfig,
         q, k, v = qkv[..., :qd], qkv[..., qd:qd + kvd], qkv[..., qd + kvd:]
         if "bq" in layer:
             q, k, v = q + layer["bq"], k + layer["bk"], v + layer["bv"]
-        q = _oracle_rope(q.reshape(B, T, H, D), positions, cfg.rope_theta)
-        k = _oracle_rope(k.reshape(B, T, KV, D), positions, cfg.rope_theta)
+        q = _oracle_rope(q.reshape(B, T, H, D), positions, cfg.rope_theta,
+                         cfg.rope_scaling)
+        k = _oracle_rope(k.reshape(B, T, KV, D), positions, cfg.rope_theta,
+                         cfg.rope_scaling)
         v = v.reshape(B, T, KV, D)
         # GQA causal attention, f32
         kr = np.repeat(k, rep, axis=2)  # (B, T, H, D)
         vr = np.repeat(v, rep, axis=2)
         scores = np.einsum("bthd,bshd->bhts", q, kr) / np.sqrt(D)
         mask = positions[None, :] <= positions[:, None]  # (T, S) causal
+        if cfg.sliding_window > 0:  # SWA: s visible iff p - s < window
+            mask &= positions[None, :] > positions[:, None] - cfg.sliding_window
         scores = np.where(mask[None, None], scores, -np.inf)
         scores -= scores.max(-1, keepdims=True)
         p = np.exp(scores)
@@ -310,6 +351,7 @@ GATE_CONFIGS = [
     ("llama-2-7b-w2", "llama-2-7b", {}),
     ("llama-2-7b-w4", "llama-2-7b", {"bits": 4}),
     ("llama-3-8b-w2", "llama-3-8b", {}),
+    ("llama-3.1-8b-w2", "llama-3.1-8b", {}),  # llama3 rope scaling
     ("llama-3-8b-w3", "llama-3-8b", {"bits": 3}),
     ("phi-3-mini-w2", "phi-3-mini", {}),
     ("trilm-3.9b-w2", "trilm-3.9b", {}),
