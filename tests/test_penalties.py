@@ -159,3 +159,17 @@ def test_mesh_engine_penalties():
     u = eng.submit([1, 2, 3], max_new_tokens=10, frequency_penalty=1e4)
     res = eng.run()
     assert len(set(res[u])) == 10, res[u]
+
+
+def test_cancel_releases_penalty_state():
+    """cancel() shares _finish's slot cleanup: after cancelling the only
+    penalized request, the counts buffer is released."""
+    cfg = get_preset("llama-2-7b").scaled(8)
+    params = init_params(cfg, seed=0)
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                          decode_chunk=4, impl="xla")
+    u = eng.submit([1, 2, 3], max_new_tokens=32, frequency_penalty=2.0)
+    eng.step()  # admit + prefill (allocates counts)
+    assert eng._counts is not None
+    assert eng.cancel(u)
+    assert eng._counts is None

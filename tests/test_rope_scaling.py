@@ -151,3 +151,19 @@ def test_scaled_model_differs_past_context():
     b = np.asarray(forward(params, cfg2, toks,
                            KVCache.create(cfg, 1, 32), impl="xla")[0])
     assert not np.allclose(a, b)
+
+
+def test_yarn_matches_hf_reference_values():
+    """YaRN correction dims vs the published formula (HF
+    _compute_yarn_parameters): head_dim=128, theta=1e4, orig=4096,
+    factor=4 -> correction range [20, 46]; interior dims must blend,
+    not just the endpoints (regression: a /2 error halved the range)."""
+    base = _base(theta=10000.0)
+    f, _ = _scaled_inv_freqs(128, 10000.0, ("yarn", 4.0, 4096))
+    ratio = f / base
+    # dims below floor(20.95)=20: pure extrapolation (ratio 1)
+    np.testing.assert_allclose(ratio[:20], 1.0, atol=1e-9)
+    # dims above ceil(45.03)=46: pure interpolation (ratio 1/4)
+    np.testing.assert_allclose(ratio[47:], 0.25, atol=1e-9)
+    # the blend region is strictly between
+    assert np.all(ratio[21:46] < 1.0) and np.all(ratio[21:46] > 0.25)

@@ -339,3 +339,48 @@ def test_spm_long_corpus_encode_is_fast():
     # chunked merge == unchunked merge on a small sample
     small = "hello world hello"
     assert tok.decode(tok.encode(small)) == small
+
+
+def test_bpe_pre_tokenizer_families(tmp_path):
+    """tokenizer.ggml.pre selects the real upstream pretokenizer regex
+    (llama-3 chunks digits in threes, qwen2 singly; gpt-2 binds a space
+    to digit runs) and survives gguf + save/load round trips."""
+    from tmac_tpu.runtime.tokenizer import _pre_regex
+    assert _pre_regex("llama-bpe").findall("a 12345") == \
+        ["a", " ", "123", "45"]
+    assert _pre_regex("qwen2").findall("12") == ["1", "2"]
+    assert _pre_regex("gpt-2").findall(" 12345") == [" 12345"]
+
+    src = _bpe()
+    src.pre = "llama-bpe"
+    src.save(str(tmp_path))
+    tok = load_tokenizer(str(tmp_path))
+    assert tok.pre == "llama-bpe"
+
+    meta = {"tokenizer.ggml.model": "gpt2",
+            "tokenizer.ggml.tokens": src.tokens,
+            "tokenizer.ggml.token_type": src.token_types,
+            "tokenizer.ggml.merges": src.merges,
+            "tokenizer.ggml.pre": "qwen2"}
+    path = str(tmp_path / "t.gguf")
+    gguf.write_gguf(path, meta, {
+        "dummy.weight": (gguf.GGML_F32, np.zeros((2, 4), np.float32))})
+    r = gguf.GGUFReader(path)
+    tok = tokenizer_from_gguf(r.metadata)
+    r.close()
+    assert tok.pre == "qwen2"
+
+
+def test_specials_index_scales():
+    """Special-token splitting is indexed by first char -- a 256-special
+    vocab over a large text must stay fast."""
+    import time
+    toks = ["<unk>"] + [f"<|reserved_{i}|>" for i in range(256)] + ["a", "b"]
+    types = [TT_UNKNOWN] + [TT_CONTROL] * 256 + [TT_NORMAL, TT_NORMAL]
+    tok = SPMTokenizer(toks, types, [0.0] * len(toks), bos_token_id=None,
+                       add_bos=False)
+    text = "ab" * 30000 + "<|reserved_7|>"
+    t0 = time.time()
+    ids = tok.encode(text)
+    assert time.time() - t0 < 5.0
+    assert ids[-1] == 8  # the special resolved

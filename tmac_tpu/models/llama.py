@@ -129,8 +129,10 @@ def _scaled_inv_freqs(head_dim: int, theta: float, scaling):
         beta_fast, beta_slow = 32.0, 1.0
 
         def corr_dim(n_rot):
+            # HF find_correction_dim with dim = FULL head_dim = 2*half:
+            # dim*ln(orig/(n*2pi)) / (2*ln theta) == half*ln(...)/ln(theta)
             return half * np.log(orig / (n_rot * 2 * np.pi)) \
-                / (2 * np.log(theta))
+                / np.log(theta)
         low = max(np.floor(corr_dim(beta_fast)), 0.0)
         high = min(np.ceil(corr_dim(beta_slow)), half - 1.0)
         ramp = np.clip((np.arange(half) - low) / max(high - low, 1e-3),

@@ -140,8 +140,11 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
                 ok &= idx >= win_lo
             s = jnp.where(ok, s, -jnp.inf)
             m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
-            p = jnp.exp(s - m_new)                       # (KV, rep, blk)
-            corr = jnp.exp(m - m_new)                    # (KV, rep, 1)
+            # exp(-inf - -inf) guards: a FULLY-masked block (tight sliding
+            # window straddling a block boundary) must contribute zeros,
+            # not NaN (cf. parallel/sp.py's online-softmax guards)
+            p = jnp.where(jnp.isfinite(s), jnp.exp(s - m_new), 0.0)
+            corr = jnp.where(jnp.isfinite(m), jnp.exp(m - m_new), 0.0)
             l = l * corr + jnp.sum(p, axis=2, keepdims=True)
             pv = p * vs_sc[slot][:, None, :] if quant else p
             acc = acc * corr + jax.lax.dot_general(
@@ -170,7 +173,7 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
             corr = jnp.exp(m - m_new)
             l = l * corr + p_c
             acc = acc * corr + p_c * cv[:, None, :]
-        o = acc / l
+        o = acc / jnp.maximum(l, 1e-30)
         if Dl != D:
             o = o[..., :Dl]
         o_ref[0] = o.astype(o_ref.dtype)

@@ -627,22 +627,26 @@ class InferenceEngine:
         if self.stream_cb:
             self.stream_cb(req.uid, req.output, True)
         if slot is not None:
-            self.slots[slot] = None
-            # neutralize the freed slot's penalty params and release the
-            # counts buffer once no occupied slot is penalized (keeps the
-            # speculative fast path and the penalty-free decode chunk
-            # available after a penalized request drains)
-            if self._counts is not None:
-                self._slot_rp[slot] = self.sampler.repeat_penalty
-                self._slot_pp[slot] = self.sampler.presence_penalty
-                self._slot_fp[slot] = self.sampler.frequency_penalty
-                if not self.sampler.has_penalties and not any(
-                        r is not None and (
-                            self._slot_rp[i] != 1.0
-                            or self._slot_pp[i] != 0.0
-                            or self._slot_fp[i] != 0.0)
-                        for i, r in enumerate(self.slots)):
-                    self._counts = None
+            self._release_slot(slot)
+
+    def _release_slot(self, slot: int):
+        """Free a slot (shared by _finish and cancel): neutralize its
+        penalty params and release the counts buffer once no occupied
+        slot is penalized, so the speculative fast path and the
+        penalty-free decode chunk come back after penalized requests
+        drain."""
+        self.slots[slot] = None
+        if self._counts is not None:
+            self._slot_rp[slot] = self.sampler.repeat_penalty
+            self._slot_pp[slot] = self.sampler.presence_penalty
+            self._slot_fp[slot] = self.sampler.frequency_penalty
+            if not self.sampler.has_penalties and not any(
+                    r is not None and (
+                        self._slot_rp[i] != 1.0
+                        or self._slot_pp[i] != 0.0
+                        or self._slot_fp[i] != 0.0)
+                    for i, r in enumerate(self.slots)):
+                self._counts = None
 
     def cancel(self, uid: int) -> bool:
         """Abort a request: drop it from the wait queue or free its slot.
@@ -655,8 +659,8 @@ class InferenceEngine:
                 return True
         for slot, r in enumerate(self.slots):
             if r is not None and r.uid == uid:
-                self.slots[slot] = None
-                self._drop_dynamic(r)
+                self._release_slot(slot)  # shared with _finish: penalty
+                self._drop_dynamic(r)     # params + counts cleanup too
                 return True
         return self.finished.pop(uid, None) is not None
 

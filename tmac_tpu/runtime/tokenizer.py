@@ -43,14 +43,19 @@ def _split_on_specials(text: str, specials: Dict[str, int]):
     if not specials:
         yield text, None
         return
-    # longest-first so overlapping markers resolve like llama.cpp's
-    # token-trie (e.g. "<|end|>" before "<|e")
-    keys = sorted(specials, key=len, reverse=True)
+    # first-char index, longest-first per bucket: O(text) scan instead of
+    # O(text * n_specials) startswith probes (llama-3 ggufs carry ~256
+    # specials; the naive scan made whole-corpus encodes minutes of pure
+    # pre-tokenization).  Longest-first resolves overlapping markers like
+    # llama.cpp's token-trie ("<|end|>" before "<|e").
+    by_first: Dict[str, list] = {}
+    for k in sorted(specials, key=len, reverse=True):
+        by_first.setdefault(k[0], []).append(k)
     i, n = 0, len(text)
     plain_start = 0
     while i < n:
         hit = None
-        for k in keys:
+        for k in by_first.get(text[i], ()):
             if text.startswith(k, i):
                 hit = k
                 break
@@ -289,12 +294,44 @@ _BYTE_ENC = _bytes_to_unicode()
 _BYTE_DEC = {v: k for k, v in _BYTE_ENC.items()}
 
 
+# llama.cpp selects the byte-level-BPE pre-tokenizer by the
+# `tokenizer.ggml.pre` metadata string; these are the upstream regexes
+# (llama.cpp llm_tokenizer_bpe regex_exprs) for the families this repo's
+# model zoo covers.  Unknown pre strings fall back to gpt-2 (llama.cpp
+# warns and does the same for its default).
+_PRE_PATTERNS = {
+    "gpt-2": r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+|"
+             r" ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+",
+    "llama-bpe": r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|"
+                 r"[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}|"
+                 r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|"
+                 r"\s+(?!\S)|\s+",
+    "qwen2": r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|"
+             r"[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}|"
+             r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|"
+             r"\s+(?!\S)|\s+",
+}
+_PRE_CACHE: Dict[str, Any] = {}
+
+
+def _pre_regex(pre: str):
+    """Compiled pre-tokenizer for a tokenizer.ggml.pre string (None when
+    the `regex` module is unavailable -> scanner fallback)."""
+    if pre not in _PRE_CACHE:
+        try:
+            import regex  # full \p{..} class support (transformers dep)
+            pat = _PRE_PATTERNS.get(pre, _PRE_PATTERNS["gpt-2"])
+            _PRE_CACHE[pre] = regex.compile(pat)
+        except ImportError:  # pragma: no cover -- regex ships with
+            _PRE_CACHE[pre] = None  # transformers in this environment
+    return _PRE_CACHE[pre]
+
+
 def _gpt2_pretokenize(text: str) -> List[str]:
-    """GPT-2 pre-tokenizer splits without the `regex` module: runs of
+    """Fallback GPT-2-style splitter without the `regex` module: runs of
     letters / digits / punctuation, each optionally absorbing ONE leading
-    space, plus contraction suffixes; whitespace runs keep their last
-    space attached to a following word.  Matches the canonical pattern on
-    ASCII + common unicode text."""
+    space, plus contraction suffixes.  Approximate (see _PRE_PATTERNS for
+    the exact upstream regexes used when `regex` is importable)."""
     CONTR = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
 
     def cls(c: str) -> str:
@@ -355,9 +392,10 @@ class BPETokenizer(_Base):
 
     def __init__(self, tokens, token_types, merges, bos_token_id=None,
                  eos_token_id=None, unk_token_id=None, add_bos=False,
-                 chat_template=""):
+                 chat_template="", pre: str = "gpt-2"):
         super().__init__(tokens, token_types, bos_token_id, eos_token_id,
                          unk_token_id, add_bos, chat_template)
+        self.pre = pre  # tokenizer.ggml.pre pretokenizer family
         self.merges = list(merges)
         self.ranks = {}
         for r, m in enumerate(self.merges):
@@ -377,9 +415,15 @@ class BPETokenizer(_Base):
             parts[best_i:best_i + 2] = [parts[best_i] + parts[best_i + 1]]
         return parts
 
+    def _pretokenize(self, text: str) -> List[str]:
+        rx = _pre_regex(self.pre)
+        if rx is not None:
+            return rx.findall(text)
+        return _gpt2_pretokenize(text)
+
     def _encode_piece(self, text: str, first: bool) -> List[int]:
         ids: List[int] = []
-        for word in _gpt2_pretokenize(text):
+        for word in self._pretokenize(text):
             enc = "".join(_BYTE_ENC[b] for b in word.encode("utf-8"))
             for part in self._bpe_word(enc):
                 j = self.vocab.get(part)
@@ -399,6 +443,7 @@ class BPETokenizer(_Base):
     def _state(self):
         s = super()._state()
         s["merges"] = self.merges
+        s["pre"] = self.pre
         return s
 
 
@@ -433,7 +478,7 @@ def tokenizer_from_gguf(metadata: Dict[str, Any]):
             tokens, types, g("tokenizer.ggml.merges") or [],
             bos_token_id=bos, eos_token_id=eos, unk_token_id=unk,
             add_bos=bool(g("tokenizer.ggml.add_bos_token", False)),
-            chat_template=tmpl)
+            chat_template=tmpl, pre=g("tokenizer.ggml.pre", "gpt-2"))
     raise NotImplementedError(f"tokenizer.ggml.model={model!r}")
 
 
@@ -455,4 +500,5 @@ def load_tokenizer(ckpt_dir: str):
         s["tokens"], s["token_types"], s["merges"],
         bos_token_id=s["bos_token_id"], eos_token_id=s["eos_token_id"],
         unk_token_id=s["unk_token_id"], add_bos=s["add_bos"],
-        chat_template=s.get("chat_template", ""))
+        chat_template=s.get("chat_template", ""),
+        pre=s.get("pre", "gpt-2"))

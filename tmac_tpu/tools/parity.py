@@ -129,8 +129,8 @@ def _oracle_inv_freqs(half: int, theta: float, scaling) -> tuple:
         return out, 1.0
     if kind == "yarn":
         _, fac, orig = scaling
-        def cd(nr):
-            return half * np.log(orig / (nr * 2 * np.pi)) / (2 * np.log(theta))
+        def cd(nr):  # dim = 2*half in the published formula
+            return half * np.log(orig / (nr * 2 * np.pi)) / np.log(theta)
         lo_d = max(np.floor(cd(32.0)), 0.0)
         hi_d = min(np.ceil(cd(1.0)), half - 1.0)
         ramp = np.clip((np.arange(half) - lo_d) / max(hi_d - lo_d, 1e-3),

@@ -30,7 +30,8 @@ run_step() {  # run_step <num> <log> <cmd...>
   if "$@" > "$log" 2>&1; then
     echo "[$(STAMP)] step $n DONE (log: $log)" | tee -a /tmp/r3_runbook.log
   else
-    echo "[$(STAMP)] step $n FAILED rc=$? (log: $log) -- continuing" \
+    local rc=$?
+    echo "[$(STAMP)] step $n FAILED rc=$rc (log: $log) -- continuing" \
       | tee -a /tmp/r3_runbook.log
   fi
 }
