@@ -393,3 +393,96 @@ def test_checkpoint_roundtrip(tmp_path):
     l1, _ = forward(params, cfg, toks, KVCache.create(cfg, 1, 8), impl="xla")
     l2, _ = forward(params2, cfg2, toks, KVCache.create(cfg, 1, 8), impl="xla")
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def _write_synthetic_hf_awq(tmpdir, cfg, gs, seed=0):
+    """Tiny llama-architecture AWQ ('gemm') checkpoint in HF format."""
+    from tmac_tpu.convert.gptq import quantize_awq_like
+    rng = np.random.default_rng(seed)
+    H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    tensors, ref = {}, {}
+
+    def fp(name, shape, scale=0.02):
+        t = (rng.standard_normal(shape) * scale).astype(np.float32)
+        tensors[name] = t.astype(np.float16)
+        return t
+
+    def awq(name, K, M):
+        w = (rng.standard_normal((K, M)) / np.sqrt(K)).astype(np.float32)
+        qw, sc, qz = quantize_awq_like(w, gs)
+        tensors[f"{name}.qweight"] = qw
+        tensors[f"{name}.scales"] = sc
+        tensors[f"{name}.qzeros"] = qz
+        ref[name] = w
+
+    fp("model.embed_tokens.weight", (V, H))
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        fp(f"{p}.input_layernorm.weight", (H,), 1.0)
+        fp(f"{p}.post_attention_layernorm.weight", (H,), 1.0)
+        awq(f"{p}.self_attn.q_proj", H, cfg.q_dim)
+        awq(f"{p}.self_attn.k_proj", H, cfg.kv_dim)
+        awq(f"{p}.self_attn.v_proj", H, cfg.kv_dim)
+        awq(f"{p}.self_attn.o_proj", cfg.q_dim, H)
+        awq(f"{p}.mlp.gate_proj", H, I)
+        awq(f"{p}.mlp.up_proj", H, I)
+        awq(f"{p}.mlp.down_proj", I, H)
+    fp("model.norm.weight", (H,), 1.0)
+    fp("lm_head.weight", (V, H))
+
+    save_file(tensors, os.path.join(tmpdir, "model.safetensors"))
+    with open(os.path.join(tmpdir, "config.json"), "w") as f:
+        json.dump({
+            "model_type": "llama",
+            "vocab_size": V, "hidden_size": H, "intermediate_size": I,
+            "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "num_key_value_heads": cfg.num_kv_heads,
+            "head_dim": cfg.head_dim,
+            "rope_theta": cfg.rope_theta, "rms_norm_eps": cfg.rms_norm_eps,
+            "tie_word_embeddings": False,
+            "quantization_config": {
+                "quant_method": "awq", "w_bit": 4, "q_group_size": gs,
+                "zero_point": True, "version": "gemm",
+            },
+        }, f)
+    return ref
+
+
+def test_awq_unpack_matches_dequant_contract():
+    """unpack_awq: the AWQ interleave reverses exactly; dequant through
+    the framework contract reproduces the original within 4-bit noise."""
+    from tmac_tpu.convert.gptq import quantize_awq_like, unpack_awq
+    rng = np.random.default_rng(7)
+    K, M, gs = 256, 96 * 8 // 8 * 8, 64
+    w = rng.standard_normal((K, 96 * 8)).astype(np.float32) / np.sqrt(K)
+    qw, sc, qz = quantize_awq_like(w, gs)
+    wq, scales, sub, bits, g = unpack_awq(qw, sc, qz)
+    assert (bits, g) == (4, gs)
+    wdq = np.repeat(scales, gs, 0) * wq - np.repeat(sub, gs, 0)
+    assert nmse(w, wdq) < 2e-2
+
+
+def test_convert_hf_awq_end_to_end(tmp_path):
+    """AWQ checkpoint -> packed params; forward-path linears match the
+    float originals within 4-bit noise (the AutoAWQ role; net-new vs the
+    reference's GPTQ-only converter, model_utils.py:104-129)."""
+    cfg0 = get_preset("llama-2-7b").scaled(8)
+    ref = _write_synthetic_hf_awq(str(tmp_path), cfg0, gs=64)
+    cfg, params = convert_hf_model(str(tmp_path), name="tiny-awq")
+    assert cfg.quant.bits == 4 and cfg.quant.group_size == 64
+    assert cfg.quant.zero_point
+
+    layer = params["layers"][0]
+    x = np.random.default_rng(9).standard_normal(
+        (2, cfg.hidden_size)).astype(np.float32)
+    got = np.asarray(qgemm_xla(jnp.asarray(x), layer["wo"],
+                               out_dtype=jnp.float32))
+    want = x @ ref["model.layers.0.self_attn.o_proj"]
+    assert nmse(want, got) < 2e-2
+
+    from tmac_tpu.runtime.generate import generate
+    out = np.asarray(generate(params, cfg,
+                              np.asarray([[1, 2, 3]], np.int32),
+                              max_new_tokens=4))
+    assert out.shape == (1, 4)

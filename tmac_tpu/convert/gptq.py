@@ -162,3 +162,69 @@ def quantize_gptq_like(w_km: np.ndarray, bits: int, group_size: int):
         scales.astype(np.float16),
         qzeros.astype(np.uint32).view(np.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# AWQ (AutoAWQ "gemm" checkpoints) -- net-new vs the reference, which
+# covers GPTQ/EfficientQAT only (model_utils.py:104-129); AWQ is the other
+# dominant HF 4-bit format, so "convert your existing checkpoint" parity
+# needs it.
+# ---------------------------------------------------------------------------
+
+# AutoAWQ packs 8 nibbles per int32 along the OUT-FEATURE axis in the
+# interleave [0, 2, 4, 6, 1, 3, 5, 7]; unpacking LSB-first then taking
+# columns [0, 4, 1, 5, 2, 6, 3, 7] per 8-group restores logical order
+# (AutoAWQ awq/utils/packing_utils.py reverse_awq_order).
+_AWQ_REVERSE_ORDER = (0, 4, 1, 5, 2, 6, 3, 7)
+_AWQ_ORDER = (0, 2, 4, 6, 1, 3, 5, 7)
+
+
+def _unpack_awq_words(a: np.ndarray) -> np.ndarray:
+    vals = np.stack([(a >> (4 * j)) & 0xF for j in range(8)], axis=-1)
+    vals = vals[..., list(_AWQ_REVERSE_ORDER)]
+    return vals.reshape(*a.shape[:-1], a.shape[-1] * 8)
+
+
+def unpack_awq(qweight: np.ndarray, scales: np.ndarray,
+               qzeros: np.ndarray):
+    """AWQ 'gemm' linear -> (wq (K, M) uint8, scales (K/gs, M) f32,
+    sub (K/gs, M) f32, bits=4, group_size).
+
+    Layout: qweight int32 (K, M//8) -- 4-bit fields packed along M (the
+    opposite axis from GPTQ) in the AWQ interleave; qzeros int32
+    (K/gs, M//8) likewise; scales fp16 (K/gs, M).  Dequant
+    W = scales * (wq - zq) maps to Wdq = scales*wq - sub with
+    sub = scales * zq; AWQ's (K, M) orientation is already the kernel
+    layout (no transpose, like GPTQ)."""
+    K = qweight.shape[0]
+    gs = K // scales.shape[0]
+    wq = _unpack_awq_words(qweight.view(np.int32) if qweight.dtype != np.int32
+                           else qweight).astype(np.uint8)
+    zq = _unpack_awq_words(qzeros.view(np.int32) if qzeros.dtype != np.int32
+                           else qzeros).astype(np.float32)
+    scales = np.asarray(scales, np.float32)
+    return wq, scales, scales * zq, 4, gs
+
+
+def quantize_awq_like(w_km: np.ndarray, group_size: int = 128):
+    """float (K, M) -> AWQ-format (qweight, scales fp16, qzeros) -- the
+    synthetic-fixture packer mirroring AutoAWQ's layout (tests +
+    interchange)."""
+    K, M = w_km.shape
+    assert K % group_size == 0 and M % 8 == 0
+    g = w_km.reshape(K // group_size, group_size, M)
+    mn = g.min(axis=1)
+    mx = g.max(axis=1)
+    scales = np.maximum((mx - mn) / 15.0, 1e-8).astype(np.float32)
+    zq = np.clip(np.rint(-mn / scales), 0, 15).astype(np.int64)
+    codes = np.clip(np.rint(w_km / np.repeat(scales, group_size, 0))
+                    + np.repeat(zq, group_size, 0), 0, 15).astype(np.int64)
+
+    def pack(vals):  # (..., M) -> (..., M//8) int32, AWQ interleave
+        v = vals.reshape(*vals.shape[:-1], -1, 8)[..., list(_AWQ_ORDER)]
+        out = np.zeros(v.shape[:-1], np.int64)
+        for j in range(8):
+            out |= v[..., j] << (4 * j)
+        return out.astype(np.uint32).view(np.int32)
+
+    return pack(codes), scales.astype(np.float16), pack(zq)

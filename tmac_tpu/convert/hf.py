@@ -153,6 +153,18 @@ def quant_config_from_hf(hf: dict, mode_hint: Optional[str] = None) -> Optional[
     qc = hf.get("quantization_config")
     if qc is None:
         return None
+    if qc.get("quant_method") == "awq":
+        # AutoAWQ: w_bit/q_group_size naming, always zero-point affine;
+        # only the 'gemm' packing is implemented (gemv interleaves
+        # differently and is refused rather than mis-read)
+        version = str(qc.get("version", "gemm")).lower()
+        assert version == "gemm", f"AWQ version {version!r} unsupported"
+        return QuantConfig(
+            bits=int(qc.get("bits", qc.get("w_bit", 4))),
+            group_size=int(qc.get("group_size", qc.get("q_group_size", 128))),
+            zero_point=bool(qc.get("zero_point", True)),
+            mode=mode_hint or "w_fp",
+        ), "awq"
     assert not qc.get("desc_act", False), "act-order (desc_act) not supported"
     fmt = qc.get("checkpoint_format", "gptq")
     return QuantConfig(
@@ -164,16 +176,27 @@ def quant_config_from_hf(hf: dict, mode_hint: Optional[str] = None) -> Optional[
 
 
 def _qt_from_hf_linear(reader: HFReader, prefix: str, quant: QuantConfig,
-                       gptq_v2: bool, k_shards: int, m_shards: int,
+                       fmt, k_shards: int, m_shards: int,
                        pad_k: int = 0, pad_m: int = 0) -> QuantizedTensor:
-    """Convert one linear layer; prefix like 'model.layers.0.self_attn.q_proj'."""
+    """Convert one linear layer; prefix like 'model.layers.0.self_attn.q_proj'.
+
+    fmt: packed-checkpoint format -- 'gptq' / 'gptq_v2' / 'awq' (also
+    accepts the legacy bool, True == gptq_v2)."""
     if f"{prefix}.qweight" in reader:
-        wq, scales, sub, bits, gs = unpack_gptq(
-            reader.get(f"{prefix}.qweight").view(np.int32),
-            reader.get(f"{prefix}.scales"),
-            reader.get(f"{prefix}.qzeros").view(np.int32),
-            gptq_v2=gptq_v2,
-        )
+        if fmt == "awq":
+            from tmac_tpu.convert.gptq import unpack_awq
+            wq, scales, sub, bits, gs = unpack_awq(
+                reader.get(f"{prefix}.qweight").view(np.int32),
+                reader.get(f"{prefix}.scales"),
+                reader.get(f"{prefix}.qzeros").view(np.int32),
+            )
+        else:
+            wq, scales, sub, bits, gs = unpack_gptq(
+                reader.get(f"{prefix}.qweight").view(np.int32),
+                reader.get(f"{prefix}.scales"),
+                reader.get(f"{prefix}.qzeros").view(np.int32),
+                gptq_v2=(fmt is True or fmt == "gptq_v2"),
+            )
         assert bits == quant.bits and gs == quant.group_size, (
             (bits, gs), (quant.bits, quant.group_size))
     else:
@@ -234,16 +257,17 @@ def convert_hf_model(model_dir: str, quant: Optional[QuantConfig] = None,
     reader = HFReader(model_dir)
 
     inferred = quant_config_from_hf(hf)
+    fmt = None
     if inferred is not None:
         qc, fmt = inferred
         if quant is not None:
             qc = dataclasses.replace(qc, mode=quant.mode)
         quant = qc
-        if gptq_v2 is None:
-            gptq_v2 = fmt == "gptq_v2"
     assert quant is not None, "fp checkpoint needs an explicit QuantConfig"
-    if gptq_v2 is None:
-        gptq_v2 = True
+    if gptq_v2 is not None and fmt != "awq":  # explicit override (legacy)
+        fmt = "gptq_v2" if gptq_v2 else "gptq"
+    if fmt is None:
+        fmt = "gptq_v2"
 
     cfg = model_config_from_hf(hf, quant, name=name)
     H = cfg.hidden_size
@@ -257,11 +281,11 @@ def convert_hf_model(model_dir: str, quant: Optional[QuantConfig] = None,
             "attn_norm": _bf16(reader, f"{p}.input_layernorm.weight"),
             "mlp_norm": _bf16(reader, f"{p}.post_attention_layernorm.weight"),
             "wqkv": fuse_m([
-                _qt_from_hf_linear(reader, f"{at}.q_proj", quant, gptq_v2, 1, tp),
-                _qt_from_hf_linear(reader, f"{at}.k_proj", quant, gptq_v2, 1, tp),
-                _qt_from_hf_linear(reader, f"{at}.v_proj", quant, gptq_v2, 1, tp),
+                _qt_from_hf_linear(reader, f"{at}.q_proj", quant, fmt, 1, tp),
+                _qt_from_hf_linear(reader, f"{at}.k_proj", quant, fmt, 1, tp),
+                _qt_from_hf_linear(reader, f"{at}.v_proj", quant, fmt, 1, tp),
             ]),
-            "wo": _qt_from_hf_linear(reader, f"{at}.o_proj", quant, gptq_v2, tp, 1),
+            "wo": _qt_from_hf_linear(reader, f"{at}.o_proj", quant, fmt, tp, 1),
         }
         if cfg.num_experts > 0:
             # Mixtral (block_sparse_moe, w1/w3/w2, softmax over selected)
@@ -291,14 +315,14 @@ def convert_hf_model(model_dir: str, quant: Optional[QuantConfig] = None,
             layer["experts_gate_up"] = stack_experts([
                 fuse_m([
                     _qt_from_hf_linear(reader, f"{moe}.experts.{e}.{gn}",
-                                       quant, gptq_v2, 1, tp, pad_m=Iep),
+                                       quant, fmt, 1, tp, pad_m=Iep),
                     _qt_from_hf_linear(reader, f"{moe}.experts.{e}.{un}",
-                                       quant, gptq_v2, 1, tp, pad_m=Iep),
+                                       quant, fmt, 1, tp, pad_m=Iep),
                 ]) for e in range(cfg.num_experts)
             ])
             layer["experts_down"] = stack_experts([
                 _qt_from_hf_linear(reader, f"{moe}.experts.{e}.{dn}",
-                                   quant, gptq_v2, tp, 1, pad_k=Iep)
+                                   quant, fmt, tp, 1, pad_k=Iep)
                 for e in range(cfg.num_experts)
             ])
             if cfg.moe_shared_intermediate_size:
@@ -308,12 +332,12 @@ def convert_hf_model(model_dir: str, quant: Optional[QuantConfig] = None,
                 se = f"{p}.mlp.shared_expert"
                 layer["shared_gate_up"] = fuse_m([
                     _qt_from_hf_linear(reader, f"{se}.gate_proj", quant,
-                                       gptq_v2, 1, tp, pad_m=Isp),
+                                       fmt, 1, tp, pad_m=Isp),
                     _qt_from_hf_linear(reader, f"{se}.up_proj", quant,
-                                       gptq_v2, 1, tp, pad_m=Isp),
+                                       fmt, 1, tp, pad_m=Isp),
                 ])
                 layer["shared_down"] = _qt_from_hf_linear(
-                    reader, f"{se}.down_proj", quant, gptq_v2, tp, 1,
+                    reader, f"{se}.down_proj", quant, fmt, tp, 1,
                     pad_k=Isp)
                 sg = f"{p}.mlp.shared_expert_gate.weight"
                 if cfg.moe_shared_gate and sg in reader:
@@ -322,12 +346,12 @@ def convert_hf_model(model_dir: str, quant: Optional[QuantConfig] = None,
         else:
             layer["gate_up"] = fuse_m([
                 _qt_from_hf_linear(reader, f"{p}.mlp.gate_proj", quant,
-                                   gptq_v2, 1, tp, pad_m=Ipad),
+                                   fmt, 1, tp, pad_m=Ipad),
                 _qt_from_hf_linear(reader, f"{p}.mlp.up_proj", quant,
-                                   gptq_v2, 1, tp, pad_m=Ipad),
+                                   fmt, 1, tp, pad_m=Ipad),
             ])
             layer["down"] = _qt_from_hf_linear(reader, f"{p}.mlp.down_proj",
-                                               quant, gptq_v2, tp, 1,
+                                               quant, fmt, tp, 1,
                                                pad_k=Ipad)
         if cfg.attention_bias:
             for hf_b, ours in (("q_proj", "bq"), ("k_proj", "bk"), ("v_proj", "bv")):
