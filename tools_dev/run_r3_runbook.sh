@@ -8,9 +8,36 @@
 # broken bench must not cost the remaining measurements.
 #
 # Usage: bash tools_dev/run_r3_runbook.sh [start-step]   (default 1)
+#        bash tools_dev/run_r3_runbook.sh short
+#   `short` = a 30-60 min window: capture the headline decode bench, the
+#   HW kernel gates, and the full-size parity table first, then exit --
+#   rerun the full book if the tunnel holds.
 set -u
 cd /root/repo
 START=${1:-1}
+if [ "$START" = "short" ]; then
+  STAMP() { date -u +%H:%M:%S; }
+  probe() {
+    timeout 90 python -c \
+      "import jax; assert jax.devices()[0].platform != 'cpu'" \
+      >/dev/null 2>&1
+  }
+  echo "[$(STAMP)] SHORT window mode" | tee -a /tmp/r3_runbook.log
+  probe || { echo "tunnel down"; exit 1; }
+  timeout 1200 python bench.py > /tmp/r3_bench.log 2>&1
+  echo "[$(STAMP)] bench done ($(tail -1 /tmp/r3_bench.log))" \
+    | tee -a /tmp/r3_runbook.log
+  probe || exit 1
+  TMAC_TEST_TPU=1 timeout 4500 python -m pytest tests/ -q -m tpu \
+    > /tmp/r3_tpu_hw.log 2>&1
+  echo "[$(STAMP)] hw gates done ($(tail -1 /tmp/r3_tpu_hw.log))" \
+    | tee -a /tmp/r3_runbook.log
+  probe || exit 1
+  timeout 5400 python -m tmac_tpu.tools.cli parity --json parity_r03.json \
+    > /tmp/r3_parity.log 2>&1
+  echo "[$(STAMP)] parity done" | tee -a /tmp/r3_runbook.log
+  exit 0
+fi
 STAMP() { date -u +%H:%M:%S; }
 
 probe() {
