@@ -375,3 +375,49 @@ def test_prefix_cache_lru_eviction(model):
     r = eng.run()[u]
     assert eng.stats["prefix_hits"] == 1
     assert r == _reference(cfg, params, prompts[2], 2)
+
+
+def test_stop_tokens_truncate_and_finish(model):
+    """A stop_tokens match ends the request and REMOVES the matched
+    sequence from the output (llama.cpp stop semantics); unmatched
+    requests run to their budget with finish_reason 'length'."""
+    cfg, params = model
+    ref = _reference(cfg, params, [1, 2, 3], 8)
+    stop = ref[2:4]  # appears mid-output
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                          impl="xla", decode_chunk=4)
+    uid = eng.submit([1, 2, 3], max_new_tokens=8, stop_tokens=[stop])
+    # a second request whose stop never matches runs to its budget
+    uid2 = eng.submit([1, 2, 3], max_new_tokens=8,
+                      stop_tokens=[[cfg.vocab_size - 1] * 2])
+    results = eng.run()
+    assert results[uid] == ref[:2]
+    assert eng.finished[uid].finish_reason == "stop"
+    assert results[uid2] == ref
+    assert eng.finished[uid2].finish_reason == "length"
+
+
+def test_stop_tokens_first_token(model):
+    """A stop matching the very first generated token empties the output
+    (and must not crash the slot bookkeeping)."""
+    cfg, params = model
+    ref = _reference(cfg, params, [1, 2, 3], 4)
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                          impl="xla", decode_chunk=4)
+    uid = eng.submit([1, 2, 3], max_new_tokens=4, stop_tokens=[[ref[0]]])
+    results = eng.run()
+    assert results[uid] == []
+    assert eng.finished[uid].finish_reason == "stop"
+
+
+def test_finish_reason_eos(model):
+    """eos_id completion records finish_reason 'eos' (and keeps the eos
+    token in the output, matching the pre-existing engine contract)."""
+    cfg, params = model
+    ref = _reference(cfg, params, [4, 5], 8)
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                          impl="xla", decode_chunk=4)
+    uid = eng.submit([4, 5], max_new_tokens=8, eos_id=ref[3])
+    results = eng.run()
+    assert results[uid] == ref[:4]
+    assert eng.finished[uid].finish_reason == "eos"

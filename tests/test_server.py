@@ -246,3 +246,137 @@ def test_openai_chat_requires_tokenizer(server):
         raise AssertionError("expected HTTP 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+# --------------------------------------------------------------- stop support
+
+def test_stop_matcher_withholding():
+    """Partial stop prefixes are withheld across feeds; a match truncates;
+    flush releases a false-positive tail at end of stream."""
+    from tmac_tpu.runtime.server import StopMatcher
+    m = StopMatcher(["\nUser:"])
+    assert m.feed("hello wor") == "hello wor"
+    # "\nUs" could still become the stop -> withheld
+    assert m.feed("ld\nUs") == "ld"
+    assert not m.stopped
+    assert m.feed("er:ignored") == ""
+    assert m.stopped and m.text == "hello world"
+    # false positive: stream ends while withholding
+    m2 = StopMatcher(["END"])
+    assert m2.feed("abcEN") == "abc"
+    assert m2.flush() == "EN"
+    assert not m2.stopped and m2.text == "abcEN"
+    # multiple stops: earliest match wins
+    m3 = StopMatcher(["xx", "by"])
+    assert m3.feed("abyxx") == "a"
+    assert m3.stopped and m3.text == "a"
+
+
+def test_stop_token_ids_http(server):
+    """stop_token_ids ends generation at the token and removes it."""
+    cfg, params, port = server
+    ref = generate(params, cfg, np.asarray([[1, 2, 3]], np.int32),
+                   max_new_tokens=8, impl="xla")
+    ref = [int(t) for t in np.asarray(ref)[0]]
+    out = _post(port, {"prompt_ids": [1, 2, 3], "max_tokens": 8,
+                       "stop_token_ids": [ref[3]]})
+    # the stop token may repeat in the output; generation ends at its
+    # FIRST occurrence and the stop token itself is removed
+    assert out["ids"] == ref[:ref.index(ref[3])]
+    assert out["finish_reason"] == "stop"
+    # and the plain path now reports finish_reason too
+    out2 = _post(port, {"prompt_ids": [1, 2, 3], "max_tokens": 4})
+    assert out2["finish_reason"] == "length"
+
+
+def test_stop_string_requires_tokenizer(server):
+    _, _, port = server  # no tokenizer on this fixture
+    try:
+        _post(port, {"prompt_ids": [1, 2, 3], "max_tokens": 4,
+                     "stop": "xy"})
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def _ref_text(cfg, params, prompt_ids, n, strip_eos=False):
+    tok = _ChatTok()
+    ref = generate(params, cfg, np.asarray([prompt_ids], np.int32),
+                   max_new_tokens=n, impl="xla")
+    ids = [int(t) for t in np.asarray(ref)[0]]
+    if strip_eos:
+        ids = [t for t in ids if t != tok.eos_token_id]
+    return ids, tok.decode(ids)
+
+
+def test_stop_string_completion(chat_server):
+    """Text-level stop: the completion text ends exactly before the stop
+    string and generation is cancelled live (fewer ids than max_tokens)."""
+    cfg, params, port = chat_server
+    tok = _ChatTok()
+    ids0 = tok.encode("hi")
+    _, full = _ref_text(cfg, params, ids0, 12)
+    stop = full[3:5]
+    assert stop in full
+    out = _post(port, {"prompt": "hi", "max_tokens": 12, "stop": stop})
+    assert out["text"] == full[:full.index(stop)]
+    assert out["finish_reason"] == "stop"
+    # live cancellation: decode_chunk=4, stop hits by token 5 -> the
+    # request must not have produced all 12 tokens
+    assert len(out["ids"]) < 12
+
+
+def test_stop_string_streaming(chat_server):
+    """Streaming with a stop string: emitted text halts exactly at the
+    match and the final event carries finish_reason 'stop'."""
+    cfg, params, port = chat_server
+    tok = _ChatTok()
+    ids0 = tok.encode("yo")
+    _, full = _ref_text(cfg, params, ids0, 12)
+    stop = full[4:6]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/completions",
+        data=json.dumps({"prompt": "yo", "max_tokens": 12, "stream": True,
+                         "stop": stop}).encode(),
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                events.append(json.loads(line[len("data: "):]))
+    assert events[-1]["done"] is True
+    assert events[-1]["finish_reason"] == "stop"
+    text = "".join(e.get("text", "") for e in events)
+    assert text == full[:full.index(stop)]
+
+
+def test_chat_stop_string(chat_server):
+    """OpenAI chat 'stop' param: content truncates at the stop,
+    finish_reason 'stop', both stream and non-stream."""
+    cfg, params, port = chat_server
+    tok = _ChatTok()
+    ids0 = tok.encode("hi")
+    _, full = _ref_text(cfg, params, ids0, 12, strip_eos=True)
+    stop = full[2:4]
+    out = _post(port, {"messages": [{"role": "user", "content": "hi"}],
+                       "max_tokens": 12, "stop": stop},
+                path="/v1/chat/completions")
+    assert out["choices"][0]["message"]["content"] == full[:full.index(stop)]
+    assert out["choices"][0]["finish_reason"] == "stop"
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/chat/completions",
+        data=json.dumps({"messages": [{"role": "user", "content": "hi"}],
+                         "max_tokens": 12, "stream": True,
+                         "stop": stop}).encode(),
+        headers={"Content-Type": "application/json"})
+    chunks = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: ") and line != "data: [DONE]":
+                chunks.append(json.loads(line[len("data: "):]))
+    text = "".join(c["choices"][0]["delta"].get("content", "")
+                   for c in chunks)
+    assert text == full[:full.index(stop)]
+    assert chunks[-1]["choices"][0]["finish_reason"] == "stop"

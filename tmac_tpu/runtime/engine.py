@@ -56,9 +56,20 @@ class Request:
     repeat_penalty: Optional[float] = None
     presence_penalty: Optional[float] = None
     frequency_penalty: Optional[float] = None
+    # stop sequences over GENERATED token ids: when the output ends with
+    # any of these, the request finishes and the matched sequence is
+    # REMOVED from the output (llama.cpp's antiprompt/stop semantics --
+    # the stop text is not part of the completion).  Token-level matching
+    # happens at chunk granularity host-side; text-level stop strings
+    # (which can straddle token boundaries) live in runtime/server.py's
+    # StopMatcher on the decoded stream.
+    stop_tokens: Optional[List[List[int]]] = None
     # filled by the engine:
     output: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # why the request finished: "eos" | "stop" (stop_tokens match) |
+    # "length" (max_new_tokens or cache capacity) | "" (still running)
+    finish_reason: str = ""
     prompt_len: int = 0
     # incremental-prefill state (requests occupy a slot while prefilling;
     # decode of other slots proceeds between their chunks)
@@ -384,12 +395,17 @@ class InferenceEngine:
                min_p: Optional[float] = None,
                repeat_penalty: Optional[float] = None,
                presence_penalty: Optional[float] = None,
-               frequency_penalty: Optional[float] = None) -> int:
+               frequency_penalty: Optional[float] = None,
+               stop_tokens: Optional[List[List[int]]] = None) -> int:
         prompt = [int(t) for t in np.asarray(prompt).reshape(-1)]
         assert len(prompt) >= 1, "empty prompt"
         assert len(prompt) + max_new_tokens <= self.S, (
             f"prompt {len(prompt)} + max_new {max_new_tokens} exceeds "
             f"engine max_len {self.S}")
+        if stop_tokens:
+            stop_tokens = [[int(t) for t in s] for s in stop_tokens]
+            assert all(len(s) >= 1 for s in stop_tokens), (
+                "empty stop sequence")
         uid = next(self._uid)
         ov = (temperature, top_k, top_p, min_p, repeat_penalty,
               presence_penalty, frequency_penalty)
@@ -400,7 +416,8 @@ class InferenceEngine:
                                     top_p=top_p, min_p=min_p,
                                     repeat_penalty=repeat_penalty,
                                     presence_penalty=presence_penalty,
-                                    frequency_penalty=frequency_penalty))
+                                    frequency_penalty=frequency_penalty,
+                                    stop_tokens=stop_tokens))
         return uid
 
     def pending(self) -> int:
@@ -590,18 +607,34 @@ class InferenceEngine:
             self.stats["decode_tokens"] += 1
             if self._finished_after_append(req):
                 break
-        self.last_tokens[0] = req.output[-1]
+        if req.output:  # stop truncation can empty a 1-token output
+            self.last_tokens[0] = req.output[-1]
         if self._finished_after_append(req):
             self._finish(0, req)
         elif self.stream_cb:
             self.stream_cb(req.uid, list(req.output), False)
 
     def _finished_after_append(self, req: Request) -> bool:
-        if req.eos_id is not None and req.output and req.output[-1] == req.eos_id:
+        """Host-side finish check after each appended token.  Records WHY in
+        req.finish_reason and, on a stop_tokens match, TRUNCATES the matched
+        sequence off the output (llama.cpp stop semantics).  Idempotent: a
+        request that already finished stays finished (callers re-check after
+        their append loop; the truncation must not run twice)."""
+        if req.finish_reason:
             return True
+        if req.eos_id is not None and req.output and req.output[-1] == req.eos_id:
+            req.finish_reason = "eos"
+            return True
+        for s in req.stop_tokens or ():
+            if len(req.output) >= len(s) and req.output[-len(s):] == s:
+                del req.output[-len(s):]
+                req.finish_reason = "stop"
+                return True
         if len(req.output) >= req.max_new_tokens:
+            req.finish_reason = "length"
             return True
         if req.prompt_len + len(req.output) >= self.S:
+            req.finish_reason = "length"
             return True
         return False
 
@@ -740,7 +773,8 @@ class InferenceEngine:
                 self.stats["decode_tokens"] += 1
                 if self._finished_after_append(req):
                     break
-            self.last_tokens[slot] = req.output[-1]
+            if req.output:  # stop truncation can empty a 1-token output
+                self.last_tokens[slot] = req.output[-1]
             if req.done or self._finished_after_append(req):
                 self._finish(slot, req)
             elif self.stream_cb:

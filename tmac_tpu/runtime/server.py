@@ -9,12 +9,20 @@ API (JSON over HTTP):
                           "eos_id": int|null,
                           "temperature": float, "top_k": int, "top_p": float,
                           "repeat_penalty": float, "presence_penalty": float,
-                          "frequency_penalty": float, "stream": bool}
-                      -> {"ids": [int, ...], "uid": int}
+                          "frequency_penalty": float,
+                          "stop": str|[str]  (text stop strings; matched on
+                              decoded output with partial-match withholding,
+                              generation cancelled live at the match),
+                          "stop_token_ids": [int]  (token-level stops,
+                              matched in the engine),
+                          "stream": bool}
+                      -> {"ids": [int, ...], "uid": int,
+                          "finish_reason": "eos"|"stop"|"length"}
      or with "stream": true -> text/event-stream of
                          data: {"ids": [new tokens], "done": false}
                          ...
-                         data: {"ids": [], "done": true}
+                         data: {"ids": [], "done": true,
+                                "finish_reason": ...}
         (tokens arrive per decode chunk, the llama-cli interactive-
         streaming role of reference tools/run_pipeline.py:222-277)
      or with a tokenizer configured:
@@ -51,6 +59,67 @@ from typing import Optional
 from tmac_tpu.runtime.engine import InferenceEngine
 
 
+class StopMatcher:
+    """Incremental stop-STRING matching over a decoded token stream.
+
+    Stop strings can straddle token boundaries (a BPE tokenizer rarely
+    emits "\\n\\n" or "</s>" as one token), so token-level matching in the
+    engine is not enough: this matcher works on the decoded TEXT, and
+    withholds the longest tail that could still be the prefix of a stop
+    string so a streaming client never sees half a stop sequence
+    (llama.cpp's server does the same partial-match buffering).
+
+        m = StopMatcher(["\\nUser:"])
+        emit = m.feed(decoded_delta)   # safe-to-emit text
+        if m.stopped: ...              # stop hit; m.text is final text
+        tail = m.flush()               # at end-of-stream, release the hold
+    """
+
+    def __init__(self, stops):
+        self.stops = [s for s in stops if s]
+        self.pending = ""   # withheld tail (possible stop prefix)
+        self.emitted = ""   # everything released so far
+        self.stopped = False
+
+    def feed(self, text: str) -> str:
+        if self.stopped:
+            return ""
+        if not self.stops:
+            self.emitted += text
+            return text
+        buf = self.pending + text
+        cut = min((i for i in (buf.find(s) for s in self.stops) if i >= 0),
+                  default=-1)
+        if cut >= 0:
+            self.stopped = True
+            self.pending = ""
+            out, buf = buf[:cut], ""
+            self.emitted += out
+            return out
+        # withhold the longest suffix that is a proper prefix of some stop
+        hold = 0
+        for h in range(min(max(len(s) for s in self.stops) - 1, len(buf)),
+                       0, -1):
+            tail = buf[-h:]
+            if any(s.startswith(tail) for s in self.stops):
+                hold = h
+                break
+        out = buf[:len(buf) - hold] if hold else buf
+        self.pending = buf[len(buf) - hold:] if hold else ""
+        self.emitted += out
+        return out
+
+    def flush(self) -> str:
+        """End of stream without a match: the withheld tail is real text."""
+        out, self.pending = self.pending, ""
+        self.emitted += out
+        return out
+
+    @property
+    def text(self) -> str:
+        return self.emitted
+
+
 class ServingEngine:
     """Thread-safe wrapper: submit from any thread, one scheduler thread."""
 
@@ -62,6 +131,9 @@ class ServingEngine:
         # streaming state: per-uid delta queue + count of tokens delivered
         self._queues: dict[int, queue.Queue] = {}
         self._delivered: dict[int, int] = {}
+        # finish reasons captured at completion ("eos"/"stop"/"length");
+        # entries are popped by pop_reason (bounded: one per live waiter)
+        self._reasons: dict[int, str] = {}
         self._poll_s = poll_s
         self._stop = False
         engine.stream_cb = self._on_tokens
@@ -79,6 +151,17 @@ class ServingEngine:
             if delta or done:
                 q.put((delta, done))
         if done:
+            # pop the engine's finished entry: the result flows through
+            # this callback, and a long-running server must not accumulate
+            # one Request per completion forever
+            req = self.engine.finished.pop(uid, None)
+            if req is not None:
+                self._reasons[uid] = req.finish_reason or "length"
+                # bound the reason map: callers normally pop_reason() right
+                # after completion; drop the oldest entries if a caller
+                # that never does accumulates them (insertion-ordered dict)
+                while len(self._reasons) > 4096:
+                    self._reasons.pop(next(iter(self._reasons)))
             # record the result only for a blocking waiter (complete());
             # streaming consumers read their queue -- unconditionally
             # storing would leak an entry per streamed request
@@ -96,16 +179,25 @@ class ServingEngine:
             if not busy:
                 time.sleep(self._poll_s)
 
-    def _submit(self, prompt_ids, max_tokens, eos_id, sampling):
+    def _submit(self, prompt_ids, max_tokens, eos_id, sampling,
+                stop_tokens=None):
         return self.engine.submit(prompt_ids, max_new_tokens=max_tokens,
-                                  eos_id=eos_id, **(sampling or {}))
+                                  eos_id=eos_id, stop_tokens=stop_tokens,
+                                  **(sampling or {}))
+
+    def pop_reason(self, uid: int, default: str = "length") -> str:
+        """The engine-side finish reason ("eos"/"stop"/"length") recorded
+        when the request completed; one-shot (the entry is removed)."""
+        with self._lock:
+            return self._reasons.pop(uid, default)
 
     def complete(self, prompt_ids, max_tokens: int = 128,
                  eos_id: Optional[int] = None, timeout: float = 600.0,
-                 sampling: Optional[dict] = None):
+                 sampling: Optional[dict] = None, stop_tokens=None):
         ev = threading.Event()
         with self._lock:
-            uid = self._submit(prompt_ids, max_tokens, eos_id, sampling)
+            uid = self._submit(prompt_ids, max_tokens, eos_id, sampling,
+                               stop_tokens)
             self._events[uid] = ev
         if not ev.wait(timeout):
             # Clean up fully: free the engine slot (or wait-queue entry) and
@@ -114,21 +206,28 @@ class ServingEngine:
             with self._lock:
                 self._events.pop(uid, None)
                 self._results.pop(uid, None)
+                self._reasons.pop(uid, None)
                 self.engine.cancel(uid)
             raise TimeoutError(f"request {uid} timed out after {timeout}s")
         return uid, self._results.pop(uid)
 
     def stream(self, prompt_ids, max_tokens: int = 128,
                eos_id: Optional[int] = None, timeout: float = 600.0,
-               sampling: Optional[dict] = None):
+               sampling: Optional[dict] = None, stop_tokens=None,
+               uid_box: Optional[list] = None):
         """Generator of (delta_tokens, done) tuples as the engine produces
         them -- tokens arrive per decode chunk, BEFORE the request
-        completes."""
+        completes.  uid_box: optional list the request uid is appended to
+        at submission (callers that need the uid for finish-reason lookup
+        or response ids; a generator cannot return it earlier)."""
         q: queue.Queue = queue.Queue()
         with self._lock:
-            uid = self._submit(prompt_ids, max_tokens, eos_id, sampling)
+            uid = self._submit(prompt_ids, max_tokens, eos_id, sampling,
+                               stop_tokens)
             self._queues[uid] = q
             self._delivered[uid] = 0
+        if uid_box is not None:
+            uid_box.append(uid)
         finished = False
         try:
             while True:
@@ -149,7 +248,9 @@ class ServingEngine:
                 if not finished:
                     # consumer went away mid-stream (client disconnect,
                     # timeout, GeneratorExit): free the engine slot so the
-                    # request doesn't keep decoding as a zombie
+                    # request doesn't keep decoding as a zombie -- and drop
+                    # its reason entry (nobody will pop it)
+                    self._reasons.pop(uid, None)
                     self.engine.cancel(uid)
 
     def stats(self):
@@ -158,6 +259,19 @@ class ServingEngine:
     def shutdown(self):
         self._stop = True
         self._thread.join(timeout=5)
+
+
+def _stops_from_req(req: dict):
+    """Parse the OpenAI/llama.cpp stop params: `stop` (string or list of
+    strings, matched on DECODED text with partial-match withholding) and
+    `stop_token_ids` (list of ints, each an individual stop token --
+    vLLM's convention; matched in the engine)."""
+    stop = req.get("stop")
+    if isinstance(stop, str):
+        stop = [stop]
+    stop_strs = [s for s in (stop or []) if isinstance(s, str) and s]
+    stop_tokens = [[int(t)] for t in (req.get("stop_token_ids") or [])]
+    return stop_strs, (stop_tokens or None)
 
 
 def _sampling_from_req(req: dict) -> Optional[dict]:
@@ -204,28 +318,96 @@ def make_handler(serving: ServingEngine, tokenizer=None,
                      "owned_by": "tmac-tpu"}]})
             return self._json(404, {"error": "not found"})
 
-        def _stream_response(self, ids, max_tokens, eos_id, sampling):
-            """Server-sent-events-style incremental token delivery."""
+        def _consume_with_stops(self, ids, max_tokens, eos_id, sampling,
+                                stop_strs, stop_tokens, strip_eos=False):
+            """Drive a request through the internal stream so text-level
+            stop strings can cancel generation LIVE (at chunk granularity)
+            instead of truncating after the full max_tokens completion.
+            Returns (uid, out_ids, text, finish_reason); text is None when
+            the server has no tokenizer."""
+            m = StopMatcher(stop_strs)
+            box: list = []
+            out: list = []
+            prev = ""
+            reason = "length"
+            gen = serving.stream(ids, max_tokens=max_tokens, eos_id=eos_id,
+                                 sampling=sampling, stop_tokens=stop_tokens,
+                                 uid_box=box)
+            try:
+                for delta, done in gen:
+                    out.extend(delta)
+                    if tokenizer is not None:
+                        vis = [t for t in out if t != eos_id] \
+                            if strip_eos else out
+                        cum = tokenizer.decode(vis)
+                        m.feed(cum[len(prev):])
+                        prev = cum
+                        if m.stopped:
+                            reason = "stop"
+                            gen.close()  # finally-cancels the live request
+                            break
+                    if done:
+                        reason = serving.pop_reason(box[0])
+                        m.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                gen.close()
+                raise
+            text = m.text if tokenizer is not None else None
+            return (box[0] if box else -1), out, text, reason
+
+        def _stream_response(self, ids, max_tokens, eos_id, sampling,
+                             stop_strs=(), stop_tokens=None):
+            """Server-sent-events-style incremental token delivery.  With
+            stop strings, decoded text is withheld while it could still be
+            a stop prefix, and the stream ends at the match with
+            finish_reason "stop" (the engine request is cancelled)."""
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.send_header("Connection", "close")
             self.end_headers()
+            m = StopMatcher(stop_strs)
+            box: list = []
+            out: list = []
+            prev = ""
             gen = serving.stream(ids, max_tokens=max_tokens, eos_id=eos_id,
-                                 sampling=sampling)
+                                 sampling=sampling, stop_tokens=stop_tokens,
+                                 uid_box=box)
+
+            def send(ev):
+                self.wfile.write(f"data: {json.dumps(ev)}\n\n".encode())
+                self.wfile.flush()
+
             try:
                 for delta, done in gen:
                     ev = {"ids": delta, "done": done}
-                    if tokenizer is not None and delta:
-                        ev["text"] = tokenizer.decode(delta)
-                    self.wfile.write(f"data: {json.dumps(ev)}\n\n".encode())
-                    self.wfile.flush()
+                    if tokenizer is not None and (delta or done):
+                        out.extend(delta)
+                        cum = tokenizer.decode(out)
+                        emit = m.feed(cum[len(prev):])
+                        prev = cum
+                        if m.stopped:
+                            if emit:
+                                send({"ids": delta, "done": False,
+                                      "text": emit})
+                            send({"ids": [], "done": True,
+                                  "finish_reason": "stop"})
+                            gen.close()  # cancels the live request
+                            return
+                        if done:
+                            emit += m.flush()
+                        if emit:
+                            ev["text"] = emit
+                    if done:
+                        ev["finish_reason"] = serving.pop_reason(box[0])
+                    send(ev)
             except (BrokenPipeError, ConnectionResetError):
                 # client went away: closing the generator runs its finally
                 # block, which cancels the engine request
                 gen.close()
 
-        def _chat_stream(self, ids, max_tokens, eos_id, sampling, cid):
+        def _chat_stream(self, ids, max_tokens, eos_id, sampling, cid,
+                         stop_strs=(), stop_tokens=None):
             """OpenAI chat.completion.chunk SSE stream."""
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
@@ -241,23 +423,38 @@ def make_handler(serving: ServingEngine, tokenizer=None,
                                  "finish_reason": finish}],
                 }) + "\n\n").encode()
 
+            m = StopMatcher(stop_strs)
+            box: list = []
+            out: list = []
+            prev = ""
             gen = serving.stream(ids, max_tokens=max_tokens, eos_id=eos_id,
-                                 sampling=sampling)
-            saw_eos = False
+                                 sampling=sampling, stop_tokens=stop_tokens,
+                                 uid_box=box)
             try:
                 self.wfile.write(chunk({"role": "assistant", "content": ""}))
                 for delta, done in gen:
-                    if eos_id is not None and eos_id in delta:
-                        # keep the streamed text identical to the
-                        # non-stream path, which strips eos
-                        saw_eos = True
-                        delta = [t for t in delta if t != eos_id]
-                    if delta:
-                        self.wfile.write(
-                            chunk({"content": tokenizer.decode(delta)}))
+                    # keep the streamed text identical to the non-stream
+                    # path, which strips eos
+                    out.extend(t for t in delta if t != eos_id)
+                    cum = tokenizer.decode(out)
+                    emit = m.feed(cum[len(prev):])
+                    prev = cum
+                    if m.stopped:
+                        if emit:
+                            self.wfile.write(chunk({"content": emit}))
+                        self.wfile.write(chunk({}, finish="stop"))
+                        self.wfile.write(b"data: [DONE]\n\n")
+                        self.wfile.flush()
+                        gen.close()  # cancels the live request
+                        return
                     if done:
+                        emit += m.flush()
+                    if emit:
+                        self.wfile.write(chunk({"content": emit}))
+                    if done:
+                        r = serving.pop_reason(box[0])
                         self.wfile.write(chunk(
-                            {}, finish="stop" if saw_eos else "length"))
+                            {}, finish="length" if r == "length" else "stop"))
                         self.wfile.write(b"data: [DONE]\n\n")
                     self.wfile.flush()
             except (BrokenPipeError, ConnectionResetError):
@@ -282,22 +479,30 @@ def make_handler(serving: ServingEngine, tokenizer=None,
                              or req.get("max_completion_tokens") or 128)
             eos_id = getattr(tokenizer, "eos_token_id", None)
             sampling = _sampling_from_req(req)
+            stop_strs, stop_tokens = _stops_from_req(req)
             cid = f"chatcmpl-{int(time.time() * 1000):x}"
             if req.get("stream"):
                 return self._chat_stream(ids, max_tokens, eos_id, sampling,
-                                         cid)
-            uid, out = serving.complete(ids, max_tokens=max_tokens,
-                                        eos_id=eos_id, sampling=sampling)
-            gen_ids = [t for t in out if eos_id is None or t != eos_id]
+                                         cid, stop_strs, stop_tokens)
+            if stop_strs:
+                uid, out, text, reason = self._consume_with_stops(
+                    ids, max_tokens, eos_id, sampling, stop_strs,
+                    stop_tokens, strip_eos=True)
+            else:
+                uid, out = serving.complete(ids, max_tokens=max_tokens,
+                                            eos_id=eos_id, sampling=sampling,
+                                            stop_tokens=stop_tokens)
+                reason = serving.pop_reason(uid)
+                text = tokenizer.decode(
+                    [t for t in out if eos_id is None or t != eos_id])
             return self._json(200, {
                 "id": cid, "object": "chat.completion",
                 "model": model_name,
                 "choices": [{"index": 0,
                              "message": {"role": "assistant",
-                                         "content": tokenizer.decode(gen_ids)},
-                             "finish_reason": "stop" if len(out) < max_tokens
-                             or (eos_id is not None and eos_id in out)
-                             else "length"}],
+                                         "content": text},
+                             "finish_reason": "length" if reason == "length"
+                             else "stop"}],
                 "usage": {"prompt_tokens": len(ids),
                           "completion_tokens": len(out),
                           "total_tokens": len(ids) + len(out)},
@@ -328,12 +533,27 @@ def make_handler(serving: ServingEngine, tokenizer=None,
                 max_tokens = int(req.get("max_tokens", 128))
                 eos_id = req.get("eos_id")
                 sampling = _sampling_from_req(req)
+                stop_strs, stop_tokens = _stops_from_req(req)
+                if stop_strs and tokenizer is None:
+                    return self._json(400, {"error":
+                        "stop strings need a server-side tokenizer "
+                        "(use stop_token_ids)"})
                 if req.get("stream"):
                     return self._stream_response(ids, max_tokens, eos_id,
-                                                 sampling)
+                                                 sampling, stop_strs,
+                                                 stop_tokens)
+                if stop_strs:
+                    uid, out, text, reason = self._consume_with_stops(
+                        ids, max_tokens, eos_id, sampling, stop_strs,
+                        stop_tokens)
+                    resp = {"uid": uid, "ids": out, "text": text,
+                            "finish_reason": reason}
+                    return self._json(200, resp)
                 uid, out = serving.complete(ids, max_tokens=max_tokens,
-                                            eos_id=eos_id, sampling=sampling)
-                resp = {"uid": uid, "ids": out}
+                                            eos_id=eos_id, sampling=sampling,
+                                            stop_tokens=stop_tokens)
+                resp = {"uid": uid, "ids": out,
+                        "finish_reason": serving.pop_reason(uid)}
                 if tokenizer is not None:
                     resp["text"] = tokenizer.decode(out)
                 return self._json(200, resp)
