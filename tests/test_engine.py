@@ -421,3 +421,94 @@ def test_finish_reason_eos(model):
     results = eng.run()
     assert results[uid] == ref[:4]
     assert eng.finished[uid].finish_reason == "eos"
+
+
+def test_logprobs_match_teacher_forced_scoring(model):
+    """Per-token logprobs from the decode chunk equal the teacher-forced
+    log-likelihood of the same continuation (runtime/perplexity.score) --
+    both are log-softmax of the raw model logits."""
+    from tmac_tpu.runtime.perplexity import score_continuations
+    cfg, params = model
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                          impl="xla", decode_chunk=4, logprobs_k=4)
+    uid = eng.submit([1, 2, 3], max_new_tokens=7, logprobs=3)
+    out = eng.run()[uid]
+    req = eng.finished[uid]
+    assert len(req.logprobs_out) == len(out) == 7
+    for rec in req.logprobs_out:
+        assert len(rec["top"]) == 3
+        # greedy decode: the chosen token IS the argmax of the raw
+        # distribution, so its logprob equals top-1's
+        assert abs(rec["logprob"] - rec["top"][0][1]) < 1e-6
+        # top list sorted descending
+        vals = [v for _, v in rec["top"]]
+        assert vals == sorted(vals, reverse=True)
+    total = sum(r["logprob"] for r in req.logprobs_out)
+    ref = score_continuations(params, cfg, [1, 2, 3], [out], impl="xla")
+    assert abs(total - ref[0]["logprob"]) < 2e-3, (total, ref)
+    assert ref[0]["greedy"]
+
+
+def test_logprobs_mixed_batch_and_isolation(model):
+    """A logprobs request does not change tokens for anyone, and slots
+    without logprobs collect no records."""
+    cfg, params = model
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                          impl="xla", decode_chunk=4)
+    u1 = eng.submit([1, 2, 3], max_new_tokens=6, logprobs=2)
+    u2 = eng.submit([7, 8], max_new_tokens=6)
+    res = eng.run()
+    assert res[u1] == _reference(cfg, params, [1, 2, 3], 6)
+    assert res[u2] == _reference(cfg, params, [7, 8], 6)
+    assert len(eng.finished[u1].logprobs_out) == 6
+    assert eng.finished[u2].logprobs_out == []
+
+
+def test_logprobs_with_stop_truncation(model):
+    """Stop-token truncation keeps logprob records aligned with output."""
+    cfg, params = model
+    ref = _reference(cfg, params, [1, 2, 3], 8)
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                          impl="xla", decode_chunk=4)
+    uid = eng.submit([1, 2, 3], max_new_tokens=8, logprobs=2,
+                     stop_tokens=[ref[2:4]])
+    out = eng.run()[uid]
+    assert out == ref[:2]
+    assert len(eng.finished[uid].logprobs_out) == 2
+
+
+def test_per_request_seed_reproducible(model):
+    """A seeded sampled request reproduces its output regardless of batch
+    composition, slot index, or other traffic (noise = f(seed, index))."""
+    cfg, params = model
+
+    def run(extra_prompts, seed=42):
+        eng = InferenceEngine(cfg, params, max_batch=4, max_len=64,
+                              impl="xla", decode_chunk=4)
+        others = [eng.submit(p, max_new_tokens=8, temperature=1.3)
+                  for p in extra_prompts]
+        del others
+        uid = eng.submit([1, 2, 3], max_new_tokens=8, temperature=0.9,
+                         seed=seed)
+        return eng.run()[uid]
+
+    alone = run([])
+    crowded = run([[5, 6], [7, 8, 9], [4]])  # seeded request lands slot 3
+    assert alone == crowded
+    assert len(alone) == 8
+    other_seed = run([], seed=7)
+    assert other_seed != alone  # different chain (8 draws, ~0 collision)
+
+
+def test_seed_with_greedy_matches_reference(model):
+    """seed + temperature 0 stays exactly greedy (noise unused), and an
+    unseeded greedy request sharing the batch is unaffected by the
+    per-slot-key decode variant."""
+    cfg, params = model
+    eng = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                          impl="xla", decode_chunk=4)
+    u1 = eng.submit([1, 2, 3], max_new_tokens=6, temperature=0.0, seed=123)
+    u2 = eng.submit([7, 8], max_new_tokens=6)
+    res = eng.run()
+    assert res[u1] == _reference(cfg, params, [1, 2, 3], 6)
+    assert res[u2] == _reference(cfg, params, [7, 8], 6)

@@ -380,3 +380,63 @@ def test_chat_stop_string(chat_server):
                    for c in chunks)
     assert text == full[:full.index(stop)]
     assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+
+
+# ----------------------------------------------------------------- logprobs
+
+def test_logprobs_http(server):
+    """'logprobs': N returns a per-token record aligned with ids; greedy
+    chosen token equals the top-1 alternative."""
+    _, _, port = server
+    out = _post(port, {"prompt_ids": [1, 2, 3], "max_tokens": 5,
+                       "logprobs": 3})
+    assert len(out["logprobs"]) == len(out["ids"]) == 5
+    for tid, rec in zip(out["ids"], out["logprobs"]):
+        assert rec["id"] == tid
+        assert len(rec["top"]) == 3
+        assert rec["top"][0]["id"] == tid  # greedy = argmax
+        assert abs(rec["logprob"] - rec["top"][0]["logprob"]) < 1e-6
+    # requests without logprobs have no field
+    out2 = _post(port, {"prompt_ids": [1, 2, 3], "max_tokens": 3})
+    assert "logprobs" not in out2
+
+
+def test_chat_logprobs_openai_shape(chat_server):
+    """OpenAI chat logprobs: choices[0].logprobs.content entries with
+    token/logprob/top_logprobs."""
+    _, _, port = chat_server
+    out = _post(port, {"messages": [{"role": "user", "content": "hi"}],
+                       "max_tokens": 5, "logprobs": True,
+                       "top_logprobs": 2}, path="/v1/chat/completions")
+    content = out["choices"][0]["logprobs"]["content"]
+    assert len(content) >= 1
+    for e in content:
+        assert isinstance(e["token"], str)
+        assert len(e["top_logprobs"]) == 2
+        assert e["top_logprobs"][0]["logprob"] >= e["top_logprobs"][1]["logprob"]
+
+
+def test_logprobs_with_stop_string(chat_server):
+    """Live text-stop cancellation still returns logprob records for the
+    tokens that were generated."""
+    cfg, params, port = chat_server
+    tok = _ChatTok()
+    _, full = _ref_text(cfg, params, tok.encode("hi"), 12)
+    stop = full[4:6]
+    out = _post(port, {"prompt": "hi", "max_tokens": 12, "stop": stop,
+                       "logprobs": 2})
+    assert out["finish_reason"] == "stop"
+    assert len(out["logprobs"]) > 0
+    assert len(out["logprobs"]) <= len(out["ids"])
+
+
+def test_seed_http_reproducible(server):
+    """'seed' in the POST body reproduces sampled output across calls."""
+    _, _, port = server
+    body = {"prompt_ids": [1, 2, 3], "max_tokens": 6,
+            "temperature": 0.9, "seed": 42}
+    a = _post(port, body)
+    b = _post(port, body)
+    assert a["ids"] == b["ids"]
+    c = _post(port, dict(body, seed=43))
+    assert c["ids"] != a["ids"]

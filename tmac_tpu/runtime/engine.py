@@ -64,9 +64,22 @@ class Request:
     # (which can straddle token boundaries) live in runtime/server.py's
     # StopMatcher on the decoded stream.
     stop_tokens: Optional[List[List[int]]] = None
+    # per-request RNG seed: when set, the request's sampling noise is a
+    # pure function of (seed, token index) -- the same request reproduces
+    # the same output regardless of batch composition, slot, or what else
+    # the server is doing (the OpenAI / llama.cpp `seed` param)
+    seed: Optional[int] = None
+    # number of top-alternative logprobs to record per generated token
+    # (0 = off; capped at the engine's static logprobs_k).  Logprobs are
+    # log-softmax of the RAW model logits (the model distribution, before
+    # temperature/penalty shaping -- the OpenAI convention).
+    logprobs: int = 0
     # filled by the engine:
     output: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # per generated token, when logprobs > 0:
+    # {"logprob": float, "top": [(token_id, logprob), ...]}
+    logprobs_out: List[dict] = dataclasses.field(default_factory=list)
     # why the request finished: "eos" | "stop" (stop_tokens match) |
     # "length" (max_new_tokens or cache capacity) | "" (still running)
     finish_reason: str = ""
@@ -123,7 +136,8 @@ def _prefill_slot_body(forward_fn, tokens, true_len, cache: KVCache, slot,
 def _decode_chunk_body(forward_fn, sampler: SamplerConfig, last_tokens,
                        cache: KVCache, keys, active, eos_ids=None,
                        remaining=None, state: Optional[SamplerState] = None,
-                       counts=None):
+                       counts=None, logprobs_k: int = 0,
+                       slot_keys=None, key_offsets=None):
     """Up to `steps` tokens for every active slot in one on-device loop
     (shared core).  Inactive slots are frozen: their pos does not advance
     and their token is carried through unchanged.  Slots whose pos would
@@ -136,6 +150,20 @@ def _decode_chunk_body(forward_fn, sampler: SamplerConfig, last_tokens,
     reference-free analog of llama.cpp's per-token stop check, without
     giving up chunked host round-trips.  state: optional per-slot
     SamplerState overriding the static sampler config.
+
+    logprobs_k (STATIC): when > 0, also return per-step logprob records
+    computed from the RAW logits (log-softmax of the model distribution,
+    before penalties/temperature -- the OpenAI logprobs convention):
+    chosen (B, steps) f32, top ids (B, steps, k) int32, top values
+    (B, steps, k) f32.  Entries at steps a slot did not execute are
+    zeros; the host consumes only as many as it appends.
+
+    slot_keys (B, 2) uint32 + key_offsets (B,) int32 (optional, together):
+    per-slot PRNG chains for reproducible per-request sampling -- step i
+    samples slot b with fold_in(slot_keys[b], key_offsets[b] + i), so a
+    request's noise depends only on its own key chain and token index,
+    never on batch composition (the `keys` argument then only supplies
+    the step count).
     """
     S = cache.max_len
     steps, B = keys.shape[0], last_tokens.shape[0]
@@ -147,18 +175,30 @@ def _decode_chunk_body(forward_fn, sampler: SamplerConfig, last_tokens,
 
     penal = counts is not None  # static: python-level branch at trace
     cnt0 = counts if penal else jnp.zeros((B, 1), jnp.int32)
+    per_slot_keys = slot_keys is not None  # static
+    if key_offsets is None:
+        key_offsets = jnp.zeros((B,), jnp.int32)
+    lpk = int(logprobs_k)  # static
+    lp0 = jnp.zeros((steps, B), jnp.float32)
+    lpi0 = jnp.zeros((steps, B, max(lpk, 1)), jnp.int32)
+    lpv0 = jnp.zeros((steps, B, max(lpk, 1)), jnp.float32)
 
     def cond(c):
-        i, tok, cache, rem, alive, out, cnt = c
+        i, tok, cache, rem, alive, out, cnt, lp, lpi, lpv = c
         return (i < steps) & jnp.any(alive & active & (cache.pos < S)
                                      & (rem > 0))
 
     def body(c):
-        i, tok, cache, rem, alive, out, cnt = c
+        i, tok, cache, rem, alive, out, cnt, lp, lpi, lpv = c
         act = alive & active & (cache.pos < S) & (rem > 0)
         logits, cache = forward_fn(tok[:, None], cache, active=act)
-        k = keys[i]
+        if per_slot_keys:
+            k = jax.vmap(jax.random.fold_in)(slot_keys, key_offsets + i)
+        else:
+            k = keys[i]
         lg = logits[:, -1, :]
+        if lpk:
+            logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
         if penal:
             lg = (apply_penalties(lg, cnt, state.repeat_penalty,
                                   state.presence_penalty,
@@ -170,21 +210,32 @@ def _decode_chunk_body(forward_fn, sampler: SamplerConfig, last_tokens,
         nxt = (sample_state(lg, k, state) if state is not None
                else sample(lg, k, sampler))
         nxt = jnp.where(act, nxt, tok)
+        if lpk:
+            chosen = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+            tv, ti = jax.lax.top_k(logp, lpk)
+            lp = jax.lax.dynamic_update_slice(lp, chosen[None], (i, 0))
+            lpi = jax.lax.dynamic_update_slice(lpi, ti[None], (i, 0, 0))
+            lpv = jax.lax.dynamic_update_slice(lpv, tv[None], (i, 0, 0))
         if penal:
             cnt = bump_counts(cnt, nxt, active=act)
         alive = alive & ~(act & (nxt == eos_ids))
         rem = rem - act.astype(jnp.int32)
         out = jax.lax.dynamic_update_slice(out, nxt[None], (i, 0))
-        return (i + 1, nxt, cache, rem, alive, out, cnt)
+        return (i + 1, nxt, cache, rem, alive, out, cnt, lp, lpi, lpv)
 
     alive0 = jnp.ones((B,), bool)
-    _, _, cache, _, _, toks, cnt = jax.lax.while_loop(
+    _, _, cache, _, _, toks, cnt, lp, lpi, lpv = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), last_tokens, cache, remaining, alive0, out0, cnt0))
+        (jnp.int32(0), last_tokens, cache, remaining, alive0, out0, cnt0,
+         lp0, lpi0, lpv0))
     toks = jnp.moveaxis(toks, 0, 1)  # (B, steps)
+    res = (toks, cache)
     if penal:
-        return toks, cache, cnt
-    return toks, cache
+        res += (cnt,)
+    if lpk:
+        res += ((jnp.moveaxis(lp, 0, 1), jnp.moveaxis(lpi, 0, 1),
+                 jnp.moveaxis(lpv, 0, 1)),)
+    return res
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -243,24 +294,47 @@ def _prefill_slot(params, cfg: ModelConfig, tokens, true_len, cache: KVCache,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "steps", "sampler", "impl"),
+    static_argnames=("cfg", "steps", "sampler", "impl", "logprobs_k"),
     donate_argnames=("cache",),
 )
 def _decode_chunk(params, cfg: ModelConfig, last_tokens, cache: KVCache,
                   keys, active, steps: int,
                   sampler: SamplerConfig = SamplerConfig(),
                   impl: str = "auto", eos_ids=None, remaining=None,
-                  state: Optional[SamplerState] = None, counts=None):
+                  state: Optional[SamplerState] = None, counts=None,
+                  logprobs_k: int = 0, slot_keys=None, key_offsets=None):
     """Single-chip decode chunk: `steps` tokens for every active slot.
     counts (B, V) int32 (optional): per-slot generated-token counts for
     the repetition penalties; when given, the return gains the updated
-    counts."""
+    counts.  logprobs_k (static, optional): when > 0 the return gains a
+    (chosen, top_ids, top_vals) logprob triple (see _decode_chunk_body).
+    slot_keys/key_offsets (optional): per-slot PRNG chains for
+    reproducible per-request seeds (see _decode_chunk_body)."""
     del steps
     return _decode_chunk_body(
         lambda t, c, active=None, valid=None: forward(
             params, cfg, t, c, impl=impl, active=active, valid=valid),
         sampler, last_tokens, cache, keys, active, eos_ids=eos_ids,
-        remaining=remaining, state=state, counts=counts)
+        remaining=remaining, state=state, counts=counts,
+        logprobs_k=logprobs_k, slot_keys=slot_keys,
+        key_offsets=key_offsets)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _logprobs_of(logits, token, k: int):
+    """One-off logprob record for a single (V,) logits row (the prefill
+    first token): (chosen logprob, top-k ids, top-k logprobs)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+    tv, ti = jax.lax.top_k(logp, k)
+    return logp[token], ti, tv
+
+
+def _lp_rec(chosen, ids, vals, n: int) -> dict:
+    """Host-side logprob record: chosen-token logprob + the top-n
+    alternatives as (token_id, logprob) pairs."""
+    return {"logprob": float(chosen),
+            "top": [(int(i), float(v))
+                    for i, v in zip(ids[:n], vals[:n])]}
 
 
 class InferenceEngine:
@@ -284,7 +358,8 @@ class InferenceEngine:
                  speculative: bool = False, spec_k: int = 8,
                  spec_ngram: int = 3, prefix_cache_size: int = 0,
                  prefix_cache_max_len: int = 256,
-                 prefix_cache_min_reuse: int = 16, kv_quant: bool = False):
+                 prefix_cache_min_reuse: int = 16, kv_quant: bool = False,
+                 logprobs_k: int = 8):
         """step_fns: optional (prefill_fn, decode_fn) pair replacing the
         single-chip jitted steps -- e.g. parallel/tp.make_engine_fns for a
         tensor-parallel mesh (pass pre-sharded params and a sharded cache):
@@ -318,6 +393,12 @@ class InferenceEngine:
         step_fns engines ignore it).  prefix_cache_max_len bounds stored
         bytes per entry; prefix_cache_min_reuse is the shortest match
         worth the block copy.
+        logprobs_k: static top-k width of the logprob records produced
+        when a request asks for them (submit(..., logprobs=n), n capped
+        at this).  The decode chunk gains a log-softmax + top-k per step
+        only while a logprobs request is live (two jit cache entries,
+        like the dynamic-sampling path).  Single-chip engines only (the
+        step_fns decode signature doesn't carry the extra outputs).
         """
         self.cfg = cfg
         self.params = params
@@ -359,6 +440,14 @@ class InferenceEngine:
         # returns to the cheap argmax path once override requests drain --
         # at most 2 jit cache entries either way)
         self._n_dynamic = 0
+        self.logprobs_k = max(int(logprobs_k), 1)
+        self._n_logprobs = 0  # live requests wanting logprob records
+        # per-slot PRNG base keys (uint32 key data).  Always filled at
+        # admission; the per-slot-key decode variant engages only while a
+        # seeded request is live (_n_seeded > 0), so the default path's
+        # jit cache and sampling streams are untouched otherwise.
+        self._n_seeded = 0
+        self._slot_key = np.zeros((max_batch, 2), np.uint32)
         self._slot_temp = np.full((max_batch,), sampler.temperature, np.float32)
         self._slot_topk = np.full((max_batch,), sampler.top_k, np.int32)
         self._slot_topp = np.full((max_batch,), sampler.top_p, np.float32)
@@ -396,12 +485,20 @@ class InferenceEngine:
                repeat_penalty: Optional[float] = None,
                presence_penalty: Optional[float] = None,
                frequency_penalty: Optional[float] = None,
-               stop_tokens: Optional[List[List[int]]] = None) -> int:
+               stop_tokens: Optional[List[List[int]]] = None,
+               logprobs: int = 0, seed: Optional[int] = None) -> int:
         prompt = [int(t) for t in np.asarray(prompt).reshape(-1)]
         assert len(prompt) >= 1, "empty prompt"
         assert len(prompt) + max_new_tokens <= self.S, (
             f"prompt {len(prompt)} + max_new {max_new_tokens} exceeds "
             f"engine max_len {self.S}")
+        if logprobs:
+            assert self._step_fns is None, (
+                "logprobs are single-chip only (mesh step_fns)")
+            logprobs = min(int(logprobs), self.logprobs_k)
+        if seed is not None:
+            assert self._step_fns is None, (
+                "per-request seeds are single-chip only (mesh step_fns)")
         if stop_tokens:
             stop_tokens = [[int(t) for t in s] for s in stop_tokens]
             assert all(len(s) >= 1 for s in stop_tokens), (
@@ -411,13 +508,18 @@ class InferenceEngine:
               presence_penalty, frequency_penalty)
         if any(v is not None for v in ov):
             self._n_dynamic += 1
+        if logprobs:
+            self._n_logprobs += 1
+        if seed is not None:
+            self._n_seeded += 1
         self.waiting.append(Request(uid, prompt, max_new_tokens, eos_id,
                                     temperature=temperature, top_k=top_k,
                                     top_p=top_p, min_p=min_p,
                                     repeat_penalty=repeat_penalty,
                                     presence_penalty=presence_penalty,
                                     frequency_penalty=frequency_penalty,
-                                    stop_tokens=stop_tokens))
+                                    stop_tokens=stop_tokens,
+                                    logprobs=logprobs, seed=seed))
         return uid
 
     def pending(self) -> int:
@@ -467,6 +569,12 @@ class InferenceEngine:
             self._slot_fp[slot] = (s.frequency_penalty
                                    if req.frequency_penalty is None
                                    else req.frequency_penalty)
+            # per-slot PRNG base: a seeded request's chain is a pure
+            # function of its seed; unseeded slots draw a fresh base from
+            # the engine key (used only while a seeded request is live)
+            self._slot_key[slot] = np.asarray(
+                jax.random.PRNGKey(req.seed) if req.seed is not None
+                else self._next_key())
             if (self._slot_rp[slot] != 1.0 or self._slot_pp[slot] != 0.0
                     or self._slot_fp[slot] != 0.0) and self._counts is None:
                 self._counts = jnp.zeros((self.B, self.cfg.vocab_size),
@@ -547,7 +655,10 @@ class InferenceEngine:
         if not req.prefilling:  # prompt fully ingested -> first token
             if self.prefix_cache_size:
                 self._store_prefix(slot, req)
-            k = self._next_key()
+            # seeded mode: the first token is sample index 0 of the slot's
+            # key chain (decode chunks continue at index len(output))
+            k = (jax.random.fold_in(jnp.asarray(self._slot_key[slot]), 0)
+                 if self._n_seeded else self._next_key())
             if self._dynamic_sampling:
                 st = SamplerState.make(self._slot_temp[slot:slot + 1],
                                        self._slot_topk[slot:slot + 1],
@@ -559,6 +670,12 @@ class InferenceEngine:
                 first = int(sample_state(last[None], k, st)[0])
             else:
                 first = int(sample(last[None], k, self.sampler)[0])
+            if req.logprobs:
+                lp, ti, tv = _logprobs_of(last, jnp.int32(first),
+                                          self.logprobs_k)
+                req.logprobs_out.append(
+                    _lp_rec(lp, np.asarray(ti), np.asarray(tv),
+                            req.logprobs))
             req.last_logits = None
             req.output.append(first)
             if self._counts is not None:
@@ -651,9 +768,19 @@ class InferenceEngine:
     def _drop_dynamic(self, req: Request):
         if self._req_has_overrides(req):
             self._n_dynamic -= 1
+        if req.logprobs:
+            self._n_logprobs -= 1
+            req.logprobs = 0  # idempotent (cancel after finish, etc.)
+        if req.seed is not None:
+            self._n_seeded -= 1
+            req.seed = None
 
     def _finish(self, slot: Optional[int], req: Request):
         req.done = True
+        # a stop_tokens truncation shortens output after its logprob
+        # records were appended -- keep the two aligned
+        if req.logprobs_out:
+            del req.logprobs_out[len(req.output):]
         self._drop_dynamic(req)
         self.finished[req.uid] = req
         self.stats["requests_finished"] += 1
@@ -680,6 +807,19 @@ class InferenceEngine:
                         or self._slot_fp[i] != 0.0)
                     for i, r in enumerate(self.slots)):
                 self._counts = None
+
+    def request(self, uid: int) -> Optional[Request]:
+        """Look up a request by uid wherever it lives (waiting queue,
+        active slot, or finished map); None if unknown.  Used by serving
+        layers that need live per-request state (e.g. logprob records
+        before cancelling a streamed request)."""
+        for r in self.waiting:
+            if r.uid == uid:
+                return r
+        for r in self.slots:
+            if r is not None and r.uid == uid:
+                return r
+        return self.finished.get(uid)
 
     def cancel(self, uid: int) -> bool:
         """Abort a request: drop it from the wait queue or free its slot.
@@ -738,10 +878,19 @@ class InferenceEngine:
                                       self._slot_pp, self._slot_fp,
                                       self._slot_minp)
         if (self.speculative and self._slot_temp[0] <= 0.0
-                and self._counts is None and self._spec_fits()):
+                and self._counts is None and self._n_logprobs == 0
+                and self._spec_fits()):
             return self._decode_chunk_speculative()
         t0 = time.perf_counter()
         keys = jax.random.split(self._next_key(), self.chunk)
+        lpk = self.logprobs_k if self._n_logprobs else 0
+        lps = None
+        sk = ko = None
+        if self._n_seeded and self._step_fns is None:
+            sk = jnp.asarray(self._slot_key)
+            ko = jnp.asarray(np.array(
+                [len(r.output) if r is not None else 0
+                 for r in self.slots], np.int32))
         if self._step_fns is not None:
             r = self._step_fns[1](
                 self.params, jnp.asarray(self.last_tokens), self.cache,
@@ -757,7 +906,11 @@ class InferenceEngine:
                 keys, jnp.asarray(active_np), steps=self.chunk,
                 sampler=self.sampler, impl=self.impl,
                 eos_ids=jnp.asarray(eos_np), remaining=jnp.asarray(rem_np),
-                state=state, counts=self._counts)
+                state=state, counts=self._counts, logprobs_k=lpk,
+                slot_keys=sk, key_offsets=ko)
+            r = list(r)
+            if lpk:
+                lps = tuple(np.asarray(a) for a in r.pop())
             if self._counts is not None:
                 toks, self.cache, self._counts = r
             else:
@@ -768,8 +921,12 @@ class InferenceEngine:
         for slot, req in enumerate(self.slots):
             if req is None or not active_np[slot]:
                 continue  # empty, still prefilling, or no first token yet
-            for t in toks[slot]:
+            for j, t in enumerate(toks[slot]):
                 req.output.append(int(t))
+                if lps is not None and req.logprobs:
+                    req.logprobs_out.append(
+                        _lp_rec(lps[0][slot, j], lps[1][slot, j],
+                                lps[2][slot, j], req.logprobs))
                 self.stats["decode_tokens"] += 1
                 if self._finished_after_append(req):
                     break

@@ -157,12 +157,24 @@ def filtered_logits(logits: jax.Array, cfg: SamplerConfig) -> jax.Array:
     return logits
 
 
+def _categorical(key: jax.Array, logits: jax.Array) -> jax.Array:
+    """jax.random.categorical that also accepts PER-ROW keys: key (2,)
+    draws the whole (B, V) batch from one stream (the engine's default);
+    key (B, 2) gives every row its own stream (per-request seeds -- a
+    request's noise then depends only on its own key chain, not on batch
+    composition)."""
+    if key.ndim == 2:
+        return jax.vmap(
+            lambda k, l: jax.random.categorical(k, l))(key, logits)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
 def sample(logits: jax.Array, key: jax.Array, cfg: SamplerConfig) -> jax.Array:
-    """logits (B, V) -> token ids (B,). Static config => traced once."""
+    """logits (B, V) -> token ids (B,). Static config => traced once.
+    key: (2,) batch-wide or (B, 2) per-row (see _categorical)."""
     if cfg.temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return jax.random.categorical(key, filtered_logits(logits, cfg),
-                                  axis=-1).astype(jnp.int32)
+    return _categorical(key, filtered_logits(logits, cfg)).astype(jnp.int32)
 
 
 def sample_state(logits: jax.Array, key: jax.Array,
@@ -200,5 +212,5 @@ def sample_state(logits: jax.Array, key: jax.Array,
         jnp.where(jnp.isfinite(masked), lf, -jnp.inf), axis=-1)
     pmax = jnp.max(probs_m, axis=-1, keepdims=True)
     masked = jnp.where(probs_m < st.min_p[:, None] * pmax, -jnp.inf, masked)
-    sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+    sampled = _categorical(key, masked).astype(jnp.int32)
     return jnp.where(st.temperature <= 0.0, greedy, sampled)

@@ -15,9 +15,15 @@ API (JSON over HTTP):
                               generation cancelled live at the match),
                           "stop_token_ids": [int]  (token-level stops,
                               matched in the engine),
+                          "logprobs": int  (per-token logprob of the chosen
+                              token + that many top alternatives, computed
+                              from the RAW model distribution; non-stream
+                              responses only),
                           "stream": bool}
                       -> {"ids": [int, ...], "uid": int,
-                          "finish_reason": "eos"|"stop"|"length"}
+                          "finish_reason": "eos"|"stop"|"length",
+                          "logprobs": [{"id", "token"?, "logprob",
+                                        "top": [...]}, ...]  (when asked)}
      or with "stream": true -> text/event-stream of
                          data: {"ids": [new tokens], "done": false}
                          ...
@@ -134,6 +140,9 @@ class ServingEngine:
         # finish reasons captured at completion ("eos"/"stop"/"length");
         # entries are popped by pop_reason (bounded: one per live waiter)
         self._reasons: dict[int, str] = {}
+        # logprob records captured at completion for requests that asked
+        # for them (engine Request.logprobs_out); popped by pop_logprobs
+        self._lps: dict[int, list] = {}
         self._poll_s = poll_s
         self._stop = False
         engine.stream_cb = self._on_tokens
@@ -157,11 +166,15 @@ class ServingEngine:
             req = self.engine.finished.pop(uid, None)
             if req is not None:
                 self._reasons[uid] = req.finish_reason or "length"
-                # bound the reason map: callers normally pop_reason() right
-                # after completion; drop the oldest entries if a caller
-                # that never does accumulates them (insertion-ordered dict)
+                if req.logprobs_out:
+                    self._lps[uid] = req.logprobs_out
+                # bound the maps: callers normally pop right after
+                # completion; drop the oldest entries if a caller that
+                # never does accumulates them (insertion-ordered dicts)
                 while len(self._reasons) > 4096:
                     self._reasons.pop(next(iter(self._reasons)))
+                while len(self._lps) > 4096:
+                    self._lps.pop(next(iter(self._lps)))
             # record the result only for a blocking waiter (complete());
             # streaming consumers read their queue -- unconditionally
             # storing would leak an entry per streamed request
@@ -180,10 +193,10 @@ class ServingEngine:
                 time.sleep(self._poll_s)
 
     def _submit(self, prompt_ids, max_tokens, eos_id, sampling,
-                stop_tokens=None):
+                stop_tokens=None, logprobs=0):
         return self.engine.submit(prompt_ids, max_new_tokens=max_tokens,
                                   eos_id=eos_id, stop_tokens=stop_tokens,
-                                  **(sampling or {}))
+                                  logprobs=logprobs, **(sampling or {}))
 
     def pop_reason(self, uid: int, default: str = "length") -> str:
         """The engine-side finish reason ("eos"/"stop"/"length") recorded
@@ -191,13 +204,20 @@ class ServingEngine:
         with self._lock:
             return self._reasons.pop(uid, default)
 
+    def pop_logprobs(self, uid: int) -> list:
+        """Per-token logprob records (engine Request.logprobs_out) for a
+        completed request; one-shot.  Empty if none were requested."""
+        with self._lock:
+            return self._lps.pop(uid, [])
+
     def complete(self, prompt_ids, max_tokens: int = 128,
                  eos_id: Optional[int] = None, timeout: float = 600.0,
-                 sampling: Optional[dict] = None, stop_tokens=None):
+                 sampling: Optional[dict] = None, stop_tokens=None,
+                 logprobs: int = 0):
         ev = threading.Event()
         with self._lock:
             uid = self._submit(prompt_ids, max_tokens, eos_id, sampling,
-                               stop_tokens)
+                               stop_tokens, logprobs)
             self._events[uid] = ev
         if not ev.wait(timeout):
             # Clean up fully: free the engine slot (or wait-queue entry) and
@@ -207,6 +227,7 @@ class ServingEngine:
                 self._events.pop(uid, None)
                 self._results.pop(uid, None)
                 self._reasons.pop(uid, None)
+                self._lps.pop(uid, None)
                 self.engine.cancel(uid)
             raise TimeoutError(f"request {uid} timed out after {timeout}s")
         return uid, self._results.pop(uid)
@@ -214,7 +235,7 @@ class ServingEngine:
     def stream(self, prompt_ids, max_tokens: int = 128,
                eos_id: Optional[int] = None, timeout: float = 600.0,
                sampling: Optional[dict] = None, stop_tokens=None,
-               uid_box: Optional[list] = None):
+               uid_box: Optional[list] = None, logprobs: int = 0):
         """Generator of (delta_tokens, done) tuples as the engine produces
         them -- tokens arrive per decode chunk, BEFORE the request
         completes.  uid_box: optional list the request uid is appended to
@@ -223,7 +244,7 @@ class ServingEngine:
         q: queue.Queue = queue.Queue()
         with self._lock:
             uid = self._submit(prompt_ids, max_tokens, eos_id, sampling,
-                               stop_tokens)
+                               stop_tokens, logprobs)
             self._queues[uid] = q
             self._delivered[uid] = 0
         if uid_box is not None:
@@ -247,9 +268,16 @@ class ServingEngine:
                 self._results.pop(uid, None)
                 if not finished:
                     # consumer went away mid-stream (client disconnect,
-                    # timeout, GeneratorExit): free the engine slot so the
-                    # request doesn't keep decoding as a zombie -- and drop
-                    # its reason entry (nobody will pop it)
+                    # timeout, GeneratorExit, or a live text-stop match):
+                    # free the engine slot so the request doesn't keep
+                    # decoding as a zombie.  Capture its logprob records
+                    # FIRST (a cancelled request never reaches the finish
+                    # callback), drop its reason entry (nobody pops it).
+                    if logprobs:
+                        r = self.engine.request(uid)
+                        if r is not None and r.logprobs_out:
+                            self._lps[uid] = list(
+                                r.logprobs_out[:len(r.output)])
                     self._reasons.pop(uid, None)
                     self.engine.cancel(uid)
 
@@ -274,6 +302,23 @@ def _stops_from_req(req: dict):
     return stop_strs, (stop_tokens or None)
 
 
+def _fmt_logprobs(ids, recs, tokenizer):
+    """Engine logprob records -> JSON-friendly per-token entries, aligned
+    1:1 with the generated ids (recs may be shorter if the request was
+    cancelled mid-chunk)."""
+    out = []
+    for tid, rec in zip(ids, recs):
+        e = {"id": int(tid), "logprob": rec["logprob"],
+             "top": [{"id": int(i), "logprob": float(v)}
+                     for i, v in rec["top"]]}
+        if tokenizer is not None:
+            e["token"] = tokenizer.decode([int(tid)])
+            for t in e["top"]:
+                t["token"] = tokenizer.decode([t["id"]])
+        out.append(e)
+    return out
+
+
 def _sampling_from_req(req: dict) -> Optional[dict]:
     s = {}
     if "temperature" in req:
@@ -290,6 +335,9 @@ def _sampling_from_req(req: dict) -> Optional[dict]:
         s["presence_penalty"] = float(req["presence_penalty"])
     if "frequency_penalty" in req:
         s["frequency_penalty"] = float(req["frequency_penalty"])
+    if "seed" in req and req["seed"] is not None:
+        # per-request reproducible sampling (engine submit(seed=...))
+        s["seed"] = int(req["seed"])
     return s or None
 
 
@@ -319,12 +367,13 @@ def make_handler(serving: ServingEngine, tokenizer=None,
             return self._json(404, {"error": "not found"})
 
         def _consume_with_stops(self, ids, max_tokens, eos_id, sampling,
-                                stop_strs, stop_tokens, strip_eos=False):
+                                stop_strs, stop_tokens, strip_eos=False,
+                                logprobs=0):
             """Drive a request through the internal stream so text-level
             stop strings can cancel generation LIVE (at chunk granularity)
             instead of truncating after the full max_tokens completion.
-            Returns (uid, out_ids, text, finish_reason); text is None when
-            the server has no tokenizer."""
+            Returns (uid, out_ids, text, finish_reason, logprob_recs);
+            text is None when the server has no tokenizer."""
             m = StopMatcher(stop_strs)
             box: list = []
             out: list = []
@@ -332,7 +381,7 @@ def make_handler(serving: ServingEngine, tokenizer=None,
             reason = "length"
             gen = serving.stream(ids, max_tokens=max_tokens, eos_id=eos_id,
                                  sampling=sampling, stop_tokens=stop_tokens,
-                                 uid_box=box)
+                                 uid_box=box, logprobs=logprobs)
             try:
                 for delta, done in gen:
                     out.extend(delta)
@@ -353,7 +402,8 @@ def make_handler(serving: ServingEngine, tokenizer=None,
                 gen.close()
                 raise
             text = m.text if tokenizer is not None else None
-            return (box[0] if box else -1), out, text, reason
+            recs = serving.pop_logprobs(box[0]) if (logprobs and box) else []
+            return (box[0] if box else -1), out, text, reason, recs
 
         def _stream_response(self, ids, max_tokens, eos_id, sampling,
                              stop_strs=(), stop_tokens=None):
@@ -484,25 +534,41 @@ def make_handler(serving: ServingEngine, tokenizer=None,
             if req.get("stream"):
                 return self._chat_stream(ids, max_tokens, eos_id, sampling,
                                          cid, stop_strs, stop_tokens)
+            # OpenAI chat logprobs: "logprobs": true (+ "top_logprobs": N)
+            n_lp = int(req.get("top_logprobs") or 1) \
+                if req.get("logprobs") else 0
             if stop_strs:
-                uid, out, text, reason = self._consume_with_stops(
+                uid, out, text, reason, recs = self._consume_with_stops(
                     ids, max_tokens, eos_id, sampling, stop_strs,
-                    stop_tokens, strip_eos=True)
+                    stop_tokens, strip_eos=True, logprobs=n_lp)
             else:
                 uid, out = serving.complete(ids, max_tokens=max_tokens,
                                             eos_id=eos_id, sampling=sampling,
-                                            stop_tokens=stop_tokens)
+                                            stop_tokens=stop_tokens,
+                                            logprobs=n_lp)
                 reason = serving.pop_reason(uid)
+                recs = serving.pop_logprobs(uid) if n_lp else []
                 text = tokenizer.decode(
                     [t for t in out if eos_id is None or t != eos_id])
+            choice = {"index": 0,
+                      "message": {"role": "assistant", "content": text},
+                      "finish_reason": "length" if reason == "length"
+                      else "stop"}
+            if n_lp:
+                # records align with the RAW output ids; drop eos entries
+                # to match the content string
+                choice["logprobs"] = {"content": [
+                    {"token": e.get("token", str(e["id"])),
+                     "logprob": e["logprob"],
+                     "top_logprobs": [
+                         {"token": t.get("token", str(t["id"])),
+                          "logprob": t["logprob"]} for t in e["top"]]}
+                    for e in _fmt_logprobs(out, recs, tokenizer)
+                    if e["id"] != eos_id]}
             return self._json(200, {
                 "id": cid, "object": "chat.completion",
                 "model": model_name,
-                "choices": [{"index": 0,
-                             "message": {"role": "assistant",
-                                         "content": text},
-                             "finish_reason": "length" if reason == "length"
-                             else "stop"}],
+                "choices": [choice],
                 "usage": {"prompt_tokens": len(ids),
                           "completion_tokens": len(out),
                           "total_tokens": len(ids) + len(out)},
@@ -542,18 +608,26 @@ def make_handler(serving: ServingEngine, tokenizer=None,
                     return self._stream_response(ids, max_tokens, eos_id,
                                                  sampling, stop_strs,
                                                  stop_tokens)
+                n_lp = int(req.get("logprobs") or 0)
                 if stop_strs:
-                    uid, out, text, reason = self._consume_with_stops(
+                    uid, out, text, reason, recs = self._consume_with_stops(
                         ids, max_tokens, eos_id, sampling, stop_strs,
-                        stop_tokens)
+                        stop_tokens, logprobs=n_lp)
                     resp = {"uid": uid, "ids": out, "text": text,
                             "finish_reason": reason}
+                    if n_lp:
+                        resp["logprobs"] = _fmt_logprobs(out, recs,
+                                                         tokenizer)
                     return self._json(200, resp)
                 uid, out = serving.complete(ids, max_tokens=max_tokens,
                                             eos_id=eos_id, sampling=sampling,
-                                            stop_tokens=stop_tokens)
+                                            stop_tokens=stop_tokens,
+                                            logprobs=n_lp)
                 resp = {"uid": uid, "ids": out,
                         "finish_reason": serving.pop_reason(uid)}
+                if n_lp:
+                    resp["logprobs"] = _fmt_logprobs(
+                        out, serving.pop_logprobs(uid), tokenizer)
                 if tokenizer is not None:
                     resp["text"] = tokenizer.decode(out)
                 return self._json(200, resp)
