@@ -379,10 +379,18 @@ def run_gate(configs=None, scale: int = 0, impl: str = "auto",
             # expert (~187 GB for 8x7B) -- run this row scaled and label it
             cfg = cfg.scaled(4)
             label = f"{label}(/4)"
+        import sys
+        import time
+        t0 = time.monotonic()
         r = model_parity(cfg, seed=seed, impl=impl)
         r["preset"] = label
         r["quant"] = f"b{cfg.quant.bits}/{cfg.quant.mode}/gs{cfg.quant.group_size}"
+        r["gate_seconds"] = round(time.monotonic() - t0, 1)
         rows.append(r)
+        # stream each row as it lands so a timeout still leaves a record
+        print(f"[parity] {label}: nmse={r['nmse']:.2e} agree={r['agree']:.3f} "
+              f"tie_aware={r['agree_tie_aware']:.3f} dppl={r['ppl_rel_delta']:.2e} "
+              f"({r['gate_seconds']:.0f}s)", flush=True, file=sys.stderr)
     return rows
 
 
