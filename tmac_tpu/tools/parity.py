@@ -23,6 +23,8 @@ Pass bars (see tests/test_parity.py and BENCH.md):
 
 from __future__ import annotations
 
+import sys
+import time
 from typing import Any, Dict, List
 
 import jax
@@ -379,8 +381,6 @@ def run_gate(configs=None, scale: int = 0, impl: str = "auto",
             # expert (~187 GB for 8x7B) -- run this row scaled and label it
             cfg = cfg.scaled(4)
             label = f"{label}(/4)"
-        import sys
-        import time
         t0 = time.monotonic()
         r = model_parity(cfg, seed=seed, impl=impl)
         r["preset"] = label
