@@ -226,3 +226,76 @@ print("TOKENS", sys.argv[1], ids, flush=True)
     for i, (p, out_s) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out_s}"
         assert f"TOKENS {i} {ref}" in out_s, (ref, out_s)
+
+
+def test_multiprocess_engine_dp(tmp_path):
+    """The PRODUCTION serving engine (InferenceEngine + make_engine_fns,
+    continuous batching) across 2 jax.distributed processes with dp=2 x
+    tp=2: each process owns one dp group's KV slots, decode-chunk token
+    reads are replicated via the in-shard_map all_gather, and both
+    processes (and an identically-sharded single-process run) must
+    produce the SAME tokens (VERDICT round-3 item 9 -- the multi-host
+    claim extended from step functions to the serving layer)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    prog = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from tmac_tpu.parallel.launch import init
+info = init(coordinator_address="127.0.0.1:%d",
+            num_processes=2, process_id=int(sys.argv[1]))
+assert info["global_devices"] == 4, info
+from tmac_tpu.models.config import get_preset
+from tmac_tpu.models.llama import KVCache, init_params
+from tmac_tpu.parallel import tp as tpmod
+from tmac_tpu.runtime.engine import InferenceEngine
+cfg = get_preset("llama-2-7b").scaled(4)
+params = init_params(cfg, seed=11, tp=2)
+mesh = tpmod.make_mesh(tp=2, dp=2)
+sparams = tpmod.shard_params(params, mesh)
+cache = tpmod.shard_cache(KVCache.create(cfg, 2, 64), mesh)
+eng = InferenceEngine(cfg, sparams, max_batch=2, max_len=64, impl="xla",
+                      decode_chunk=4,
+                      step_fns=tpmod.make_engine_fns(cfg, mesh, impl="xla"),
+                      cache=cache)
+u1 = eng.submit([1, 2, 3], max_new_tokens=6)
+u2 = eng.submit([9, 8], max_new_tokens=5)
+res = eng.run()
+print("TOKENS", sys.argv[1], res[u1] + res[u2], flush=True)
+""" % port
+
+    # identically-sharded single-process reference (same mesh shape =>
+    # same HLO and reduction order => exact token equality)
+    import jax as _jax
+    if len(_jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from tmac_tpu.runtime.engine import InferenceEngine
+
+    cfg = get_preset("llama-2-7b").scaled(4)
+    params = init_params(cfg, seed=11, tp=2)
+    mesh = tpmod.make_mesh(tp=2, dp=2, devices=_jax.devices()[:4])
+    sparams = tpmod.shard_params(params, mesh)
+    cache = tpmod.shard_cache(KVCache.create(cfg, 2, 64), mesh)
+    eng = InferenceEngine(cfg, sparams, max_batch=2, max_len=64, impl="xla",
+                          decode_chunk=4,
+                          step_fns=tpmod.make_engine_fns(cfg, mesh,
+                                                         impl="xla"),
+                          cache=cache)
+    u1 = eng.submit([1, 2, 3], max_new_tokens=6)
+    u2 = eng.submit([9, 8], max_new_tokens=5)
+    res = eng.run()
+    ref = res[u1] + res[u2]
+    assert len(res[u1]) == 6 and len(res[u2]) == 5
+
+    outs, procs = _run_two_procs(prog)
+    for i, (p, out_s) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out_s}"
+        assert f"TOKENS {i} {ref}" in out_s, (ref, out_s)

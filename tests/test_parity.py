@@ -122,3 +122,48 @@ def test_parity_oracle_catches_ignored_window():
     from tmac_tpu.utils import nmse
     tail = nmse(oracle[0, -1], np.asarray(prod)[0, -1].astype(np.float32))
     assert tail > 2e-3, tail  # the gate would catch it
+
+
+@pytest.mark.parametrize("bits,gs,zp,ks,ms", [
+    (2, 64, True, 1, 1),
+    (4, 32, False, 1, 1),
+    (3, 64, True, 1, 1),     # two-plane packing
+    (2, 64, True, 2, 1),     # k-sharded (row-parallel packing)
+    (4, 64, True, 1, 2),     # m-sharded (column-parallel padding)
+])
+def test_dense_weight_matches_identity_contract(bits, gs, zp, ks, ms):
+    """The host-side dense_weight (numpy, no device traffic) must equal
+    the executable dequant contract: identity @ qgemm_xla.  Guards the
+    oracle's densification across every packing layout."""
+    import jax.numpy as jnp
+
+    from tmac_tpu.ops.qgemm import QuantizedTensor, qgemm_xla
+
+    rng = np.random.default_rng(3)
+    K, M = 256, 384  # M/ms not a lane multiple -> exercises m-padding
+    w = rng.standard_normal((K, M)).astype(np.float32) / 16
+    qt = QuantizedTensor.from_float(w, bits=bits, group_size=gs,
+                                    zero_point=zp, k_shards=ks, m_shards=ms)
+    got = parity.dense_weight(qt)
+    eye = jnp.eye(K, dtype=jnp.float32)
+    want = np.asarray(qgemm_xla(eye, qt, out_dtype=jnp.float32))
+    assert got.shape == want.shape == (K, M)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_dense_weight_matches_identity_contract_fused_and_pertensor():
+    import jax.numpy as jnp
+
+    from tmac_tpu.models.config import get_preset
+    from tmac_tpu.models.llama import init_params
+    from tmac_tpu.ops.qgemm import qgemm_xla
+
+    # fused wqkv (m_segments) from a real preset init + the BitNet
+    # per-tensor w_a8 mode in one shot
+    for preset in ("llama-2-7b", "bitnet-3b"):
+        cfg = get_preset(preset).scaled(8)
+        qt = init_params(cfg, seed=0)["layers"][0]["wqkv"]
+        got = parity.dense_weight(qt)
+        eye = jnp.eye(qt.kdim, dtype=jnp.float32)
+        want = np.asarray(qgemm_xla(eye, qt, out_dtype=jnp.float32))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)

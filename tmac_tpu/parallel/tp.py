@@ -252,19 +252,25 @@ def make_engine_fns(cfg: ModelConfig, mesh: Mesh,
             # group would draw identical gumbel noise each step
             grp = jax.lax.axis_index("dp")
             keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, grp)
-        return _decode_chunk_body(_fwd(params), sampler, last, cache, keys,
-                                  active, eos_ids=eos_ids,
-                                  remaining=remaining, state=state,
-                                  counts=counts)
+        r = _decode_chunk_body(_fwd(params), sampler, last, cache, keys,
+                               active, eos_ids=eos_ids,
+                               remaining=remaining, state=state,
+                               counts=counts)
+        if dp > 1:
+            # replicate the (tiny, int32) token output across dp groups:
+            # the engine host loop reads it every chunk, and under
+            # multi-PROCESS dp a dp-sharded array is not fully addressable
+            # from any one process (each host owns only its groups' slots)
+            r = (jax.lax.all_gather(r[0], "dp", axis=0, tiled=True),) + r[1:]
+        return r
 
     return _lazy_engine_wrappers(
         mesh, param_specs, cspecs, _prefill, _decode,
-        b_spec=P("dp") if dp > 1 else REP,
-        out_tok_spec=P("dp", None) if dp > 1 else REP)
+        b_spec=P("dp") if dp > 1 else REP)
 
 
 def _lazy_engine_wrappers(mesh, specs_fn, cspecs, _prefill, _decode,
-                          b_spec=REP, out_tok_spec=REP):
+                          b_spec=REP):
     """Shared (prefill_fn, decode_fn) plumbing for mesh engine fns
     (make_engine_fns here, parallel/ep.make_moe_engine_fns): shard_maps
     built lazily on first call (the param-spec pytree needs the params),
@@ -301,7 +307,7 @@ def _lazy_engine_wrappers(mesh, specs_fn, cspecs, _prefill, _decode,
                 if key_sm[1] else None
             in_specs = (pspecs, b_spec, cspecs, REP, b_spec, b_spec,
                         b_spec, st_spec)
-            out_specs = (out_tok_spec, cspecs)
+            out_specs = (REP, cspecs)
             if key_sm[1]:
                 in_specs = in_specs + (cnt_spec,)
                 out_specs = out_specs + (cnt_spec,)

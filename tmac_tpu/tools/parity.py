@@ -33,7 +33,7 @@ import numpy as np
 
 from tmac_tpu.models.config import ModelConfig, get_preset
 from tmac_tpu.models.llama import KVCache, forward, init_params
-from tmac_tpu.ops.qgemm import QuantizedTensor, qgemm_xla
+from tmac_tpu.ops.qgemm import QuantizedTensor
 from tmac_tpu.utils import nmse
 
 
@@ -41,17 +41,60 @@ from tmac_tpu.utils import nmse
 # f32 densification
 # ---------------------------------------------------------------------------
 
+def _slice_m_np(qt: QuantizedTensor, out: np.ndarray) -> np.ndarray:
+    """numpy mirror of QuantizedTensor.slice_m (m-unpad + fused-segment
+    reorder) so densification never routes through the default device."""
+    lead = out.shape[:-1]
+    if qt.m_segments is not None:
+        o = out.reshape(*lead, qt.m_shards, -1)
+        pieces, off = [], 0
+        for (Mi, mspi) in qt.m_segments:
+            seg = o[..., off:off + mspi][..., : Mi // qt.m_shards]
+            pieces.append(seg.reshape(*lead, Mi))
+            off += mspi
+        return np.concatenate(pieces, axis=-1)
+    if qt.mdim_padded == qt.mdim:
+        return out
+    ms = qt.mdim // qt.m_shards
+    msp = qt.mdim_padded // qt.m_shards
+    o = out.reshape(*lead, qt.m_shards, msp)[..., :ms]
+    return o.reshape(*lead, qt.mdim)
+
+
 def dense_weight(qt: QuantizedTensor) -> np.ndarray:
     """(K, M) f32 dequantized dense matrix of a packed QuantizedTensor.
 
-    Computed as identity @ qt through the grouped dequant contract
-    (qgemm_xla), which is exact for one-hot f32 rows -- this reuses the
-    same scales/sub/padding/fused-segment handling the production path
-    sees, so the oracle weights ARE the dequant model of the packed
-    weights (reference contract: Wdq = scales*wq - sub)."""
-    K = qt.kdim
-    eye = jnp.eye(K, dtype=jnp.float32)
-    return np.asarray(qgemm_xla(eye, qt, out_dtype=jnp.float32))
+    Mirrors the grouped dequant contract exactly (reference contract:
+    Wdq = scales*wq - sub, identical to identity @ qgemm_xla -- asserted
+    by tests/test_parity.py::test_dense_weight_matches_identity_contract)
+    but runs ENTIRELY ON HOST in numpy: from_quantized stores group_size
+    so that Kp // group_size == scales rows in every mode (grouped,
+    per-tensor, k-sharded, fused), so one formula covers all layouts.
+    Host-side matters operationally: the f32 dense model of a 7B preset
+    is ~28 GB, and pulling that through the device tunnel dominated the
+    full-size gate's runtime (the identity-matmul form measured ~5 MB/s
+    effective on the v5e tunnel)."""
+    from tmac_tpu.ops import packing
+
+    packed = np.asarray(qt.packed)
+    if qt.bits == 8:
+        wq = packed.view(np.int8).astype(np.float32)  # signed codes
+    elif qt.bits == 3:
+        wq = packing.unpack_b3(packed, np.asarray(qt.packed_hi),
+                               qt.k_shards).astype(np.float32)
+    else:
+        wq = packing.unpack_strided(packed, qt.bits,
+                                    qt.k_shards).astype(np.float32)
+    scales = np.asarray(qt.scales, np.float32)
+    sub = np.asarray(qt.sub, np.float32)
+    Kp, Mp = wq.shape
+    gs = qt.group_size
+    w = wq.reshape(Kp // gs, gs, Mp) * scales[:, None] - sub[:, None]
+    w = w.reshape(Kp, Mp)
+    ks, ksp = qt._k_pad_geometry()
+    if ksp != ks:  # per-shard K unpad (inverse of pad_x_for)
+        w = w.reshape(qt.k_shards, ksp, Mp)[:, :ks].reshape(qt.kdim, Mp)
+    return _slice_m_np(qt, w)
 
 
 def dense_params(params: Dict[str, Any]) -> Dict[str, Any]:
@@ -269,7 +312,12 @@ def model_parity(cfg: ModelConfig, seed: int = 0, T: int = 24,
     """
     rng = np.random.default_rng(seed)
     params = init_params(cfg, seed=seed)
-    dense = dense_params(params)
+    # Densify from a HOST-BACKEND replica: init_params draws every weight
+    # in numpy from the same seed, so the CPU copy is byte-identical to
+    # the production params and the oracle's np.asarray pulls never touch
+    # the device tunnel (a full-size 7B dense model is ~28 GB of f32).
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        dense = dense_params(init_params(cfg, seed=seed))
     prompt = rng.integers(0, cfg.vocab_size, (1, T))
 
     # --- prefill logits parity ---
