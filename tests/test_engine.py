@@ -512,3 +512,45 @@ def test_seed_with_greedy_matches_reference(model):
     res = eng.run()
     assert res[u1] == _reference(cfg, params, [1, 2, 3], 6)
     assert res[u2] == _reference(cfg, params, [7, 8], 6)
+
+
+def test_adaptive_decode_chunk_token_equality(model):
+    """max_decode_chunk grows the on-device chunk when the scheduler is
+    idle; greedy tokens must be identical to the fixed-chunk engine, and
+    the grown engine must do fewer host round trips (stats['chunks'])."""
+    cfg, params = model
+    prompt = [5, 6, 7]
+    n = 48
+
+    def run(**kw):
+        eng = InferenceEngine(cfg, params, max_batch=2, max_len=128,
+                              impl="xla", decode_chunk=4, **kw)
+        uid = eng.submit(prompt, max_new_tokens=n)
+        res = eng.run()
+        return res[uid], eng.stats["chunks"]
+
+    base, base_chunks = run()
+    grown, grown_chunks = run(max_decode_chunk=32)
+    assert grown == base
+    assert len(base) == n
+    assert grown_chunks < base_chunks, (grown_chunks, base_chunks)
+
+
+def test_adaptive_chunk_respects_stop_sequences(model):
+    """Active stop-sequence requests must pin the chunk at its base size
+    (stop matching is host-side at chunk granularity), and the stop must
+    still truncate correctly under an engine configured with a ceiling."""
+    cfg, params = model
+    eng = InferenceEngine(cfg, params, max_batch=1, max_len=128,
+                          impl="xla", decode_chunk=4, max_decode_chunk=64)
+    # learn the greedy continuation first
+    probe = InferenceEngine(cfg, params, max_batch=1, max_len=128,
+                            impl="xla", decode_chunk=4)
+    u0 = probe.submit([5, 6, 7], max_new_tokens=12)
+    ref = probe.run()[u0]
+    stop = ref[5:7]  # stop on tokens 5..6 of the continuation
+    uid = eng.submit([5, 6, 7], max_new_tokens=12, stop_tokens=[stop])
+    res = eng.run()
+    assert res[uid] == ref[:5]
+    # growth suppressed: every decode tick ran the base chunk
+    assert eng.stats["chunks"] >= 2

@@ -351,6 +351,7 @@ class InferenceEngine:
     def __init__(self, cfg: ModelConfig, params, max_batch: int = 8,
                  max_len: int = 2048, sampler: SamplerConfig = SamplerConfig(),
                  impl: str = "auto", decode_chunk: int = 16,
+                 max_decode_chunk: int = 0,
                  prefill_buckets: Optional[List[int]] = None, seed: int = 0,
                  stream_cb: Optional[Callable[[int, List[int]], None]] = None,
                  step_fns=None, cache: Optional[KVCache] = None,
@@ -411,6 +412,18 @@ class InferenceEngine:
         self.sampler = sampler
         self.impl = impl
         self.chunk = decode_chunk
+        # Adaptive chunk growth: when the scheduler has nothing competing
+        # (no waiting queue, no prefilling slot, no stop-sequence request)
+        # the decode chunk doubles up to max_decode_chunk, bounded by the
+        # smallest active remaining-token budget.  Each host round trip
+        # costs ~0.9 ms/token at chunk 32 over a remote tunnel (BENCH.md
+        # long-context section); growing the chunk amortizes it without
+        # hurting admission latency (growth only happens when the queue is
+        # empty) or completion latency (bounded by min remaining).  Chunk
+        # sizes are power-of-two multiples of decode_chunk, so at most
+        # log2(max/chunk) extra jit cache entries.  0 disables.
+        self.max_chunk = max(max_decode_chunk, decode_chunk) \
+            if max_decode_chunk else decode_chunk
         self.stream_cb = stream_cb
         self.speculative = speculative
         self.spec_k = spec_k
@@ -837,6 +850,25 @@ class InferenceEngine:
                 return True
         return self.finished.pop(uid, None) is not None
 
+    def _pick_chunk(self, active_np, rem_np) -> int:
+        """Decode-chunk size for this tick (see max_decode_chunk in
+        __init__).  Growth conditions: nothing waiting to be admitted, no
+        slot mid-prefill, and no active request with token-level stop
+        sequences (those match host-side at chunk granularity, so a big
+        chunk would overrun the stop point)."""
+        c = self.chunk
+        if self.max_chunk <= c or self.waiting:
+            return c
+        for i, r in enumerate(self.slots):
+            if r is None:
+                continue
+            if r.prefilling or (active_np[i] and r.stop_tokens):
+                return c
+        lo = int(rem_np[active_np].min())
+        while c * 2 <= self.max_chunk and c * 2 <= lo:
+            c *= 2
+        return c
+
     def step(self):
         """One scheduling tick: admit waiting requests to slots, advance at
         most `prefill_budget` prefill chunks, then decode a chunk for every
@@ -882,7 +914,8 @@ class InferenceEngine:
                 and self._spec_fits()):
             return self._decode_chunk_speculative()
         t0 = time.perf_counter()
-        keys = jax.random.split(self._next_key(), self.chunk)
+        chunk = self._pick_chunk(active_np, rem_np)
+        keys = jax.random.split(self._next_key(), chunk)
         lpk = self.logprobs_k if self._n_logprobs else 0
         lps = None
         sk = ko = None
@@ -903,7 +936,7 @@ class InferenceEngine:
         else:
             r = _decode_chunk(
                 self.params, self.cfg, jnp.asarray(self.last_tokens), self.cache,
-                keys, jnp.asarray(active_np), steps=self.chunk,
+                keys, jnp.asarray(active_np), steps=chunk,
                 sampler=self.sampler, impl=self.impl,
                 eos_ids=jnp.asarray(eos_np), remaining=jnp.asarray(rem_np),
                 state=state, counts=self._counts, logprobs_k=lpk,

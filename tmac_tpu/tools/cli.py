@@ -172,6 +172,7 @@ def cmd_chat(args):
                             top_p=args.top_p)
     eng = InferenceEngine(cfg, params, max_batch=1, max_len=args.max_len,
                           sampler=sampler, decode_chunk=args.decode_chunk,
+                          max_decode_chunk=args.max_decode_chunk,
                           prefix_cache_size=2,
                           prefix_cache_max_len=args.max_len,
                           kv_quant=args.kv_quant)
@@ -314,6 +315,7 @@ def cmd_serve(args):
     eng = InferenceEngine(cfg, params, max_batch=args.max_batch,
                           max_len=args.max_len, sampler=sampler,
                           decode_chunk=args.decode_chunk,
+                          max_decode_chunk=args.max_decode_chunk,
                           speculative=args.speculative,
                           prefix_cache_size=args.prefix_cache,
                           kv_quant=args.kv_quant)
@@ -416,6 +418,7 @@ def cmd_bench_serve(args):
     eng = InferenceEngine(cfg, params, max_batch=args.max_batch,
                           max_len=args.max_len,
                           decode_chunk=args.decode_chunk,
+                          max_decode_chunk=args.max_decode_chunk,
                           prefix_cache_size=args.prefix_cache,
                           kv_quant=args.kv_quant)
     rng = np.random.default_rng(0)
@@ -519,6 +522,9 @@ def main():
     ch.add_argument("-n", type=int, default=256)
     ch.add_argument("--max-len", type=int, default=2048)
     ch.add_argument("--decode-chunk", type=int, default=8)
+    ch.add_argument("--max-decode-chunk", type=int, default=128,
+                    help="adaptive chunk ceiling (amortizes the host "
+                         "round-trip on long generations; 0 disables)")
     ch.add_argument("--temperature", type=float, default=0.7)
     ch.add_argument("--top-k", type=int, default=0)
     ch.add_argument("--top-p", type=float, default=1.0)
@@ -554,6 +560,9 @@ def main():
     bs.add_argument("--prompt-len", type=int, default=128)
     bs.add_argument("--max-new", type=int, default=64)
     bs.add_argument("--decode-chunk", type=int, default=8)
+    bs.add_argument("--max-decode-chunk", type=int, default=0,
+                    help="adaptive chunk ceiling (0 disables; serving "
+                         "benches default off so chunk latency is fixed)")
     bs.add_argument("--shared-prefix", type=int, default=0,
                     help="tokens of common system-prompt prefix per request")
     bs.add_argument("--prefix-cache", type=int, default=0,
@@ -571,6 +580,9 @@ def main():
     s.add_argument("--max-batch", type=int, default=8)
     s.add_argument("--max-len", type=int, default=2048)
     s.add_argument("--decode-chunk", type=int, default=16)
+    s.add_argument("--max-decode-chunk", type=int, default=128,
+                    help="adaptive chunk ceiling (amortizes the host "
+                         "round-trip on long generations; 0 disables)")
     s.add_argument("--temperature", type=float, default=0.0)
     s.add_argument("--top-k", type=int, default=0)
     s.add_argument("--top-p", type=float, default=1.0)

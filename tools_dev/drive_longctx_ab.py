@@ -70,6 +70,40 @@ def run_cell(cfg, params, B, prompt_len, steps, quant, reps=2):
     }
 
 
+def run_engine_cell(cfg, params, prompt_len, new_tokens, max_chunk):
+    """The ENGINE path at long context (BENCH.md's 156-tok/s weak spot):
+    prompt 1500+ through continuous batching, decode with fixed chunk 32
+    vs the adaptive ceiling -- measures the host-round-trip amortization
+    (VERDICT r3 weak #4)."""
+    from tmac_tpu.runtime.engine import InferenceEngine
+
+    rng = np.random.default_rng(0)
+    eng = InferenceEngine(cfg, params, max_batch=1,
+                          max_len=prompt_len + new_tokens + 64,
+                          decode_chunk=32, max_decode_chunk=max_chunk)
+    prompt = [int(t) for t in rng.integers(0, cfg.vocab_size, prompt_len)]
+    uid = eng.submit(prompt, max_new_tokens=new_tokens)   # compile pass
+    eng.run()
+    best = float("inf")
+    for r in range(2):
+        prompt = [int(t) for t in rng.integers(0, cfg.vocab_size, prompt_len)]
+        eng2 = InferenceEngine(cfg, params, max_batch=1,
+                               max_len=prompt_len + new_tokens + 64,
+                               decode_chunk=32, max_decode_chunk=max_chunk)
+        uid = eng2.submit(prompt, max_new_tokens=new_tokens)
+        t0 = time.perf_counter()
+        res = eng2.run()
+        dt = time.perf_counter() - t0
+        assert len(res[uid]) == new_tokens
+        # decode-only rate from engine stats (prefill excluded)
+        best = min(best, eng2.stats["decode_s"])
+    return {
+        "prompt_len": prompt_len, "new_tokens": new_tokens,
+        "max_decode_chunk": max_chunk,
+        "decode_tok_s": round(new_tokens / best, 2),
+    }
+
+
 def main():
     cfg = get_preset("bitnet-3b")
     params = init_params(cfg, seed=0)
@@ -81,7 +115,13 @@ def main():
             rows.append(r)
             print(f"{r['batch']},{r['prompt_len']},{r['steps']},{r['kv']},"
                   f"{r['decode_tok_s']},{r['prefill_tok_s']}", flush=True)
-    print(json.dumps({"longctx_ab": rows}))
+    eng_rows = []
+    for mx in (0, 128):
+        r = run_engine_cell(cfg, params, 1500, 128, mx)
+        eng_rows.append(r)
+        print(f"engine ctx1500 max_chunk={mx}: {r['decode_tok_s']} tok/s",
+              flush=True)
+    print(json.dumps({"longctx_ab": rows, "engine_adaptive": eng_rows}))
 
 
 if __name__ == "__main__":
