@@ -31,6 +31,10 @@ def test_model_parity_gate(label, preset, quant_kw):
     # per-kernel 5e-4 to absorb cross-layer accumulation; real layout or
     # packing bugs produce nmse > 1e-1 and huge disagree gaps
     assert r["nmse"] < 2e-3, r
+    # per-layer bisection: every production layer must match the oracle
+    # layer from the same input (the full-size kernel-correctness gate;
+    # immune to cross-layer amplification)
+    assert r["layer_nmse_max"] < 2e-3, r
     assert r["agree_tie_aware"] == 1.0, r
     assert r["max_disagree_gap"] < 0.35, r
     # perplexity parity on the same weights (the llama-perplexity role):
@@ -52,6 +56,10 @@ def test_model_parity_gate_qwen2moe():
         moe_intermediate_size=512, moe_shared_intermediate_size=512)
     r = parity.model_parity(cfg, seed=0, impl="xla")
     assert r["nmse"] < 2e-3, r
+    # per-layer bisection: every production layer must match the oracle
+    # layer from the same input (the full-size kernel-correctness gate;
+    # immune to cross-layer amplification)
+    assert r["layer_nmse_max"] < 2e-3, r
     assert r["agree_tie_aware"] == 1.0, r
     assert r["nll_delta_median"] < 0.01, r
 
@@ -94,12 +102,20 @@ def test_parity_gate_rope_scaling_and_window():
     cfg = get_preset("llama-3.1-8b").scaled(8)  # llama3 rope scaling
     r = parity.model_parity(cfg, seed=0, impl="xla")
     assert r["nmse"] < 2e-3, r
+    # per-layer bisection: every production layer must match the oracle
+    # layer from the same input (the full-size kernel-correctness gate;
+    # immune to cross-layer amplification)
+    assert r["layer_nmse_max"] < 2e-3, r
     assert r["agree_tie_aware"] == 1.0, r
     # a window small enough to bite within the gate's prefill length
     cfgw = dataclasses.replace(get_preset("llama-2-7b").scaled(8),
                                sliding_window=8)
     r = parity.model_parity(cfgw, seed=0, impl="xla")
     assert r["nmse"] < 2e-3, r
+    # per-layer bisection: every production layer must match the oracle
+    # layer from the same input (the full-size kernel-correctness gate;
+    # immune to cross-layer amplification)
+    assert r["layer_nmse_max"] < 2e-3, r
     assert r["agree_tie_aware"] == 1.0, r
 
 

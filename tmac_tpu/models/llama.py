@@ -599,7 +599,9 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             active: Optional[jax.Array] = None,
             ep_axis: Optional[str] = None,
             valid: Optional[jax.Array] = None,
-            deferred_kv: Optional[bool] = None):
+            deferred_kv: Optional[bool] = None,
+            embeds: Optional[jax.Array] = None,
+            return_hidden: bool = False):
     """Run T tokens (prefill or single-step decode) starting at cache.pos.
 
     tokens: (B, T) int32. Returns (logits (B, T, vocab), updated cache).
@@ -621,6 +623,11 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
     the MoE capacity-dispatch path consumes it (padding must not steal
     expert capacity -- models/moe.py); dense compute on padded rows is
     discarded downstream as usual.
+    embeds: optional (B, T, H) hidden states replacing the token-embedding
+    lookup (tokens still supplies shapes/positions) -- input injection for
+    per-layer bisection (tools/parity.py) and embedding-level callers.
+    return_hidden: return the pre-head hidden states (B, T, H) instead of
+    logits (skips the final norm + lm head).
     deferred_kv: decode-only (T == 1) KV-write batching: attention takes
     the current token's k/v as kernel operands (flash append variant) so
     the per-layer cache writes defer to ONE batched update pair after the
@@ -643,7 +650,8 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             f"TMAC_DEBUG_SKIP={sorted(_skip & {'kvwrite', 'attn', 'rope'})} "
             "is ACTIVE: model outputs are WRONG (perf-ablation mode)",
             stacklevel=2)
-    x = params["embed"][tokens]  # (B, T, H)
+    x = params["embed"][tokens] if embeds is None \
+        else embeds.astype(params["embed"].dtype)  # (B, T, H)
     positions = cache.pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B,T)
     S = cache.max_len
     kv_len_mask = jnp.arange(S)[None, :] < (cache.pos[:, None] + T)  # (B,S)
@@ -809,6 +817,12 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
         if pend_ks:
             new_ks = _write_scale_all_layers(new_ks, pend_ks, cache.pos)
             new_vs = _write_scale_all_layers(new_vs, pend_vs, cache.pos)
+
+    if return_hidden:
+        adv = T if active is None else T * active.astype(jnp.int32)
+        cache = KVCache(k=new_k, v=new_v, pos=cache.pos + adv,
+                        k_scale=new_ks, v_scale=new_vs)
+        return x, cache
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")

