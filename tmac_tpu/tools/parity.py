@@ -335,8 +335,12 @@ def model_parity(cfg: ModelConfig, seed: int = 0, T: int = 24,
     prompt = rng.integers(0, cfg.vocab_size, (1, T))
 
     # --- prefill logits parity ---
+    # jit the production forwards: the eager form dispatches each of the
+    # ~2k ops per forward as its own RPC through the device tunnel, which
+    # dominated full-size gate time (the compute itself is microseconds)
+    fwd = jax.jit(lambda p, t, c: forward(p, cfg, t, c, impl=impl))
     cache = KVCache.create(cfg, 1, T + decode_steps)
-    logits, cache = forward(params, cfg, jnp.asarray(prompt), cache, impl=impl)
+    logits, cache = fwd(params, jnp.asarray(prompt), cache)
     got = np.asarray(logits, np.float32)  # (1, T, V)
     layer_io: List[np.ndarray] = []
     want = oracle_forward(dense, cfg, prompt, collect_layer_io=layer_io)
@@ -387,8 +391,7 @@ def model_parity(cfg: ModelConfig, seed: int = 0, T: int = 24,
     # --- decode path: production greedy rollout, teacher-forced oracle ---
     toks: List[int] = [int(np.argmax(got[0, -1]))]
     for _ in range(decode_steps - 1):
-        lg, cache = forward(params, cfg, jnp.asarray([[toks[-1]]]), cache,
-                            impl=impl)
+        lg, cache = fwd(params, jnp.asarray([[toks[-1]]]), cache)
         toks.append(int(np.argmax(np.asarray(lg[0, -1], np.float32))))
     full = np.concatenate([prompt, np.asarray(toks[:-1])[None]], axis=1)
     want_full = oracle_forward(dense, cfg, full)  # (1, T+steps-1, V)
