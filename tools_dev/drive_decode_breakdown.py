@@ -1,7 +1,9 @@
 """Itemize the bitnet-3b decode step cost on v5e (VERDICT #2).
 
 Components timed with the chained protocol; run from /root/repo when the
-chip is free.
+chip is free.  Optional argv[1]: comma-separated section numbers to run
+(e.g. `4,5` to resume after a timeout killed the ablation sections --
+each ablation is a full-model recompile, ~2-4 min each on the tunnel).
 """
 import os
 import sys
@@ -15,6 +17,14 @@ from tmac_tpu.models.config import get_preset
 from tmac_tpu.models.llama import KVCache, forward, init_params
 from tmac_tpu.ops.qgemm import qgemm
 from tmac_tpu.tools.timing import bench_chained, null_roundtrip
+
+SECTIONS = {int(x) for x in sys.argv[1].split(",")} if len(sys.argv) > 1 \
+    else {1, 2, 3, 4, 5}
+
+
+def enabled(n: int) -> bool:
+    return n in SECTIONS
+
 
 cfg = get_preset("bitnet-3b")
 params = init_params(cfg, seed=0)
@@ -46,9 +56,10 @@ def t_linears(x):
     return d, d[:, :H].astype(x.dtype)
 
 
-t = bench_chained(t_linears, x0, iters=50, reps=3, overhead=ov)
-print(f"4 linears (1 layer, fused folds): {t*1e6:.1f} us -> x26 = "
-      f"{t*26*1e3:.3f} ms", flush=True)
+if enabled(1):
+    t = bench_chained(t_linears, x0, iters=50, reps=3, overhead=ov)
+    print(f"4 linears (1 layer, fused folds): {t*1e6:.1f} us -> x26 = "
+          f"{t*26*1e3:.3f} ms", flush=True)
 
 # 2) flash attention per layer, short vs long position
 from tmac_tpu.ops.pallas.attention_kernel import flash_decode_stacked
@@ -59,7 +70,7 @@ rep = cfg.num_heads // KV
 q0 = jnp.asarray(np.random.default_rng(1).standard_normal((1, KV, rep, D)),
                  jnp.bfloat16)
 
-for pos in (17, 300):
+for pos in ((17, 300) if enabled(2) else ()):
     lens = jnp.asarray([pos], jnp.int32)
 
     def t_flash(q, lens=lens):
@@ -83,8 +94,9 @@ def t_head(x):
     return logits, logits[:, :H].astype(x.dtype)
 
 
-t = bench_chained(t_head, x0, iters=50, reps=3, overhead=ov)
-print(f"head (norm+quant+int8 dot): {t*1e6:.1f} us", flush=True)
+if enabled(3):
+    t = bench_chained(t_head, x0, iters=50, reps=3, overhead=ov)
+    print(f"head (norm+quant+int8 dot): {t*1e6:.1f} us", flush=True)
 
 # 4) full decode step at short vs long starting position (the measured
 # position-dependence: bench-e2e bitnet 624 tok/s @pos~16 -> 453 @pos~256)
@@ -104,7 +116,7 @@ def loop_steps(tok, cache):
 
 
 tok0 = jnp.asarray([5], jnp.int32)
-for start in (1, 270):
+for start in ((1, 270) if enabled(4) else ()):
     cache_full = KVCache.create(cfg, 1, S)
     cache_full = KVCache(k=cache_full.k, v=cache_full.v,
                          pos=jnp.asarray([start], jnp.int32))
@@ -166,6 +178,8 @@ def timed_step_loop(skip: str, do_sample: bool, start: int = 270) -> float:
     return (best - ov) / 32
 
 
+if not enabled(5):
+    sys.exit(0)
 base = timed_step_loop("", True)
 print(f"\nablation table (pos 270, ms/token; delta = component cost in situ)")
 print(f"  baseline             : {base*1e3:.3f}")
