@@ -91,9 +91,16 @@ def route_topk(x2: jax.Array, router: jax.Array, k: int,
     by design -- downstream code indexes experts statically, never
     gathers by traced expert id.
     """
+    # precision=HIGHEST: the TPU MXU runs "f32" dots on bf16-truncated
+    # inputs by default, and bf16-level logit noise FLIPS top-k expert
+    # picks at near-ties (observed on hardware: 5 MoE oracle tests fail
+    # with default precision, pass with full f32).  Routing decisions
+    # must not depend on matmul rounding; the router dot is tiny
+    # ((N,H)@(H,E)), so full f32 costs nothing.
     logits = jnp.einsum("nh,he->ne", x2.astype(jnp.float32),
                         router.astype(jnp.float32),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     E = router.shape[1]
     if norm_topk:
         topv, topi = jax.lax.top_k(logits, k)      # (N, k)

@@ -104,8 +104,10 @@ from tmac_tpu.runtime.sampling import SamplerConfig, sample
 import time
 
 
+# params as an ARGUMENT, not a closure: closed-over weights embed as HLO
+# constants and the multi-GB program upload breaks the remote compiler
 @jax.jit
-def loop_steps(tok, cache):
+def loop_steps(params, tok, cache):
     def body(i, carry):
         tok, cache = carry
         logits, cache = forward(params, cfg, tok[:, None], cache)
@@ -120,7 +122,7 @@ for start in ((1, 270) if enabled(4) else ()):
     cache_full = KVCache.create(cfg, 1, S)
     cache_full = KVCache(k=cache_full.k, v=cache_full.v,
                          pos=jnp.asarray([start], jnp.int32))
-    o = loop_steps(tok0, cache_full)
+    o = loop_steps(params, tok0, cache_full)
     int(o[0][0])
     best = float("inf")
     for r in range(3):
@@ -129,7 +131,7 @@ for start in ((1, 270) if enabled(4) else ()):
                           pos=jnp.asarray([start], jnp.int32))
         tok_r = jnp.asarray([5 + r], jnp.int32)
         t0 = time.perf_counter()
-        tok, cr = loop_steps(tok_r, cache_r)
+        tok, cr = loop_steps(params, tok_r, cache_r)
         int(tok[0])
         best = min(best, time.perf_counter() - t0)
     print(f"full step from pos {start}: {(best-ov)/32*1e3:.3f} ms/token "
@@ -148,7 +150,7 @@ def timed_step_loop(skip: str, do_sample: bool, start: int = 270) -> float:
     os.environ["TMAC_DEBUG_SKIP"] = skip
 
     @jax.jit
-    def steps(tok, cache):
+    def steps(params, tok, cache):
         def body(i, carry):
             tok, cache = carry
             with warnings.catch_warnings():
@@ -166,12 +168,12 @@ def timed_step_loop(skip: str, do_sample: bool, start: int = 270) -> float:
         c = KVCache.create(cfg, 1, S)
         return KVCache(k=c.k, v=c.v, pos=jnp.asarray([start], jnp.int32))
 
-    o = steps(tok0, fresh_cache())
+    o = steps(params, tok0, fresh_cache())
     int(o[0][0])  # compile + warm
     best = float("inf")
     for r in range(3):
         t0 = time.perf_counter()
-        tok, _ = steps(jnp.asarray([5 + r], jnp.int32), fresh_cache())
+        tok, _ = steps(params, jnp.asarray([5 + r], jnp.int32), fresh_cache())
         int(tok[0])
         best = min(best, time.perf_counter() - t0)
     os.environ.pop("TMAC_DEBUG_SKIP", None)

@@ -22,6 +22,9 @@ import json
 import os
 import tempfile
 
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import jax.numpy as jnp
 import numpy as np
 

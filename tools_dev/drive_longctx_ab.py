@@ -14,6 +14,9 @@ story (llama.cpp -c 2048).
 import json
 import time
 
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -107,6 +110,14 @@ def run_engine_cell(cfg, params, prompt_len, new_tokens, max_chunk):
 def main():
     cfg = get_preset("bitnet-3b")
     params = init_params(cfg, seed=0)
+    # engine adaptive-chunk A/B FIRST: it is the round-3 weak-#4
+    # measurement, and a window/timeout cut must not lose it
+    eng_rows = []
+    for mx in (0, 128):
+        r = run_engine_cell(cfg, params, 1500, 128, mx)
+        eng_rows.append(r)
+        print(f"engine ctx1500 max_chunk={mx}: {r['decode_tok_s']} tok/s",
+              flush=True)
     rows = []
     print("batch,prompt_len,steps,kv,decode_tok_s,prefill_tok_s", flush=True)
     for B, plen, steps in ((1, 7936, 128), (8, 1920, 64)):
@@ -115,12 +126,6 @@ def main():
             rows.append(r)
             print(f"{r['batch']},{r['prompt_len']},{r['steps']},{r['kv']},"
                   f"{r['decode_tok_s']},{r['prefill_tok_s']}", flush=True)
-    eng_rows = []
-    for mx in (0, 128):
-        r = run_engine_cell(cfg, params, 1500, 128, mx)
-        eng_rows.append(r)
-        print(f"engine ctx1500 max_chunk={mx}: {r['decode_tok_s']} tok/s",
-              flush=True)
     print(json.dumps({"longctx_ab": rows, "engine_adaptive": eng_rows}))
 
 

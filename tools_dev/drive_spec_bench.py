@@ -8,6 +8,9 @@ import os
 import sys
 import time
 
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import numpy as np
 import jax
 import jax.numpy as jnp
