@@ -23,7 +23,7 @@ import os
 import tempfile
 
 import sys
-sys.path.insert(0, __file__.rsplit('/', 2)[0])
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
 
 import jax.numpy as jnp
 import numpy as np

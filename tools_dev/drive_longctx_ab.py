@@ -14,8 +14,10 @@ story (llama.cpp -c 2048).
 import json
 import time
 
+import os
 import sys
-sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
 
 import jax
 import jax.numpy as jnp

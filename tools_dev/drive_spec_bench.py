@@ -9,7 +9,7 @@ import sys
 import time
 
 import sys
-sys.path.insert(0, __file__.rsplit('/', 2)[0])
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
 
 import numpy as np
 import jax
