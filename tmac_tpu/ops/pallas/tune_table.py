@@ -86,8 +86,15 @@ def record_dispatch(bits: int, K: int, Mp: int, N: int, gs: int, mode: str,
 
 
 def record(bits: int, K: int, Mp: int, N: int, gs: int, path: str,
-           block_m: int, us: float, kernel_path: str = None):
-    """Write one tuning result through to the table file."""
+           block_m: int, us: float, kernel_path: str = None) -> bool:
+    """Write one tuning result through to the table file.
+
+    Keep-if-better: a re-tune that measures a DIFFERENT config slower than
+    the recorded one does not evict it (a noisy later run once replaced a
+    5.68 us block_m=1024 entry with a 6.41 us block_m=384 pick).  A re-tune
+    of the SAME config refreshes its time (the kernel may have changed).
+    Set TMAC_TUNE_OVERWRITE=1 to force (e.g. after a kernel rewrite that
+    invalidates old timings).  Returns True if the table was updated."""
     global _table
     path_choice = kernel_path
     with _lock:
@@ -101,7 +108,15 @@ def record(bits: int, K: int, Mp: int, N: int, gs: int, path: str,
         entry = {"block_m": block_m, "us": round(us, 2)}
         if path_choice:
             entry["path"] = path_choice
-        dev[key(bits, K, Mp, N, gs, path)] = entry
+        k = key(bits, K, Mp, N, gs, path)
+        old = dev.get(k)
+        same_cfg = old is not None and old.get("block_m") == block_m \
+            and old.get("path") == entry.get("path")
+        if old is not None and not same_cfg \
+                and os.environ.get("TMAC_TUNE_OVERWRITE", "") != "1" \
+                and old.get("us", float("inf")) <= us:
+            return False
+        dev[k] = entry
         os.makedirs(os.path.dirname(p), exist_ok=True)
         # Atomic replace: a crash mid-write must not leave a truncated file
         # (which _load would silently treat as an empty table), and
@@ -112,6 +127,7 @@ def record(bits: int, K: int, Mp: int, N: int, gs: int, path: str,
             json.dump(t, f, indent=1, sort_keys=True)
         os.replace(tmp, p)
         _table = t
+        return True
 
 
 def invalidate_cache():

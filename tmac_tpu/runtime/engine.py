@@ -444,6 +444,15 @@ class InferenceEngine:
         self.cache = cache if cache is not None else KVCache.create(
             cfg, max_batch, max_len, quant=kv_quant)
         self.key = jax.random.PRNGKey(seed)
+        # Decode-step keys are derived by fold_in from a fixed base and a
+        # monotone step counter, NOT by splitting self.key per chunk: the
+        # per-step key stream is then invariant to how steps are grouped
+        # into chunks (decode_chunk, adaptive growth, queue state), so a
+        # seeded engine reproduces tokens regardless of max_decode_chunk.
+        # (Per-request reproducibility across different co-tenancy still
+        # needs per-request seeds -- the slot_keys path.)
+        self._decode_base_key = jax.random.fold_in(self.key, 0x5eed)
+        self._decode_step_no = 0
         self._uid = itertools.count()
         self.waiting: deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * max_batch
@@ -915,7 +924,10 @@ class InferenceEngine:
             return self._decode_chunk_speculative()
         t0 = time.perf_counter()
         chunk = self._pick_chunk(active_np, rem_np)
-        keys = jax.random.split(self._next_key(), chunk)
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            self._decode_base_key,
+            jnp.arange(self._decode_step_no, self._decode_step_no + chunk))
+        self._decode_step_no += chunk
         lpk = self.logprobs_k if self._n_logprobs else 0
         lps = None
         sk = ko = None

@@ -106,8 +106,9 @@ def tune_shape(bits: int, K: int, M: int, N: int, mode: str, gs: int,
     for disp, (bm, t) in best.items():
         p = path if disp is None else ("dequant" if disp == "dequant"
                                        else "grouped")
-        tune_table.record(bits_eff, qt.kdim_padded, Mp, N, gs_eff, p, bm,
-                          t * 1e6)
+        if not tune_table.record(bits_eff, qt.kdim_padded, Mp, N, gs_eff, p,
+                                 bm, t * 1e6):
+            log(f"  {disp or '-'} bm={bm}: kept existing faster entry")
     if len(best) > 1:
         mode_key = "fused" if act == "fused" else "float"
         tune_table.record_dispatch(bits_eff, qt.kdim_padded, Mp, N, gs_eff,

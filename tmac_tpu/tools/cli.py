@@ -522,9 +522,11 @@ def main():
     ch.add_argument("-n", type=int, default=256)
     ch.add_argument("--max-len", type=int, default=2048)
     ch.add_argument("--decode-chunk", type=int, default=8)
-    ch.add_argument("--max-decode-chunk", type=int, default=128,
+    ch.add_argument("--max-decode-chunk", type=int, default=0,
                     help="adaptive chunk ceiling (amortizes the host "
-                         "round-trip on long generations; 0 disables)")
+                         "round-trip on long generations; 0 disables). "
+                         "Off by default: chat streams tokens, and growth "
+                         "batches stdout output into chunk-sized bursts")
     ch.add_argument("--temperature", type=float, default=0.7)
     ch.add_argument("--top-k", type=int, default=0)
     ch.add_argument("--top-p", type=float, default=1.0)
@@ -580,9 +582,12 @@ def main():
     s.add_argument("--max-batch", type=int, default=8)
     s.add_argument("--max-len", type=int, default=2048)
     s.add_argument("--decode-chunk", type=int, default=16)
-    s.add_argument("--max-decode-chunk", type=int, default=128,
+    s.add_argument("--max-decode-chunk", type=int, default=0,
                     help="adaptive chunk ceiling (amortizes the host "
-                         "round-trip on long generations; 0 disables)")
+                         "round-trip on long generations; 0 disables). "
+                         "Off by default: the server admits requests "
+                         "asynchronously, and a grown chunk delays both "
+                         "admission and SSE deltas by up to the ceiling")
     s.add_argument("--temperature", type=float, default=0.0)
     s.add_argument("--top-k", type=int, default=0)
     s.add_argument("--top-p", type=float, default=1.0)

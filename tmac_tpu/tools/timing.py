@@ -77,4 +77,8 @@ def bench_chained(step: Callable, x0: jax.Array, iters: int = 100,
         scale = min(-(-min_work // (per * iters)), 512)  # ceil, bounded
         iters = int(iters * scale)
         work = measure(build(iters))
-    return max(work, 1e-9) / iters
+    # Even rescaled, `best - overhead` can be <= 0 under tunnel RTT jitter
+    # (the 512x cap can leave sub-min_work chains for genuinely tiny steps).
+    # Floor at the noise floor rather than returning ~0: a 0 us result is
+    # junk that wins every autotune comparison (commit 3f7b1d7).
+    return max(work / iters, 2e-7)
