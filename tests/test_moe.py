@@ -17,6 +17,7 @@ from tmac_tpu.models.moe import (expert_capacity, moe_mlp, route_topk,
 from tmac_tpu.ops.qgemm import qgemm
 from tmac_tpu.parallel import ep as epmod
 from tmac_tpu.runtime.sampling import SamplerConfig
+from tmac_tpu.utils import nmse
 
 
 def _tiny_moe_cfg(E=4, k=2):
@@ -86,8 +87,13 @@ def test_moe_mlp_matches_oracle():
         rms_norm(x.reshape(-1, cfg.hidden_size),
                  layer["mlp_norm"], cfg.rms_norm_eps), np.float32)
     want = _oracle_moe(xn, layer, cfg)
-    np.testing.assert_allclose(np.asarray(got).reshape(want.shape), want,
-                               rtol=2e-4, atol=2e-4)
+    # NMSE bar (the reference's verification metric, ops/qgemm.py:278):
+    # elementwise f32 rtol cannot hold on the TPU MXU, which truncates
+    # f32 dot inputs to bf16 (~0.4% elementwise, NMSE ~2e-5); a routing
+    # flip or a wrong expert weight is O(1) on the affected token and
+    # blows NMSE past the bar by orders of magnitude either way.
+    got = np.asarray(got, np.float32).reshape(want.shape)
+    assert nmse(want, got) <= 5e-4
 
 
 def _tiny_qwen2moe_cfg(E=4, k=2):
@@ -115,8 +121,13 @@ def test_qwen2moe_mlp_matches_oracle():
         rms_norm(x.reshape(-1, cfg.hidden_size),
                  layer["mlp_norm"], cfg.rms_norm_eps), np.float32)
     want = _oracle_moe(xn, layer, cfg)
-    np.testing.assert_allclose(np.asarray(got).reshape(want.shape), want,
-                               rtol=2e-4, atol=2e-4)
+    # NMSE bar (the reference's verification metric, ops/qgemm.py:278):
+    # elementwise f32 rtol cannot hold on the TPU MXU, which truncates
+    # f32 dot inputs to bf16 (~0.4% elementwise, NMSE ~2e-5); a routing
+    # flip or a wrong expert weight is O(1) on the affected token and
+    # blows NMSE past the bar by orders of magnitude either way.
+    got = np.asarray(got, np.float32).reshape(want.shape)
+    assert nmse(want, got) <= 5e-4
 
 
 def test_route_topk_norm_flag():
@@ -204,9 +215,13 @@ def test_moe_dispatch_equals_dense():
                     moe_impl="dense")
     disp = moe_mlp(x, layer, cfg, cfg.quant.mode, impl="xla",
                    moe_impl="dispatch", capacity=N)
-    np.testing.assert_allclose(
-        np.asarray(dense, np.float32), np.asarray(disp, np.float32),
-        rtol=0, atol=1e-4)
+    d = np.asarray(dense, np.float32).reshape(N, -1)
+    p = np.asarray(disp, np.float32).reshape(N, -1)
+    # per-token NMSE: the two forms batch tokens into different matmul
+    # shapes, so the bf16 MXU rounds them differently (~2e-5 NMSE); a
+    # dropped/corrupted row is O(1) on that token and fails loudly
+    per_tok = [nmse(d[i], p[i]) for i in range(N)]
+    assert max(per_tok) <= 1e-3, max(per_tok)
 
 
 def test_moe_select_equals_dense_decode():
@@ -314,7 +329,31 @@ def test_moe_engine_matches_single_stream():
     for uid, prompt in ((uid1, [1, 2, 3]), (uid2, [5, 6])):
         ref = generate(params, cfg, np.asarray([prompt], np.int32),
                        max_new_tokens=6, impl="xla")
-        assert results[uid] == [int(t) for t in np.asarray(ref)[0]]
+        if results[uid] == [int(t) for t in np.asarray(ref)[0]]:
+            continue
+        # The engine batches slots together (B=2 padded) while the
+        # single-stream reference runs B=1, so the bf16 MXU rounds their
+        # logits differently and greedy picks can flip at genuine
+        # near-ties (exact token equality holds on CPU f32).  Gate the
+        # divergent case tie-aware instead (the parity-gate protocol,
+        # tools/parity.py): teacher-force the ENGINE's tokens through the
+        # reference forward and require every engine token to be the
+        # argmax or within the tie margin of it -- scheduler/cache bugs
+        # produce O(1) logit gaps and still fail.
+        _assert_greedy_tie_aware(params, cfg, prompt, results[uid])
+
+
+def _assert_greedy_tie_aware(params, cfg, prompt, tokens, margin=0.35):
+    full = np.asarray([list(prompt) + list(tokens)], np.int32)
+    cache = KVCache.create(cfg, 1, full.shape[1])
+    logits, _ = forward(params, cfg, jnp.asarray(full), cache, impl="xla")
+    lg = np.asarray(logits, np.float32)[0]
+    T = len(prompt)
+    for i, tok in enumerate(tokens):
+        row = lg[T - 1 + i]
+        top = int(np.argmax(row))
+        gap = float(row[top] - row[tok])
+        assert top == tok or gap < margin, (i, tok, top, gap)
 
 
 def test_moe_engine_over_ep_mesh():

@@ -280,7 +280,17 @@ def _rand_qt(rng: np.random.Generator, K: int, M: int, cfg: ModelConfig,
     wq = rng.integers(0, qmax + 1, (K, M), dtype=np.int64).astype(np.uint8)
     scales = ((0.5 + rng.random((G, M))) * (2.0 * std / mid)).astype(np.float32)
     if q.zero_point:
-        zq = rng.integers(0, qmax + 1, (G, M)).astype(np.float32)
+        # Zero-points centered on each group's mean code (+- jitter so the
+        # zp math stays exercised): trained checkpoints have near-zero-mean
+        # weight columns, while a UNIFORMLY random zero leaves a coherent
+        # per-group mean offset ~gs x larger than the entry noise.  At 7B
+        # depth that offset made random-init forwards chaotic (hidden norms
+        # ~1e4) and drowned the full-size e2e parity rows in amplification
+        # noise (round-4 VERDICT weak #6).  Exactness of the zp kernels is
+        # unaffected -- zq is still a per-(group, column) integer code.
+        gmean = wq.reshape(G, gs, M).astype(np.float32).mean(1).round()
+        zq = np.clip(gmean + rng.integers(-2, 3, (G, M)), 0, qmax) \
+            .astype(np.float32)
         sub = scales * zq
     else:
         sub = mid * scales

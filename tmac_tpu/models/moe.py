@@ -216,7 +216,12 @@ def moe_mlp(x: jax.Array, layer: dict, cfg, mode: str, impl: str = "auto",
         if T > 1 and N >= 64:
             moe_impl = "dispatch"
         elif (N == 1 and ep_axis is None
-              and os.environ.get("TMAC_MOE_SELECT", "0") == "1"):
+              and os.environ.get("TMAC_MOE_SELECT", "1") == "1"):
+            # expert-select is the B=1 decode default: it moves exactly k
+            # experts' bytes per token (measured 150.4 vs 20.0 tok/s for
+            # the dense-masked form on mixtral-8x7b, BENCH.md), and its
+            # oracle gates are green on hardware (bench_artifacts/r5/
+            # moe_hw_gates.log).  TMAC_MOE_SELECT=0 restores dense-masked.
             moe_impl = "select"
         else:
             moe_impl = "dense"

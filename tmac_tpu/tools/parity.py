@@ -388,6 +388,39 @@ def model_parity(cfg: ModelConfig, seed: int = 0, T: int = 24,
             [float(nmse(layer_io[li + 1][0, t], got_l[0, t]))
              for t in range(T)])))
 
+    # --- consecutive-layer (handoff) bisection.  COVERAGE BOUNDARY of the
+    # single-layer bisect above: it feeds the production layer the
+    # ORACLE'S f32 hidden state, so it gates kernels/packing/layout but
+    # not cross-layer integration (residual dtype accumulation, cache.pos
+    # advance between layers, hidden-state handoff).  These strided
+    # two-layer windows (oracle input at layer li, production through
+    # li and li+1, compared at the oracle's li+2 state) catch handoff
+    # bugs while keeping the chaotic-amplification window to one extra
+    # layer.  (ADVICE r4 item 4.)
+    L = len(params["layers"])
+    pair_nmse = []
+    if L >= 2:
+        cfg2 = _dc.replace(cfg, num_layers=2)
+
+        @jax.jit
+        def _pair_fwd(params2, emb):
+            c2 = KVCache.create(cfg2, 1, T)
+            out, _ = forward(params2, cfg2, prompt_j, c2, impl=impl,
+                             embeds=emb, return_hidden=True)
+            return out
+
+        windows = sorted({min(w, L - 2)
+                          for w in (0, L // 4, L // 2, 3 * L // 4, L - 2)})
+        for li in windows:
+            params2 = {"embed": params["embed"],
+                       "final_norm": params["final_norm"],
+                       "layers": params["layers"][li:li + 2]}
+            got_p = np.asarray(
+                _pair_fwd(params2, jnp.asarray(layer_io[li])), np.float32)
+            pair_nmse.append(float(np.median(
+                [float(nmse(layer_io[li + 2][0, t], got_p[0, t]))
+                 for t in range(T)])))
+
     # --- decode path: production greedy rollout, teacher-forced oracle ---
     toks: List[int] = [int(np.argmax(got[0, -1]))]
     for _ in range(decode_steps - 1):
@@ -442,6 +475,7 @@ def model_parity(cfg: ModelConfig, seed: int = 0, T: int = 24,
         "layer_nmse_median": float(np.median(layer_nmse)),
         "layer_nmse_max": float(np.max(layer_nmse)),
         "layer_nmse_argmax": int(np.argmax(layer_nmse)),
+        "pair_nmse_max": float(np.max(pair_nmse)) if pair_nmse else 0.0,
         "decode_steps": n,
         "prefill_positions": T,
     }
