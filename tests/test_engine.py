@@ -358,6 +358,39 @@ def test_prefix_cache_reuse_and_equality(model):
     assert ra2 == ra
 
 
+def test_warmup_preserves_outputs(model):
+    """warmup() pre-compiles every serving program (incl. the prefix-cache
+    extract/insert and remainder buckets); it must be a pure no-op on
+    engine semantics -- a warmed engine emits exactly a cold engine's
+    tokens, greedy and seeded-sampled alike."""
+    cfg, params = model
+    rng = np.random.default_rng(23)
+    shared = [int(t) for t in rng.integers(1, cfg.vocab_size, 20)]
+    prompts = [shared + [int(t) for t in rng.integers(1, cfg.vocab_size, 6)]
+               for _ in range(3)]
+
+    def run(warm: bool, temperature: float):
+        from tmac_tpu.runtime.sampling import SamplerConfig
+        eng = InferenceEngine(cfg, params, max_batch=2, max_len=128,
+                              impl="xla", decode_chunk=4, prefill_chunk=16,
+                              prefix_cache_size=4, prefix_cache_min_reuse=4,
+                              sampler=SamplerConfig(temperature=temperature,
+                                                    top_k=5), seed=7)
+        if warm:
+            eng.warmup()
+        outs = []
+        for p in prompts:
+            u = eng.submit(p, max_new_tokens=5)
+            outs.append(eng.run()[u])
+        return outs, eng.stats["prefix_hits"]
+
+    for temp in (0.0, 0.8):
+        cold, hits_c = run(False, temp)
+        warm, hits_w = run(True, temp)
+        assert warm == cold, (temp, cold, warm)
+        assert hits_c == hits_w == 2
+
+
 def test_prefix_cache_lru_eviction(model):
     cfg, params = model
     eng = InferenceEngine(cfg, params, max_batch=1, max_len=64, impl="xla",

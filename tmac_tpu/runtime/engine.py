@@ -547,6 +547,66 @@ class InferenceEngine:
     def pending(self) -> int:
         return len(self.waiting) + sum(r is not None for r in self.slots)
 
+    def warmup(self):
+        """Pre-compile every serving program so no request pays jit cost.
+
+        Through the remote-TPU tunnel a full-model compile is tens of
+        seconds; with the prompt-prefix cache on, the FIRST hit used to
+        trigger three of them at admission time (_insert_prefix, the
+        shorter remainder-prefill bucket, _extract_prefix at store time),
+        which is exactly the measured 17 s TTFT regression of round 4
+        (bench_artifacts: serve_cache vs serve_nocache).  Warm outputs are
+        discarded; the cache is reset (pos=0 masks any scratch writes) and
+        the seeded-decode step counter is not advanced, so a warmed engine
+        produces the same token streams as a cold one.
+        """
+        if self._step_fns is not None:
+            # mesh engines: step_fns are compiled by their builders
+            return
+        from tmac_tpu.utils import round_up
+        # 1) every prefill bucket (covers remainder prefills after a
+        #    prefix-cache hit, which start mid-prompt in a short bucket)
+        for b in self.buckets:
+            toks = jnp.zeros((1, b), jnp.int32)
+            _, self.cache = _prefill_slot(
+                self.params, self.cfg, toks, jnp.int32(1), self.cache,
+                jnp.int32(0), jnp.int32(0), impl=self.impl, bucket=b)
+        # 2) the decode chunk (base size; growth recompiles are opt-in)
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            self._decode_base_key, jnp.arange(self.chunk))
+        r = _decode_chunk(
+            self.params, self.cfg, jnp.asarray(self.last_tokens),
+            self.cache, keys, jnp.zeros((self.B,), bool), steps=self.chunk,
+            sampler=self.sampler, impl=self.impl,
+            eos_ids=jnp.full((self.B,), -1, jnp.int32),
+            remaining=jnp.zeros((self.B,), jnp.int32))
+        self.cache = r[1]
+        # 3) first-token sampling after prefill
+        sample(jnp.zeros((1, self.cfg.vocab_size), jnp.float32),
+               jax.random.PRNGKey(0), self.sampler)
+        # 4) prefix-cache extract/insert at every 128-aligned store size
+        if self.prefix_cache_size:
+            ml = self.cache.max_len
+            cap = min(self.prefix_cache_max_len, ml)
+            pbs = sorted({min(round_up(n, 128), ml)
+                          for n in range(128, cap + 1, 128)}
+                         | {min(128, ml)})
+            c = self.cache
+            for pb in pbs:
+                pk, pv, pks, pvs = _extract_prefix(
+                    c.k, c.v, jnp.int32(0), pb, ks=c.k_scale, vs=c.v_scale)
+                k, v, ks, vs = _insert_prefix(
+                    c.k, c.v, pk, pv, jnp.int32(0), ks=c.k_scale,
+                    vs=c.v_scale, pks=pks, pvs=pvs)
+                c = KVCache(k=k, v=v, pos=c.pos, k_scale=ks, v_scale=vs)
+            self.cache = c
+        # discard warm state: zero pos masks every scratch write above
+        jax.block_until_ready(self.cache.k)
+        self.cache = KVCache(k=self.cache.k, v=self.cache.v,
+                             pos=jnp.zeros((self.B,), jnp.int32),
+                             k_scale=self.cache.k_scale,
+                             v_scale=self.cache.v_scale)
+
     def run(self) -> Dict[int, List[int]]:
         """Drain all submitted requests; returns {uid: generated tokens}."""
         while self.pending():

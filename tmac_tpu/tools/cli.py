@@ -431,7 +431,12 @@ def cmd_bench_serve(args):
     prompts = [shared + [int(t) for t in rng.integers(1, cfg.vocab_size,
                                                       tail)]
                for _ in range(args.requests)]
-    # warm the compiled programs so arrival timing isn't compile-skewed
+    # warm the compiled programs so arrival timing isn't compile-skewed;
+    # warmup() also covers the prefix-cache extract/insert programs and
+    # the short remainder-prefill buckets that a prefix HIT routes to --
+    # the warm submit alone left those to compile mid-benchmark (the
+    # round-4 17 s TTFT regression with --prefix-cache)
+    eng.warmup()
     warm = eng.submit(prompts[0], max_new_tokens=2)
     eng.run()
     eng.finished.clear()

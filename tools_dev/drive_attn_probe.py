@@ -69,7 +69,8 @@ if "A" in SECTIONS:
 
 
 def _staged_kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, o_ref):
-    o_ref[...] = q_ref[...] * (1.0 + 1e-6 * lens_ref[0].astype(jnp.float32))
+    scale = (1.0 + 1e-6 * lens_ref[0].astype(jnp.float32)).astype(q_ref.dtype)
+    o_ref[...] = q_ref[...] * scale
 
 
 def make_staged(cache):

@@ -61,10 +61,19 @@ if enabled(1):
     print(f"4 linears (1 layer, fused folds): {t*1e6:.1f} us -> x26 = "
           f"{t*26*1e3:.3f} ms", flush=True)
 
-# 2) flash attention per layer, short vs long position
+# 2) flash attention per layer, short vs long position.
+# The cache MUST be materialized random data: a zeros cache lowers to an
+# XLA broadcast that the while-loop REMATERIALIZES (memsets) every
+# chained iteration, inflating the kernel ~4x (round-5 probe: 34.9 us
+# zeros vs 9.7 us real at S=384 pos=300, bench_artifacts/r5/attn_probe3).
 from tmac_tpu.ops.pallas.attention_kernel import flash_decode_stacked
 S = 320
 cache = KVCache.create(cfg, 1, S)
+_crng = np.random.default_rng(9)
+cache = KVCache(
+    k=jnp.asarray(_crng.standard_normal(cache.k.shape), cache.k.dtype),
+    v=jnp.asarray(_crng.standard_normal(cache.v.shape), cache.v.dtype),
+    pos=cache.pos, k_scale=cache.k_scale, v_scale=cache.v_scale)
 KV, D = cfg.num_kv_heads, cfg.head_dim
 rep = cfg.num_heads // KV
 q0 = jnp.asarray(np.random.default_rng(1).standard_normal((1, KV, rep, D)),

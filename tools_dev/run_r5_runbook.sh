@@ -22,6 +22,9 @@ cd "$(dirname "$0")/.."
 ART=bench_artifacts/r5
 mkdir -p "$ART"
 START=${1:-1}
+# STEPS="6 2 3" runs exactly those steps in THAT order (overrides START);
+# used round 5 to land the decode ablation first (perf-critical input)
+STEPS=${STEPS:-}
 MAIN_LOG=$ART/runbook.log
 
 note() { echo "[$(date -u +%H:%M:%S)] $*" | tee -a "$MAIN_LOG"; }
@@ -34,7 +37,11 @@ probe() {
 run_step() {
   local n=$1 log=$2
   shift 2
-  [ "$n" -lt "$START" ] && return 0
+  if [ -n "$STEPS" ]; then
+    case " $STEPS " in *" $n "*) ;; *) return 0 ;; esac
+  else
+    [ "$n" -lt "$START" ] && return 0
+  fi
   if ! probe; then
     note "step $n ABORT (tunnel down; resume: run_r5_runbook.sh $n)"
     exit 1
