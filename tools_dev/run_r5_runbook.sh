@@ -22,8 +22,9 @@ cd "$(dirname "$0")/.."
 ART=bench_artifacts/r5
 mkdir -p "$ART"
 START=${1:-1}
-# STEPS="6 2 3" runs exactly those steps in THAT order (overrides START);
-# used round 5 to land the decode ablation first (perf-critical input)
+# STEPS="6 2 3" runs exactly those steps in THAT order (overrides START).
+# Implemented by dispatching step functions from the list -- the round-5a
+# first launch used a filter-only STEPS that silently kept script order.
 STEPS=${STEPS:-}
 MAIN_LOG=$ART/runbook.log
 
@@ -34,14 +35,9 @@ probe() {
     >/dev/null 2>&1
 }
 
-run_step() {
+run_cmd() {
   local n=$1 log=$2
   shift 2
-  if [ -n "$STEPS" ]; then
-    case " $STEPS " in *" $n "*) ;; *) return 0 ;; esac
-  else
-    [ "$n" -lt "$START" ] && return 0
-  fi
   if ! probe; then
     note "step $n ABORT (tunnel down; resume: run_r5_runbook.sh $n)"
     exit 1
@@ -59,37 +55,60 @@ run_step() {
   fi
 }
 
-note "r5 runbook start (from step $START)"
+step_1() {
+  run_cmd 1 moe_hw_gates.log env TMAC_TEST_TPU=1 timeout 3000 \
+    python -m pytest tests/test_moe.py tests/test_expert_kernel.py -q
+}
 
-run_step 1 moe_hw_gates.log env TMAC_TEST_TPU=1 timeout 3000 \
-  python -m pytest tests/test_moe.py tests/test_expert_kernel.py -q
+step_2() {
+  run_cmd 2 moe_decode_dense.log env TMAC_MOE_SELECT=0 timeout 2400 \
+    python -m tmac_tpu.tools.cli bench-e2e --model mixtral-8x7b --batch 1
+  run_cmd 2 moe_decode_default.log timeout 2400 \
+    python -m tmac_tpu.tools.cli bench-e2e --model mixtral-8x7b --batch 1
+}
 
-run_step 2 moe_decode_dense.log env TMAC_MOE_SELECT=0 timeout 2400 \
-  python -m tmac_tpu.tools.cli bench-e2e --model mixtral-8x7b --batch 1
-run_step 2 moe_decode_default.log timeout 2400 \
-  python -m tmac_tpu.tools.cli bench-e2e --model mixtral-8x7b --batch 1
+step_3() {
+  run_cmd 3 spec_lookup.log timeout 2400 python tools_dev/drive_spec_bench.py
+  run_cmd 3 spec_draft.log env TMAC_SPEC_DRAFT=1 timeout 2400 \
+    python tools_dev/drive_spec_bench.py
+}
 
-run_step 3 spec_lookup.log timeout 2400 python tools_dev/drive_spec_bench.py
-run_step 3 spec_draft.log env TMAC_SPEC_DRAFT=1 timeout 2400 \
-  python tools_dev/drive_spec_bench.py
+step_4() {
+  run_cmd 4 longctx_ab.log timeout 3600 python tools_dev/drive_longctx_ab.py
+}
 
-run_step 4 longctx_ab.log timeout 3600 python tools_dev/drive_longctx_ab.py
+step_5() {
+  run_cmd 5 gguf_roundtrip.log timeout 3600 \
+    python tools_dev/drive_gguf_roundtrip.py
+}
 
-run_step 5 gguf_roundtrip.log timeout 3600 python tools_dev/drive_gguf_roundtrip.py
+step_6() {
+  run_cmd 6 decode_breakdown.log timeout 5400 \
+    python tools_dev/drive_decode_breakdown.py
+}
 
-run_step 6 decode_breakdown.log timeout 5400 python tools_dev/drive_decode_breakdown.py
+step_7() {
+  run_cmd 7 prefill_matrix.log bash tools_dev/run_bench_matrix.sh
+}
 
-run_step 7 prefill_matrix.log bash tools_dev/run_bench_matrix.sh
+step_8() {
+  run_cmd 8 serve_base.log timeout 2400 \
+    python -m tmac_tpu.tools.cli bench-serve --model bitnet-3b
+  run_cmd 8 serve_int8kv.log timeout 2400 \
+    python -m tmac_tpu.tools.cli bench-serve --model bitnet-3b --kv-quant
+  run_cmd 8 serve_nocache.log timeout 2400 \
+    python -m tmac_tpu.tools.cli bench-serve --model bitnet-3b \
+    --prompt-len 192 --shared-prefix 128
+  run_cmd 8 serve_cache.log timeout 2400 \
+    python -m tmac_tpu.tools.cli bench-serve --model bitnet-3b \
+    --prompt-len 192 --shared-prefix 128 --prefix-cache 8
+}
 
-run_step 8 serve_base.log timeout 2400 \
-  python -m tmac_tpu.tools.cli bench-serve --model bitnet-3b
-run_step 8 serve_int8kv.log timeout 2400 \
-  python -m tmac_tpu.tools.cli bench-serve --model bitnet-3b --kv-quant
-run_step 8 serve_nocache.log timeout 2400 \
-  python -m tmac_tpu.tools.cli bench-serve --model bitnet-3b \
-  --prompt-len 192 --shared-prefix 128
-run_step 8 serve_cache.log timeout 2400 \
-  python -m tmac_tpu.tools.cli bench-serve --model bitnet-3b \
-  --prompt-len 192 --shared-prefix 128 --prefix-cache 8
-
+if [ -z "$STEPS" ]; then
+  STEPS=$(seq "$START" 8 | tr '\n' ' ')
+fi
+note "r5 runbook start (steps: $STEPS)"
+for s in $STEPS; do
+  "step_$s"
+done
 note "r5 runbook COMPLETE"
