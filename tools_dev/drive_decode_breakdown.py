@@ -27,7 +27,11 @@ def enabled(n: int) -> bool:
 
 
 cfg = get_preset("bitnet-3b")
+# heartbeat prints bound WHERE a tunnel hang happened (the 00:54 run sat
+# 15 min with an empty log -- unlocatable)
+print("init_params...", flush=True)
 params = init_params(cfg, seed=0)
+print("null_roundtrip...", flush=True)
 ov = null_roundtrip()
 print(f"null {ov*1e3:.1f} ms", flush=True)
 
