@@ -128,3 +128,78 @@ def test_flash_decode_append_unpadded_head_dim():
         jnp.int32(0), jnp.asarray(ck), jnp.asarray(cv), blk=32,
         interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_decode_append_write_commits_cache():
+    """The append-WRITE variant returns the same attention output as the
+    append variant AND the cache arrays with exactly one row (per slot)
+    committed at the cached-len position, all other rows untouched."""
+    from tmac_tpu.ops.pallas.attention_kernel import (
+        flash_decode_stacked_append, flash_decode_stacked_append_write)
+    rng = np.random.default_rng(6)
+    L, B, KV, rep, S, D = 3, 3, 2, 2, 64, 128
+    k = jnp.asarray(rng.standard_normal((L, B, KV, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, B, KV, S, D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, KV, rep, D)), jnp.float32)
+    ck = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+    cached = np.array([0, 17, S - 1])  # fresh slot, mid, last row
+    li = 1
+    want = np.asarray(flash_decode_stacked_append(
+        q, k, v, jnp.asarray(cached), jnp.int32(li), ck, cv, blk=32,
+        interpret=True))
+    o, k2, v2 = flash_decode_stacked_append_write(
+        q, k, v, jnp.asarray(cached), jnp.int32(li), ck, cv, blk=32,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(o), want, rtol=2e-5, atol=2e-5)
+    ke, ve = np.asarray(k).copy(), np.asarray(v).copy()
+    for b in range(B):
+        ke[li, b, :, cached[b], :] = np.asarray(ck)[b]
+        ve[li, b, :, cached[b], :] = np.asarray(cv)[b]
+    np.testing.assert_array_equal(np.asarray(k2), ke)
+    np.testing.assert_array_equal(np.asarray(v2), ve)
+
+
+def test_flash_decode_append_write_quantized_cache():
+    """append-write on an int8 cache quantizes the committed row with the
+    per-vector absmax/127 convention (models/llama._quantize_kv) and
+    leaves every other code/scale untouched."""
+    from tmac_tpu.models.llama import _quantize_kv
+    from tmac_tpu.ops.pallas.attention_kernel import (
+        flash_decode_stacked_append, flash_decode_stacked_append_write)
+    rng = np.random.default_rng(7)
+    L, B, KV, rep, S, D = 2, 2, 2, 2, 32, 128
+    kq = jnp.asarray(rng.integers(-127, 128, (L, B, KV, S, D)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (L, B, KV, S, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.01, 0.1, (L, B, KV, S)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.1, (L, B, KV, S)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, KV, rep, D)), jnp.float32)
+    ck = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((B, KV, D)), jnp.float32)
+    cached = np.array([3, 20])
+    li = 0
+    want = np.asarray(flash_decode_stacked_append(
+        q, kq, vq, jnp.asarray(cached), jnp.int32(li), ck, cv, blk=32,
+        k_scale=ks, v_scale=vs, interpret=True))
+    o, k2, v2, ks2, vs2 = flash_decode_stacked_append_write(
+        q, kq, vq, jnp.asarray(cached), jnp.int32(li), ck, cv, blk=32,
+        k_scale=ks, v_scale=vs, interpret=True)
+    np.testing.assert_allclose(np.asarray(o), want, rtol=2e-5, atol=2e-5)
+    ckq, cksc = _quantize_kv(ck)
+    cvq, cvsc = _quantize_kv(cv)
+    for b in range(B):
+        np.testing.assert_array_equal(
+            np.asarray(k2)[li, b, :, cached[b], :], np.asarray(ckq)[b])
+        np.testing.assert_array_equal(
+            np.asarray(v2)[li, b, :, cached[b], :], np.asarray(cvq)[b])
+        np.testing.assert_allclose(
+            np.asarray(ks2)[li, b, :, cached[b]], np.asarray(cksc)[b],
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(vs2)[li, b, :, cached[b]], np.asarray(cvsc)[b],
+            rtol=1e-6)
+    mask = np.ones((L, B, KV, S), bool)
+    for b in range(B):
+        mask[li, b, :, cached[b]] = False
+    np.testing.assert_array_equal(np.asarray(k2)[mask], np.asarray(kq)[mask])
+    np.testing.assert_array_equal(np.asarray(ks2)[mask], np.asarray(ks)[mask])

@@ -10,6 +10,8 @@ Reference accuracy gate: NMSE <= 5e-4 vs the dequant oracle
 (reference python/t_mac/ops/qgemm.py:278).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -206,6 +208,107 @@ def test_hw_flash_decode_int8_cache(KV, S):
                 o = p @ vdq[li, b, h, :n]
                 got = np.asarray(out).reshape(B, KV, rep, -1)[b, h, r]
                 assert nmse(o, got) < 1e-3, (b, h, r)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_hw_flash_decode_append_write(quant):
+    """append-write flash decode on hardware: the in-kernel cache commit
+    (one DMA at a runtime-dynamic, sublane-UNALIGNED S offset into the
+    aliased HBM cache) must (a) match the plain append variant's output,
+    (b) write exactly the committed row, (c) leave every other row
+    bit-identical.  This is the decode default (models/llama.forward
+    inkernel_kv), so it gates the headline bench path."""
+    from tmac_tpu.models.llama import _quantize_kv
+    from tmac_tpu.ops.pallas.attention_kernel import (
+        flash_decode_stacked_append, flash_decode_stacked_append_write)
+    rng = np.random.default_rng(17)
+    L, B, KV, rep, S, Dp = 2, 2, 4, 2, 256, 128
+    # odd positions: exercises the unaligned dynamic-offset write
+    cached = np.array([37, 201], np.int32)
+    li = 1
+    if quant:
+        k = jnp.asarray(rng.integers(-127, 128, (L, B, KV, S, Dp)), jnp.int8)
+        v = jnp.asarray(rng.integers(-127, 128, (L, B, KV, S, Dp)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.01, 0.1, (L, B, KV, S)), jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.01, 0.1, (L, B, KV, S)), jnp.float32)
+    else:
+        k = jnp.asarray(rng.standard_normal((L, B, KV, S, Dp)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((L, B, KV, S, Dp)), jnp.bfloat16)
+        ks = vs = None
+    q = jnp.asarray(rng.standard_normal((B, KV, rep, Dp)), jnp.bfloat16)
+    ck = jnp.asarray(rng.standard_normal((B, KV, Dp)), jnp.bfloat16)
+    cv = jnp.asarray(rng.standard_normal((B, KV, Dp)), jnp.bfloat16)
+    want = np.asarray(flash_decode_stacked_append(
+        q, k, v, jnp.asarray(cached), jnp.int32(li), ck, cv,
+        k_scale=ks, v_scale=vs), np.float32)
+    out = flash_decode_stacked_append_write(
+        q, k, v, jnp.asarray(cached), jnp.int32(li), ck, cv,
+        k_scale=ks, v_scale=vs)
+    if quant:
+        o, k2, v2, ks2, vs2 = out
+    else:
+        o, k2, v2 = out
+    assert nmse(want, np.asarray(o, np.float32)) < 1e-5
+    ke, ve = np.asarray(k).copy(), np.asarray(v).copy()
+    if quant:
+        kse, vse = np.asarray(ks).copy(), np.asarray(vs).copy()
+        ckq, cksc = _quantize_kv(ck)
+        cvq, cvsc = _quantize_kv(cv)
+        for b in range(B):
+            ke[li, b, :, cached[b], :] = np.asarray(ckq)[b]
+            ve[li, b, :, cached[b], :] = np.asarray(cvq)[b]
+            kse[li, b, :, cached[b]] = np.asarray(cksc)[b]
+            vse[li, b, :, cached[b]] = np.asarray(cvsc)[b]
+        np.testing.assert_allclose(np.asarray(ks2), kse, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(vs2), vse, rtol=1e-6)
+    else:
+        for b in range(B):
+            ke[li, b, :, cached[b], :] = np.asarray(ck)[b]
+            ve[li, b, :, cached[b], :] = np.asarray(cv)[b]
+    np.testing.assert_array_equal(np.asarray(k2), ke)
+    np.testing.assert_array_equal(np.asarray(v2), ve)
+
+
+def test_hw_decode_inkernel_kv_token_equality():
+    """Model-level gate for the in-kernel KV default: a short greedy
+    decode with TMAC_KV_INKERNEL=1 (default) must produce the same tokens
+    and the same final cache rows as the explicit dynamic_update_slice
+    path (TMAC_KV_INKERNEL=0) on the chip."""
+    from tmac_tpu.models.config import get_preset
+    from tmac_tpu.models import llama as M
+    import dataclasses
+    cfg = get_preset("bitnet-3b")
+    cfg = dataclasses.replace(
+        cfg, num_layers=2, hidden_size=640, intermediate_size=1728,
+        num_heads=8, num_kv_heads=8, vocab_size=1024, head_bits=16)
+    params = M.init_params(cfg, seed=3)
+    toks = jnp.asarray([[7, 11, 13]], jnp.int32)
+
+    def run(inkernel: str):
+        os.environ["TMAC_KV_INKERNEL"] = inkernel
+        try:
+            cache = M.KVCache.create(cfg, 1, 64)
+            logits, cache = M.forward(params, cfg, toks, cache)
+            out = []
+            tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+            for _ in range(6):
+                out.append(int(tok[0, 0]))
+                logits, cache = M.forward(params, cfg, tok, cache)
+                tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+            return out, np.asarray(cache.k), np.asarray(cache.v), \
+                np.asarray(cache.pos)
+        finally:
+            os.environ.pop("TMAC_KV_INKERNEL", None)
+
+    tok_in, k_in, v_in, pos_in = run("1")
+    tok_dus, k_dus, v_dus, pos_dus = run("0")
+    assert tok_in == tok_dus
+    np.testing.assert_array_equal(pos_in, pos_dus)
+    # rows written by decode steps must agree to bf16 exactness; compare
+    # only the valid prefix (both paths leave garbage-free zeros beyond)
+    n = int(pos_in[0])
+    assert nmse(k_dus[:, :, :, :n, :], k_in[:, :, :, :n, :]) < 1e-9
+    assert nmse(v_dus[:, :, :, :n, :], v_in[:, :, :, :n, :]) < 1e-9
 
 
 def test_hw_moe_mlp_pallas_vs_xla():

@@ -644,6 +644,14 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
     layer loop -- 2 dynamic_update_slices per step instead of 2 per
     layer.  None = env default (TMAC_DEFERRED_KV=1 on the TPU flash
     path; opt-in until measured on hardware).
+
+    Decode KV-write default on TPU: IN-KERNEL commit (inkernel_kv below)
+    -- the flash append-write kernel writes the current token's row into
+    the aliased HBM cache itself, so the step has NO XLA cache-update ops
+    at all (52 dynamic_update_slices measured 228 us/step on bitnet-3b,
+    bench_artifacts/r5/decode_breakdown.log).  TMAC_KV_INKERNEL=0
+    restores the explicit-write path (and is the fallback whenever the
+    flash kernel is ineligible: prefill, CPU, XLA impl).
     """
     B, T = tokens.shape
     mode = cfg.quant.mode
@@ -668,9 +676,25 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
     rope_cs = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
                           cfg.rope_scaling)
 
+    # in-kernel KV commit (the default decode path on TPU): the flash
+    # append-write kernel both attends and writes the current token's k/v
+    # into the (aliased) cache row -- no XLA dynamic_update_slices at all.
+    # The 52 per-step DUS ops measured 228 us/step of decode glue on
+    # bitnet-3b (bench_artifacts/r5/decode_breakdown.log ablation).
+    # TMAC_KV_INKERNEL=0 falls back to explicit writes (and
+    # TMAC_DEFERRED_KV=1 to the batched-commit variant).
+    inkernel_kv = (
+        _flash_decode_ok(T, S, cache.k.shape[-1], impl)
+        and not deferred_kv
+        and not (_skip & {"kvwrite", "attn"})
+        # default flips to "1" once the HW gates pass (r5 runbook c);
+        # until then the unaligned-dynamic-offset cache DMA is unproven
+        # on real Mosaic
+        and _os.environ.get("TMAC_KV_INKERNEL", "0") == "1")
     if deferred_kv is None:
         deferred_kv = (
-            _flash_decode_ok(T, S, cache.k.shape[-1], impl)
+            not inkernel_kv
+            and _flash_decode_ok(T, S, cache.k.shape[-1], impl)
             and _os.environ.get("TMAC_DEFERRED_KV", "0") == "1")
     assert not (deferred_kv and T != 1), "deferred_kv is decode-only"
     pend_k, pend_v, pend_ks, pend_vs = [], [], [], []
@@ -699,7 +723,7 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
             k = rope(k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim), rope_cs)
         v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
 
-        if "kvwrite" not in _skip:
+        if "kvwrite" not in _skip and not inkernel_kv:
             if cache.quantized:
                 kq, ksc = _quantize_kv(k)
                 vq, vsc = _quantize_kv(v)
@@ -724,6 +748,26 @@ def forward(params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache,
 
         if "attn" in _skip:
             attn = q.reshape(B, T, cfg.q_dim) * 0.5
+        elif inkernel_kv:
+            # attend + commit in one kernel: the cache arrays come back
+            # aliased with the current token's row written (quantized
+            # in-kernel when the cache is int8; the current step's own
+            # attention contribution stays exact-float either way)
+            from tmac_tpu.ops.pallas.attention_kernel import \
+                flash_decode_stacked_append_write
+            KVn, repn, D = (cfg.num_kv_heads, cfg.num_heads //
+                            cfg.num_kv_heads, cfg.head_dim)
+            out = flash_decode_stacked_append_write(
+                q.reshape(B, KVn, repn, D), new_k, new_v, cache.pos,
+                jnp.int32(li), k.reshape(B, KVn, D), v.reshape(B, KVn, D),
+                k_scale=new_ks, v_scale=new_vs,
+                window=cfg.sliding_window,
+            )
+            if cache.quantized:
+                attn, new_k, new_v, new_ks, new_vs = out
+            else:
+                attn, new_k, new_v = out
+            attn = attn.reshape(B, T, cfg.q_dim)
         elif deferred_kv:
             # flash append: cache holds only the prefix (cache.pos
             # entries); the current token's k/v ride as operands (always

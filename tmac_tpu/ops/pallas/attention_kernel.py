@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
             scale: float, dp: int, append: bool = False,
-            quant: bool = False, window: int = 0):
+            quant: bool = False, window: int = 0, write: bool = False):
     """Grid (B,). k_ref/v_ref are FULL HBM-resident (L, B, KV, S, Dp) refs
     (memory_space=HBM, DMA'd manually); q_ref (1, KV, rep, Dl) and o_ref in
     VMEM; lens/li are scalar-prefetch.  Dl (logical head_dim) may be below
@@ -53,13 +53,25 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
     the codes.  The k scale folds into the SCORES (s *= ksc) and the v
     scale into the PROBS (p *= vsc): rep*blk multiplies each, never a
     dequantized (blk, Dp) KV copy -- the int8 stream is what the MXU dots
-    consume, so the HBM read per step genuinely halves."""
+    consume, so the HBM read per step genuinely halves.
+
+    write (requires append): rest additionally ends with aliased
+    full-cache output refs (k_out, v_out[, ks_out, vs_out]) and the
+    kernel COMMITS the current token's k/v into the cache at position
+    lens[b] via a post-loop DMA -- the decode step's cache update becomes
+    a 16 KB in-kernel write instead of XLA dynamic_update_slices (the
+    measured 228 us/step of decode glue, bench_artifacts/r5/
+    decode_breakdown.log).  In quant mode the row is quantized in-kernel
+    with the _quantize_kv convention (per-vector absmax/127)."""
     if quant:
         ks_ref, vs_ref, *rest = rest
     if append:
-        ck_ref, cv_ref, o_ref = rest
-    else:
-        (o_ref,) = rest
+        ck_ref, cv_ref, *rest = rest
+    o_ref, *rest = rest
+    if write:
+        k_out_ref, v_out_ref, *rest = rest
+        if quant:
+            ks_out_ref, vs_out_ref = rest
     b = pl.program_id(0)
     li = li_ref[0]
     KV, rep, Dl = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
@@ -80,7 +92,8 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
         q = jnp.concatenate(
             [q, jnp.zeros((KV, rep, D - Dl), jnp.float32)], axis=-1)
 
-    def body(k_sc, v_sc, sem, ks_sc=None, vs_sc=None, ssem=None):
+    def body(k_sc, v_sc, sem, ks_sc=None, vs_sc=None, ssem=None,
+             wk_sc=None, wv_sc=None, wsem=None, wks_sc=None, wvs_sc=None):
         # scratch (2, KV, blk, D): one strided DMA per block covers every
         # kv head (head histories are S-major, so this is KV descriptors
         # of blk*D contiguous bytes each -- large and sequential)
@@ -157,6 +170,49 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
         l0 = jnp.zeros((KV, rep, 1), jnp.float32)
         a0 = jnp.zeros((KV, rep, D), jnp.float32)
         m, l, acc = jax.lax.fori_loop(first, nblk, step, (m0, l0, a0))
+        write_copies = []
+        if write:
+            # commit the current token into the (aliased) cache at row L.
+            # Started AFTER the read loop: the trailing read block can
+            # cover row L (its bytes are masked, but don't race the DMA);
+            # waited at the very end so the 16 KB write overlaps the
+            # final online-softmax step and output store.
+            ckw = ck_ref[0].astype(jnp.float32)  # (KV, Dl)
+            cvw = cv_ref[0].astype(jnp.float32)
+            if quant:
+                # the _quantize_kv convention (models/llama.py): one
+                # absmax/127 scale per vector, computed pre-padding
+                ksc_w = jnp.maximum(jnp.max(jnp.abs(ckw), -1), 1e-20) / 127.0
+                vsc_w = jnp.maximum(jnp.max(jnp.abs(cvw), -1), 1e-20) / 127.0
+                ckw = jnp.clip(jnp.round(ckw / ksc_w[:, None]), -127, 127)
+                cvw = jnp.clip(jnp.round(cvw / vsc_w[:, None]), -127, 127)
+                wks_sc[:, 0] = ksc_w.astype(jnp.float32)
+                wvs_sc[:, 0] = vsc_w.astype(jnp.float32)
+            if Dl != D:
+                padw = jnp.zeros((KV, D - Dl), jnp.float32)
+                ckw = jnp.concatenate([ckw, padw], axis=-1)
+                cvw = jnp.concatenate([cvw, padw], axis=-1)
+            wk_sc[:, 0, :] = ckw.astype(wk_sc.dtype)
+            wv_sc[:, 0, :] = cvw.astype(wv_sc.dtype)
+            write_copies = [
+                pltpu.make_async_copy(
+                    wk_sc, k_out_ref.at[li, b, :, pl.ds(L, 1), :],
+                    wsem.at[0]),
+                pltpu.make_async_copy(
+                    wv_sc, v_out_ref.at[li, b, :, pl.ds(L, 1), :],
+                    wsem.at[1]),
+            ]
+            if quant:
+                write_copies += [
+                    pltpu.make_async_copy(
+                        wks_sc, ks_out_ref.at[li, b, :, pl.ds(L, 1)],
+                        wsem.at[2]),
+                    pltpu.make_async_copy(
+                        wvs_sc, vs_out_ref.at[li, b, :, pl.ds(L, 1)],
+                        wsem.at[3]),
+                ]
+            for cp in write_copies:
+                cp.start()
         if append:
             # final online step over the current token (always valid --
             # a fresh sequence has L == 0 and skips the loop entirely)
@@ -177,6 +233,8 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
         if Dl != D:
             o = o[..., :Dl]
         o_ref[0] = o.astype(o_ref.dtype)
+        for cp in write_copies:
+            cp.wait()
 
     scoped = dict(
         k_sc=pltpu.VMEM((2, KV, blk, D), k_ref.dtype),
@@ -189,6 +247,17 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
             vs_sc=pltpu.VMEM((2, KV, blk), jnp.float32),
             ssem=pltpu.SemaphoreType.DMA((2, 2)),
         )
+    if write:
+        scoped.update(
+            wk_sc=pltpu.VMEM((KV, 1, D), k_ref.dtype),
+            wv_sc=pltpu.VMEM((KV, 1, D), v_ref.dtype),
+            wsem=pltpu.SemaphoreType.DMA((4,) if quant else (2,)),
+        )
+        if quant:
+            scoped.update(
+                wks_sc=pltpu.VMEM((KV, 1), jnp.float32),
+                wvs_sc=pltpu.VMEM((KV, 1), jnp.float32),
+            )
     pl.run_scoped(body, **scoped)
 
 
@@ -374,6 +443,109 @@ def flash_decode_stacked_append(q: jax.Array, k_all: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KV, rep, Dl), q.dtype),
         cost_estimate=cost,
+        interpret=interpret,
+    )(*operands)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("blk", "interpret", "scale", "window"))
+def flash_decode_stacked_append_write(
+        q: jax.Array, k_all: jax.Array, v_all: jax.Array,
+        cached_lens: jax.Array, layer: jax.Array, cur_k: jax.Array,
+        cur_v: jax.Array, blk: int = 0, interpret: bool | None = None,
+        scale: float | None = None, k_scale: jax.Array | None = None,
+        v_scale: jax.Array | None = None, window: int = 0):
+    """flash_decode_stacked_append that ALSO commits cur_k/cur_v into the
+    cache at row cached_lens[b] inside the kernel (aliased in/out cache
+    refs -- `input_output_aliases`), replacing the decode step's XLA
+    dynamic_update_slice writes entirely.
+
+    Returns (o, k_all', v_all') -- or (o, k_all', v_all', k_scale',
+    v_scale') in int8-cache mode, where the row is quantized in-kernel
+    with the per-vector absmax/127 convention (_quantize_kv) and the
+    CURRENT step's attention still uses the exact float operands.
+
+    The decode-glue motivation: the per-layer cache writes measured
+    228 us/step on bitnet-3b (52 dynamic_update_slices,
+    bench_artifacts/r5/decode_breakdown.log ablation); in-kernel the
+    commit is one overlapped 16 KB DMA per layer.  The reference's analog
+    is the ggml KV write between llama_cpp_init and the attention ops
+    (absent fork); there is no reference counterpart to fuse-with-
+    attention -- this is TPU-native design per SURVEY.md section 7.3
+    ("decode is memory-bound and tiny ... avoiding HBM round-trips").
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, KV, rep, Dl = q.shape
+    S = k_all.shape[3]
+    Dp = k_all.shape[4]
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(Dl))
+    quant = k_scale is not None
+    assert Dl <= Dp, (Dl, Dp)
+    assert cur_k.shape == (B, KV, Dl), (cur_k.shape, (B, KV, Dl))
+    assert interpret or Dp % 128 == 0, (
+        f"cache head_dim {Dp} must be lane-aligned (KVCache.create pads)")
+    if not blk:
+        blk = _pick_blk(S, KV, Dp, k_all.dtype.itemsize)
+    else:
+        blk = min(blk, S)
+        if S % blk:
+            blk = int(np.gcd(blk, S))
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # cached_lens (B,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # li (1,)
+        pl.BlockSpec((1, KV, rep, Dl), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),   # q
+        pl.BlockSpec(memory_space=pltpu.HBM),    # k: full ref, stays HBM
+        pl.BlockSpec(memory_space=pltpu.HBM),    # v
+    ]
+    operands = [cached_lens.astype(jnp.int32),
+                jnp.asarray(layer, jnp.int32).reshape(1), q, k_all, v_all]
+    if quant:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.HBM),   # k_scale
+                     pl.BlockSpec(memory_space=pltpu.HBM)]   # v_scale
+        operands += [k_scale, v_scale]
+    in_specs += [
+        pl.BlockSpec((1, KV, Dl), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),   # cur_k
+        pl.BlockSpec((1, KV, Dl), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),   # cur_v
+    ]
+    operands += [cur_k, cur_v]
+    out_shapes = [jax.ShapeDtypeStruct((B, KV, rep, Dl), q.dtype),
+                  jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+                  jax.ShapeDtypeStruct(v_all.shape, v_all.dtype)]
+    out_specs = [pl.BlockSpec((1, KV, rep, Dl), lambda b: (b, 0, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec(memory_space=pltpu.HBM),
+                 pl.BlockSpec(memory_space=pltpu.HBM)]
+    aliases = {3: 1, 4: 2}  # k_all -> k_out, v_all -> v_out
+    if quant:
+        out_shapes += [jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+                       jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)]
+        out_specs += [pl.BlockSpec(memory_space=pltpu.HBM),
+                      pl.BlockSpec(memory_space=pltpu.HBM)]
+        aliases.update({5: 3, 6: 4})
+    grid_spec = pl.GridSpec(
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    sc_bytes = 2 * B * KV * S * 4 if quant else 0
+    cost = pl.CostEstimate(
+        flops=2 * 2 * B * KV * rep * S * Dp,
+        bytes_accessed=2 * B * KV * S * Dp * k_all.dtype.itemsize + sc_bytes,
+        transcendentals=B * KV * rep * S,
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, blk=blk, scale=scale, dp=Dp, append=True,
+                          quant=quant, window=window, write=True),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        cost_estimate=cost,
+        input_output_aliases=aliases,
         interpret=interpret,
     )(*operands)
 
