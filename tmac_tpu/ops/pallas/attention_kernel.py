@@ -262,10 +262,17 @@ def _kernel(lens_ref, li_ref, q_ref, k_ref, v_ref, *rest, blk: int,
 
 
 def _pick_blk(S: int, KV: int, D: int, itemsize: int,
-              vmem_budget: int = 4 << 20) -> int:
+              vmem_budget: int = 4 << 20, quant: bool = False) -> int:
     """Largest 128-multiple block with 2 double-buffered k+v scratch copies
     inside the VMEM budget (kept well under the ~16 MB core VMEM so the
-    scratch doesn't evict neighboring kernels' pipeline buffers)."""
+    scratch doesn't evict neighboring kernels' pipeline buffers).
+
+    quant: the per-vector scale buffers (L, B, KV, S) ride beside the
+    codes, and THEIR slice along S is the LANE dimension -- Mosaic
+    requires 128-aligned lane slices, so blk must be a 128-multiple
+    divisor of S (a 224-divisor pick compiled fine for the 5D codes,
+    where S is the sublane dim, then failed on the scale DMA at the
+    ctx-8k shape S=8064: bench_artifacts/r5/longctx_ab.log)."""
     per_row = 4 * KV * D * itemsize  # 2 slots x (k, v) per sequence position
     blk = max(128, (vmem_budget // per_row) // 128 * 128)
     blk = min(blk, S)
@@ -273,14 +280,17 @@ def _pick_blk(S: int, KV: int, D: int, itemsize: int,
         # largest divisor of S within budget beats gcd shrinkage: blk=64
         # (gcd(128, 320)) measured 184 us/layer at pos 300 vs ~5 us at
         # blk=128 -- small strided DMA blocks serialize the pipeline
-        divs = [d for d in range(8, blk + 1, 8)
+        step = 128 if quant else 8
+        divs = [d for d in range(step, blk + 1, step)
                 if S % d == 0 and d * per_row // 4 * 4 <= vmem_budget]
         blk = max(divs) if divs else int(np.gcd(blk, S))
-    # Mosaic DMA slices along S must be 8-aligned (sublane tiling); odd
-    # allocations (e.g. S=27) would yield an uncompilable blk
-    assert blk % 8 == 0, (
-        f"cache max_len {S} must be a multiple of 8 for the flash-decode "
-        "kernel (KVCache allocations should round up)")
+    # Mosaic DMA slices along S must be 8-aligned (sublane tiling) -- and
+    # 128-aligned in quant mode (scale lane slices); odd allocations
+    # (e.g. S=27) would yield an uncompilable blk
+    align = 128 if quant else 8
+    assert blk % align == 0, (
+        f"cache max_len {S} must be a multiple of {align} for the "
+        "flash-decode kernel (KVCache allocations should round up)")
     return blk
 
 
@@ -315,7 +325,7 @@ def flash_decode_stacked(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
     assert interpret or Dp % 128 == 0, (
         f"cache head_dim {Dp} must be lane-aligned (KVCache.create pads)")
     if not blk:
-        blk = _pick_blk(S, KV, Dp, k_all.dtype.itemsize)
+        blk = _pick_blk(S, KV, Dp, k_all.dtype.itemsize, quant=quant)
     else:
         blk = min(blk, S)
         if S % blk:
@@ -398,7 +408,7 @@ def flash_decode_stacked_append(q: jax.Array, k_all: jax.Array,
     assert interpret or Dp % 128 == 0, (
         f"cache head_dim {Dp} must be lane-aligned (KVCache.create pads)")
     if not blk:
-        blk = _pick_blk(S, KV, Dp, k_all.dtype.itemsize)
+        blk = _pick_blk(S, KV, Dp, k_all.dtype.itemsize, quant=quant)
     else:
         blk = min(blk, S)
         if S % blk:
@@ -487,7 +497,7 @@ def flash_decode_stacked_append_write(
     assert interpret or Dp % 128 == 0, (
         f"cache head_dim {Dp} must be lane-aligned (KVCache.create pads)")
     if not blk:
-        blk = _pick_blk(S, KV, Dp, k_all.dtype.itemsize)
+        blk = _pick_blk(S, KV, Dp, k_all.dtype.itemsize, quant=quant)
     else:
         blk = min(blk, S)
         if S % blk:
