@@ -130,6 +130,19 @@ def test_flash_decode_append_unpadded_head_dim():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_pick_blk_lane_aligned_in_quant_mode():
+    """quant mode must pick a 128-multiple block: the scale buffers
+    (L, B, KV, S) slice S on the LANE axis.  S=8064 is the ctx-8k shape
+    that picked 224 (a valid sublane divisor) and failed Mosaic on the
+    scale DMA (bench_artifacts/r5/longctx_ab.log)."""
+    from tmac_tpu.ops.pallas.attention_kernel import _pick_blk
+    for S in (8064, 2048, 256, 128, 4096 + 128):
+        blk = _pick_blk(S, 32, 128, 1, quant=True)
+        assert S % blk == 0 and blk % 128 == 0, (S, blk)
+    # non-quant keeps the denser sublane-divisor search
+    assert _pick_blk(8064, 32, 128, 2) % 8 == 0
+
+
 def test_flash_decode_append_write_commits_cache():
     """The append-WRITE variant returns the same attention output as the
     append variant AND the cache arrays with exactly one row (per slot)
